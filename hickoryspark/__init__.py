@@ -1,0 +1,39 @@
+"""hickoryspark — a PySpark-native HTML-as-data extraction engine.
+
+Re-implements the semantics of clj-commons/hickory (HTML5 parse ->
+hickory node maps -> selector combinator algebra -> render) as a
+from-scratch, Spark-first pipeline over tables of web pages:
+
+- ``hickoryspark.html``   : pure-Python HTML5 tokenizer/tree-builder,
+  hickory/hiccup data forms, renderer (reference: /root/reference/src).
+- ``hickoryspark.nodes``  : flat structure-of-arrays node table with
+  pre-order interval labeling (the engine's IR).
+- ``hickoryspark.select`` : the selector combinator algebra
+  (reference: src/cljc/hickory/select.cljc).
+- ``hickoryspark.spark``  : Arrow-batched Spark pipeline (mapInArrow),
+  node-table relational layer, skew-aware partitioning, lineage.
+- ``hickoryspark.datasets``: large-scale training-data ops (dedup,
+  similarity search, text analysis) over document/embedding tables.
+"""
+
+from hickoryspark.html.core import parse, parse_fragment, as_hickory, as_hiccup
+from hickoryspark.html.render import (
+    HickoryRenderError,
+    hiccup_to_html,
+    hickory_to_html,
+    html_escape,
+    render_doctype,
+)
+
+__all__ = [
+    "parse",
+    "parse_fragment",
+    "as_hickory",
+    "as_hiccup",
+    "hickory_to_html",
+    "hiccup_to_html",
+    "html_escape",
+    "render_doctype",
+    "HickoryRenderError",
+]
+__version__ = "0.1.0"
