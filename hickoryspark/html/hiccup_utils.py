@@ -12,7 +12,7 @@ strings (Clojure keywords/symbols map to their name strings).
 
 from __future__ import annotations
 
-import types
+from collections.abc import Iterator
 
 
 def _name(tag) -> str:
@@ -101,7 +101,7 @@ def expand_content_seqs(content) -> list:
     as seqs, vectors/lists as nodes)."""
     result: list = []
     for item in content:
-        if isinstance(item, (types.GeneratorType, range, map, filter, zip)):
+        if isinstance(item, (Iterator, range)):
             result.extend(item)
         else:
             result.append(item)
