@@ -1,0 +1,158 @@
+"""Deterministic synthetic ``pages`` table + its DuckDB mirror.
+
+The driver mandates the input relation
+``pages(url STRING, warc_ts TIMESTAMP, html BINARY, text STRING,
+lang STRING)`` (BASELINE.json ``input_hint``). No pages parquet is
+shipped, so we synthesize it — with **pure Spark built-ins, no UDF** —
+from the driver's ``documents`` table (`/root/testdata/sf*/
+documents.parquet`). Because the generation is a closed-form SQL
+expression, the exact same construction is mirrored in DuckDB SQL
+(``DUCKDB_PAGES_CTE``), which gives every downstream query an
+independent oracle: the oracle re-derives the expected answer from the
+generation parameters without ever parsing HTML.
+
+Page template (single line, no inter-tag whitespace, parser-canonical
+so that ``render(parse(html)) == html`` byte-for-byte):
+
+    <!DOCTYPE html><html><head><title>doc{id}</title>
+    <meta charset="utf-8"></head><body><!--nav-->
+    <div id="main" class="content article"><h1 class="headline">{source}</h1>
+    <p class="para">{chunk_1}</p> ... <p class="para">{chunk_np}</p>
+    [<a href="https://ex.test/{id}" class="ref">more</a>  if doc_id even]
+    </div><div class="footer boilerplate"><p class="fine">copyright {source}</p>
+    <a href="/about">about</a></div></body></html>
+
+Generation parameters (all derivable from scalar columns):
+  np       = n_chars % 5 + 2          (number of <p class="para"> blocks)
+  has_link = doc_id % 2 == 0
+  chunk_i  = tokens[ (i-1)*ntok//np + 1 .. i*ntok//np ]  (1-based, space-joined)
+
+Chunks partition the token list in order, so the concatenation of the
+paragraph texts joined with single spaces is byte-identical to
+``documents.text`` — the extraction byte-identity contract
+(BASELINE.json north_rule) becomes oracle-checkable as
+``source || ' ' || text``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: epoch seconds of 2025-07-25T00:00:00Z — fixed warc_ts base (FIXTURES.md A)
+WARC_TS_BASE = 1753401600
+
+
+def _chunk(toks: Column, ntok: Column, np_: Column, i: Column) -> Column:
+    """Tokens of paragraph i (1-based), space-joined.
+
+    Integer arithmetic via floor() is exact here: products are < 2^40,
+    far inside float64's exact-integer range.
+    """
+    lo = F.floor(((i - 1) * ntok) / np_).cast("int")  # 0-based exclusive start
+    hi = F.floor((i * ntok) / np_).cast("int")
+    return F.array_join(F.slice(toks, lo + 1, hi - lo), " ")
+
+
+def pages_from_documents(documents: DataFrame, with_params: bool = False) -> DataFrame:
+    """documents(doc_id, text, lang, source, n_chars) → pages DataFrame.
+
+    Pure built-in expressions: Catalyst folds the whole construction
+    into one projection over the parquet scan (no shuffle, no UDF).
+    ``with_params`` additionally keeps (doc_id, np, has_link, n_chars)
+    for tests.
+    """
+    toks = F.split(F.col("text"), " ")
+    ntok = F.size(toks)
+    np_ = (F.col("n_chars") % 5 + 2).cast("int")
+    has_link = F.col("doc_id") % 2 == 0
+    paras = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), np_),
+            lambda i: F.concat(
+                F.lit('<p class="para">'), _chunk(toks, ntok, np_, i), F.lit("</p>")
+            ),
+        ),
+        "",
+    )
+    link = F.when(
+        has_link,
+        F.concat(
+            F.lit('<a href="https://ex.test/'),
+            F.col("doc_id"),
+            F.lit('" class="ref">more</a>'),
+        ),
+    ).otherwise(F.lit(""))
+    html_str = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>doc"),
+        F.col("doc_id"),
+        F.lit('</title><meta charset="utf-8"></head><body><!--nav-->'),
+        F.lit('<div id="main" class="content article"><h1 class="headline">'),
+        F.col("source"),
+        F.lit("</h1>"),
+        paras,
+        link,
+        F.lit('</div><div class="footer boilerplate"><p class="fine">copyright '),
+        F.col("source"),
+        F.lit('</p><a href="/about">about</a></div></body></html>'),
+    )
+    cols = [
+        F.concat(F.lit("https://ex.test/"), F.col("source"), F.lit("/"), F.col("doc_id")).alias("url"),
+        F.timestamp_seconds(F.lit(WARC_TS_BASE) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.lit("").alias("text"),
+        F.col("lang").alias("lang"),
+    ]
+    if with_params:
+        cols += [
+            F.col("doc_id"),
+            np_.alias("np"),
+            has_link.alias("has_link"),
+            F.col("n_chars"),
+        ]
+    return documents.select(*cols)
+
+
+#: DuckDB CTE mirroring the generation, for oracle SQL. Exposes per-doc
+#: generation parameters + the reconstructed html string + chunk list.
+#: ``documents`` is a pre-registered view in the driver's DuckDB.
+DUCKDB_PAGES_CTE = """
+WITH gen AS (
+  SELECT doc_id,
+         'https://ex.test/' || source || '/' || doc_id AS url,
+         source, text, lang, n_chars,
+         string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS ntok,
+         (n_chars % 5 + 2)::INT AS np,
+         (doc_id % 2 = 0) AS has_link
+  FROM documents
+), pages AS (
+  SELECT *,
+         list_transform(range(1, np + 1),
+           i -> array_to_string(
+                  list_slice(toks, ((i-1)*ntok)//np + 1, (i*ntok)//np), ' ')
+         ) AS chunks,
+         '<!DOCTYPE html><html><head><title>doc' || doc_id ||
+         '</title><meta charset="utf-8"></head><body><!--nav-->' ||
+         '<div id="main" class="content article"><h1 class="headline">' ||
+         source || '</h1>' ||
+         array_to_string(list_transform(range(1, np + 1),
+           i -> '<p class="para">' || array_to_string(
+                  list_slice(toks, ((i-1)*ntok)//np + 1, (i*ntok)//np), ' ')
+                || '</p>'), '') ||
+         CASE WHEN has_link
+              THEN '<a href="https://ex.test/' || doc_id || '" class="ref">more</a>'
+              ELSE '' END ||
+         '</div><div class="footer boilerplate"><p class="fine">copyright ' ||
+         source || '</p><a href="/about">about</a></div></body></html>' AS html
+  FROM gen
+)
+"""
+
+
+def load_documents(spark, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def load_pages(spark, sf_dir: str, with_params: bool = False) -> DataFrame:
+    return pages_from_documents(load_documents(spark, sf_dir), with_params=with_params)

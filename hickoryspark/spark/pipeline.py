@@ -1,0 +1,140 @@
+"""The scale job: skew-aware, checkpoint-resumable extraction pipeline.
+
+Implements the north_rule operational requirements (BASELINE.json):
+- **Skew handling**: repartition on ``xxhash64(url) % S`` (salt) plus a
+  page-size bucket (``floor(log2(len(html)))``) so giant documents
+  spread across partitions instead of straggling one; per-page work is
+  row-independent, so this is the only shuffle in the job.
+- **Checkpoint/resume**: output is the checkpoint. On resume, already-
+  processed urls are anti-joined away before any parse work happens
+  (broadcast when small; Spark plans a shuffled left-anti otherwise).
+- **Lineage + counters**: per-partition metrics (pages, parse errors,
+  nodes, extracted bytes) are written to ``<out>_lineage`` keyed by
+  (run_id, partition_id); the same totals are surfaced on the driver
+  via accumulators for live monitoring.
+
+Sink format: at design scale this is an Iceberg append
+(``df.writeTo("db.extracted").append()``); this sandbox has no Iceberg
+runtime jar, so we write parquet with the identical schema — the
+pipeline code is sink-agnostic (``sink_format`` arg).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hickoryspark.spark.extract import EXTRACT_SCHEMA, extract_batch
+
+LINEAGE_SCHEMA = (
+    "run_id string, partition_id int, pages long, parse_errors long, "
+    "nodes long, text_bytes long"
+)
+
+
+def salt_repartition(pages: DataFrame, num_partitions: int) -> DataFrame:
+    """Salted, size-bucketed repartition (SURVEY.md §4.2 'skew handling').
+
+    Hash-salting alone balances *counts*; the size bucket balances
+    *bytes* — two pages in the same xxhash bucket but 1000× apart in
+    size land in different partitions, so no partition accumulates all
+    the giant documents.
+    """
+    return pages.repartition(
+        num_partitions,
+        F.pmod(F.xxhash64("url"), F.lit(num_partitions)),
+        F.floor(F.log2(F.length("html") + F.lit(1))),
+    )
+
+
+def run_extract(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_path: str,
+    *,
+    num_partitions: int | None = None,
+    resume: bool = True,
+    run_id: str | None = None,
+    sink_format: str = "parquet",
+) -> dict:
+    """Run the extraction job; returns driver-side metrics totals.
+
+    Idempotent under restart: output parquet doubles as the checkpoint;
+    a killed run re-processes only the urls missing from the output.
+    """
+    sc = spark.sparkContext
+    num_partitions = num_partitions or sc.defaultParallelism
+    run_id = run_id or f"run-{int(time.time())}"
+    lineage_path = out_path.rstrip("/") + "_lineage"
+
+    if resume and _exists(spark, out_path, sink_format):
+        done = spark.read.format(sink_format).load(out_path).select("url")
+        pages = pages.join(done, "url", "left_anti")
+
+    pages = salt_repartition(pages.select("url", "html"), num_partitions)
+
+    acc_pages = sc.accumulator(0)
+    acc_errors = sc.accumulator(0)
+    acc_nodes = sc.accumulator(0)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        pages_n = errors_n = nodes_n = text_b = 0
+        for b in batches:
+            if not len(b):
+                continue
+            out = extract_batch(b)
+            pages_n += len(out)
+            errors_n += int(out["parse_error"].notna().sum())
+            nodes_n += int(out["n_nodes"].sum())
+            text_b += int(out["main_text_len"].sum())
+            out["run_id"] = run_id
+            out["partition_id"] = pid
+            yield out
+        acc_pages.add(pages_n)
+        acc_errors.add(errors_n)
+        acc_nodes.add(nodes_n)
+
+    result_schema = EXTRACT_SCHEMA + ", run_id string, partition_id int"
+    extracted = pages.mapInPandas(gen, result_schema)
+    extracted.write.format(sink_format).mode("append").save(out_path)
+
+    # lineage from the just-written output (one tiny aggregation scan;
+    # avoids a second pass over the raw pages)
+    lineage = (
+        spark.read.format(sink_format)
+        .load(out_path)
+        .where(F.col("run_id") == run_id)
+        .groupBy("run_id", "partition_id")
+        .agg(
+            F.count("*").alias("pages"),
+            F.count("parse_error").alias("parse_errors"),
+            F.sum("n_nodes").alias("nodes"),
+            F.sum("main_text_len").alias("text_bytes"),
+        )
+    )
+    lineage.write.format(sink_format).mode("append").save(lineage_path)
+
+    return {
+        "run_id": run_id,
+        "pages": acc_pages.value,
+        "parse_errors": acc_errors.value,
+        "nodes": acc_nodes.value,
+    }
+
+
+def _exists(spark: SparkSession, path: str, fmt: str) -> bool:
+    if not os.path.exists(path):
+        return False
+    try:
+        spark.read.format(fmt).load(path).limit(1).collect()
+        return True
+    except Exception:
+        return False

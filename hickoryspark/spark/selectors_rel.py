@@ -1,0 +1,462 @@
+"""hickory.select's combinator algebra as relational operators.
+
+Reference semantics: /root/reference/src/cljc/hickory/select.cljc.
+Here a *selector* is a function ``N -> DataFrame`` taking the node
+table (nodes_table.NODES_SCHEMA) and returning the subset of rows it
+matches — the relational analogue of the reference's
+``loc -> loc | nil`` (select.cljc:166-171). ``select`` =
+``sel(N).orderBy("pre_ord")`` since pre-order is the storage order
+(select.cljc:159-163).
+
+Physical notes (what Catalyst does with these):
+- node-local selectors (tag/class/id/attr/nth-*) are pure Column
+  predicates → pushed into the scan, whole-stage codegen.
+- ``child``/``follow-adjacent`` are url-local *equi*-joins on
+  (url, parent_id) / (url, parent_id, elem_sib_pos±1) → shuffle-free
+  if the node table is bucketed by url, sort-merge otherwise.
+- ``descendant``/``has-descendant`` are interval joins on the
+  pre-order labels (A.pre_ord < B.pre_ord <= A.subtree_end) — we add
+  the url equi-key so Spark plans a sort-merge/hash join on url with
+  the interval as a residual, never a broadcast-nested-loop over the
+  whole table. The reference's O(N·subtree) warning
+  (select.cljc:655-658) does not apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hickoryspark.nodes import (
+    TYPE_COMMENT,
+    TYPE_DOCTYPE,
+    TYPE_DOCUMENT,
+    TYPE_ELEMENT,
+    TYPE_TEXT,
+)
+
+_TYPE_CODES = {
+    "document": TYPE_DOCUMENT,
+    "document-type": TYPE_DOCTYPE,
+    "element": TYPE_ELEMENT,
+    "comment": TYPE_COMMENT,
+    "text": TYPE_TEXT,
+}
+
+_KEY = ["url", "node_id"]
+
+
+# -- node-local predicates (Column level) -----------------------------------
+
+def p_node_type(t: str) -> Column:
+    """select.cljc:173-185 — :type equality, case-insensitive name."""
+    return F.col("type") == F.lit(_TYPE_CODES[t.lower()])
+
+
+def p_tag(t: str) -> Column:
+    """select.cljc:187-199 — tag equality (tags lowercased at parse)."""
+    return F.col("tag") == F.lit(str(t).lower())
+
+
+def p_attr(name: str, value_pred: Column | None = None) -> Column:
+    """select.cljc:201-230 — attrs contains key (lowercased); optional
+    predicate over the raw value, evaluated only when the key exists."""
+    k = str(name).lower()
+    has = F.map_contains_key(F.col("attrs"), F.lit(k))
+    if value_pred is None:
+        return has
+    return has & value_pred
+
+
+def attr_value(name: str) -> Column:
+    return F.col("attrs").getItem(str(name).lower())
+
+
+def p_id(x: str) -> Column:
+    """select.cljc:232-239 — case-insensitive id equality."""
+    return p_attr("id", F.lower(attr_value("id")) == F.lit(str(x).lower()))
+
+
+def p_class(c: str) -> Column:
+    """select.cljc:241-251 — class attr split on \\s+, lowercased,
+    set-contains."""
+    classes = F.split(F.lower(attr_value("class")), r"\s+")
+    return p_attr("class", F.array_contains(classes, str(c).lower()))
+
+
+def p_element() -> Column:
+    """`any`/`element` — CSS * (select.cljc:253-263)."""
+    return F.col("type") == F.lit(TYPE_ELEMENT)
+
+
+def p_element_child() -> Column:
+    """element whose parent is also an element (select.cljc:265-274).
+    parent_type is materialized at explode time — no self-join."""
+    return p_element() & (F.col("parent_type") == F.lit(TYPE_ELEMENT))
+
+
+def p_root() -> Column:
+    """:tag == :html (select.cljc:276-281)."""
+    return F.col("tag") == F.lit("html")
+
+
+def p_nth_child(n: int, c: int = 0) -> Column:
+    """select.cljc:377-393 — (nk+c)'th element child, 1-based, counting
+    only element siblings; guarded by element-child. elem_sib_pos is the
+    rank the reference derives by walking left over element siblings."""
+    n, c = _resolve_nth(n, c)
+    pos = F.col("elem_sib_pos")
+    return p_element_child() & _stride(pos, n, c)
+
+
+def p_nth_last_child(n: int, c: int = 0) -> Column:
+    """select.cljc:396-412 — counted from the right: n_elem_sibs is the
+    parent's element-child count, materialized at explode."""
+    n, c = _resolve_nth(n, c)
+    pos = F.col("n_elem_sibs") - F.col("elem_sib_pos") + 1
+    return p_element_child() & _stride(pos, n, c)
+
+
+def p_first_child() -> Column:
+    """select.cljc:414-420."""
+    return p_element_child() & (F.col("elem_sib_pos") == 1)
+
+
+def p_last_child() -> Column:
+    """select.cljc:422-428."""
+    return p_element_child() & (F.col("elem_sib_pos") == F.col("n_elem_sibs"))
+
+
+def _stride(pos: Column, n: int, c: int) -> Column:
+    """The CSS an+b arithmetic of n-moves-until (select.cljc:297-327):
+    n == 0 → exact distance c; else (pos - c) ≡ 0 (mod n) with the
+    match at or past c in the stride direction."""
+    if n == 0:
+        return pos == c
+    # reference semantics: distance counted in moves of the stride;
+    # match iff (pos - c) mod n == 0 and the multiple is >= 0
+    k = (pos - c) / n
+    return ((pos - c) % n == 0) & (k >= 0)
+
+
+def _resolve_nth(n, c):
+    if n == "odd":
+        return 2, 1
+    if n == "even":
+        return 2, 0
+    return int(n), int(c)
+
+
+# -- nth-of-type needs a same-tag sibling rank → window ---------------------
+
+def with_type_rank(nodes: DataFrame) -> DataFrame:
+    """Adds tag_sib_pos / n_tag_sibs: rank among same-tag element
+    siblings (select.cljc:329-375). One url-local window — at scale
+    this is a per-document sort, no cross-document shuffle when the
+    table is url-bucketed."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("url", "parent_id", "tag").orderBy("sib_pos")
+    elem = p_element()
+    return (
+        nodes.withColumn(
+            "tag_sib_pos",
+            F.when(elem, F.row_number().over(w)).otherwise(F.lit(0)),
+        ).withColumn(
+            "n_tag_sibs",
+            F.when(elem, F.count("*").over(
+                Window.partitionBy("url", "parent_id", "tag")
+            )).otherwise(F.lit(0)),
+        )
+    )
+
+
+def p_nth_of_type(n: int, c: int, tag: str) -> Column:
+    """Requires with_type_rank. select.cljc:329-351."""
+    n, c = _resolve_nth(n, c)
+    return (
+        p_element_child()
+        & (F.col("tag") == str(tag).lower())
+        & _stride(F.col("tag_sib_pos"), n, c)
+    )
+
+
+def p_nth_last_of_type(n: int, c: int, tag: str) -> Column:
+    n, c = _resolve_nth(n, c)
+    pos = F.col("n_tag_sibs") - F.col("tag_sib_pos") + 1
+    return (
+        p_element_child()
+        & (F.col("tag") == str(tag).lower())
+        & _stride(pos, n, c)
+    )
+
+
+# -- selector = N -> DataFrame ----------------------------------------------
+
+def where(pred: Column):
+    """Lift a Column predicate to a relational selector."""
+    return lambda nodes: nodes.where(pred)
+
+
+def sel_find_in_text(pattern: str):
+    """select.cljc:283-295 — some *direct* string child matches the
+    regex. Left-semi join of candidate parents against matching TEXT
+    rows on (url, parent_id) — url-local equi-join."""
+
+    def run(nodes: DataFrame) -> DataFrame:
+        texts = (
+            nodes.where(
+                (F.col("type") == TYPE_TEXT) & F.col("text").rlike(pattern)
+            )
+            .select(F.col("url").alias("u"), F.col("parent_id").alias("p"))
+            .distinct()
+        )
+        return nodes.join(
+            texts,
+            (nodes["url"] == texts["u"]) & (nodes["node_id"] == texts["p"]),
+            "left_semi",
+        )
+
+    return run
+
+
+def and_rel(*sels):
+    """select.cljc:434-440 — intersection via left-semi joins on the
+    node key."""
+
+    def run(nodes: DataFrame) -> DataFrame:
+        out = sels[0](nodes)
+        for s in sels[1:]:
+            out = out.join(s(nodes).select(*_KEY), _KEY, "left_semi")
+        return out
+
+    return run
+
+
+def or_rel(*sels):
+    """select.cljc:442-448 — union-distinct on the node key."""
+
+    def run(nodes: DataFrame) -> DataFrame:
+        out = sels[0](nodes)
+        for s in sels[1:]:
+            out = out.unionByName(s(nodes))
+        return out.dropDuplicates(_KEY)
+
+    return run
+
+
+def not_rel(sel):
+    """select.cljc:450-456 — complement over *all* node types."""
+    return lambda nodes: nodes.join(sel(nodes).select(*_KEY), _KEY, "left_anti")
+
+
+def el_not_rel(sel):
+    """select.cljc:458-466 — element AND not(sel)."""
+    return lambda nodes: nodes.where(p_element()).join(
+        sel(nodes).select(*_KEY), _KEY, "left_anti"
+    )
+
+
+def child_rel(*sels):
+    """CSS `A > B > C` (select.cljc:517-529): anchored at the *last*
+    selector; chained url-local equi-joins on parent_id."""
+
+    def run_chain(nodes: DataFrame) -> DataFrame:
+        # walk from the anchor upward, keeping (url, anchor_id, cur_parent)
+        anchor = sels[-1](nodes).select(
+            "url", F.col("node_id").alias("anchor_id"), F.col("parent_id").alias("cur")
+        )
+        cur = anchor
+        for s in reversed(sels[:-1]):
+            lvl = s(nodes).select(
+                F.col("url").alias("u"),
+                F.col("node_id").alias("m"),
+                F.col("parent_id").alias("next_parent"),
+            )
+            cur = (
+                cur.join(lvl, (cur["url"] == lvl["u"]) & (cur["cur"] == lvl["m"]))
+                .select("url", "anchor_id", F.col("next_parent").alias("cur"))
+            )
+        matched = cur.select("url", F.col("anchor_id").alias("node_id")).distinct()
+        return nodes.join(matched, _KEY, "left_semi")
+
+    return run_chain
+
+
+def has_child_rel(sel):
+    """∃ direct child matching sel (select.cljc:531-549) — left-semi
+    join on (url, parent_id)."""
+
+    def run(nodes: DataFrame) -> DataFrame:
+        kids = sel(nodes).select(
+            F.col("url").alias("u"), F.col("parent_id").alias("p")
+        ).distinct()
+        return nodes.join(
+            kids,
+            (nodes["url"] == kids["u"]) & (nodes["node_id"] == kids["p"]),
+            "left_semi",
+        )
+
+    return run
+
+
+def parent_rel(*sels):
+    """compose-unary has-child (select.cljc:551-563): selects the *top*
+    of a direct-child chain."""
+    out = sels[-1]
+    for s in reversed(sels[:-1]):
+        prev = out
+        out = and_rel(s, has_child_rel(prev))
+    return out
+
+
+def descendant_rel(*sels):
+    """CSS `A B C` (select.cljc:634-649): pre-order interval joins,
+    anchored at the last selector. Equi-key url + interval residual."""
+
+    def run(nodes: DataFrame) -> DataFrame:
+        anchor = sels[-1](nodes).select(
+            "url",
+            F.col("node_id").alias("anchor_id"),
+            F.col("pre_ord").alias("cur_pre"),
+        )
+        cur = anchor
+        for s in reversed(sels[:-1]):
+            anc = s(nodes).select(
+                F.col("url").alias("u"),
+                F.col("pre_ord").alias("a_pre"),
+                F.col("subtree_end").alias("a_end"),
+            )
+            cur = (
+                cur.join(
+                    anc,
+                    (cur["url"] == anc["u"])
+                    & (anc["a_pre"] < cur["cur_pre"])
+                    & (cur["cur_pre"] <= anc["a_end"]),
+                )
+                .select("url", "anchor_id", F.col("a_pre").alias("cur_pre"))
+                .dropDuplicates(["url", "anchor_id", "cur_pre"])
+            )
+        matched = cur.select("url", F.col("anchor_id").alias("node_id")).distinct()
+        return nodes.join(matched, _KEY, "left_semi")
+
+    return run
+
+
+def has_descendant_rel(sel):
+    """∃ descendant matching sel (select.cljc:651-678) — interval
+    semi-join; O(matches) not O(N·subtree)."""
+
+    def run(nodes: DataFrame) -> DataFrame:
+        d = sel(nodes).select(
+            F.col("url").alias("u"), F.col("pre_ord").alias("d_pre")
+        )
+        return nodes.join(
+            d,
+            (nodes["url"] == d["u"])
+            & (nodes["pre_ord"] < d["d_pre"])
+            & (d["d_pre"] <= nodes["subtree_end"]),
+            "left_semi",
+        )
+
+    return run
+
+
+def ancestor_rel(*sels):
+    """compose-unary has-descendant (select.cljc:680-693)."""
+    out = sels[-1]
+    for s in reversed(sels[:-1]):
+        prev = out
+        out = and_rel(s, has_descendant_rel(prev))
+    return out
+
+
+def _sibling_join(nodes, left_sel, right_sel, offset_expr, gap: bool):
+    """Shared engine for follow/precede[-adjacent]: element siblings
+    within (url, parent_id), matched on elem_sib_pos arithmetic."""
+    a = left_sel(nodes).where(p_element()).select(
+        F.col("url").alias("u"),
+        F.col("parent_id").alias("p"),
+        F.col("elem_sib_pos").alias("a_pos"),
+    )
+    b = nodes.where(p_element())
+    cond = (b["url"] == a["u"]) & (b["parent_id"] == a["p"])
+    if gap:
+        cond = cond & offset_expr(b["elem_sib_pos"], a["a_pos"])
+    else:
+        cond = cond & offset_expr(b["elem_sib_pos"], a["a_pos"])
+    matched = b.join(a, cond, "left_semi")
+    return right_sel(matched)
+
+
+def follow_adjacent_rel(*sels):
+    """CSS `A + B` (select.cljc:565-579): B whose immediately-preceding
+    element sibling matches A. Join on elem_sib_pos == a_pos + 1."""
+    a_sel, b_sel = sels[0], sels[1]
+
+    def run(nodes: DataFrame) -> DataFrame:
+        return _sibling_join(
+            nodes, a_sel, b_sel, lambda bpos, apos: bpos == apos + 1, gap=False
+        )
+
+    return run
+
+
+def precede_adjacent_rel(*sels):
+    """mirror — selects A of `A + B` (select.cljc:581-595)."""
+    a_sel, b_sel = sels[0], sels[1]
+
+    def run(nodes: DataFrame) -> DataFrame:
+        b = b_sel(nodes).where(p_element()).select(
+            F.col("url").alias("u"),
+            F.col("parent_id").alias("p"),
+            F.col("elem_sib_pos").alias("b_pos"),
+        )
+        a = a_sel(nodes).where(p_element())
+        return a.join(
+            b,
+            (a["url"] == b["u"]) & (a["parent_id"] == b["p"])
+            & (a["elem_sib_pos"] == b["b_pos"] - 1),
+            "left_semi",
+        )
+
+    return run
+
+
+def follow_rel(*sels):
+    """CSS `A ~ B` (select.cljc:695-708): some earlier element sibling
+    matches A (gaps allowed)."""
+    a_sel, b_sel = sels[0], sels[1]
+
+    def run(nodes: DataFrame) -> DataFrame:
+        return _sibling_join(
+            nodes, a_sel, b_sel, lambda bpos, apos: bpos > apos, gap=True
+        )
+
+    return run
+
+
+def precede_rel(*sels):
+    """mirror of follow — selects A (select.cljc:710-723)."""
+    a_sel, b_sel = sels[0], sels[1]
+
+    def run(nodes: DataFrame) -> DataFrame:
+        b = b_sel(nodes).where(p_element()).select(
+            F.col("url").alias("u"),
+            F.col("parent_id").alias("p"),
+            F.col("elem_sib_pos").alias("b_pos"),
+        )
+        a = a_sel(nodes).where(p_element())
+        return a.join(
+            b,
+            (a["url"] == b["u"]) & (a["parent_id"] == b["p"])
+            & (a["elem_sib_pos"] < b["b_pos"]),
+            "left_semi",
+        )
+
+    return run
+
+
+def select_rel(sel, nodes: DataFrame) -> DataFrame:
+    """Full select driver (select.cljc:159-163): document order."""
+    return sel(nodes).orderBy("url", "pre_ord")
