@@ -1,0 +1,195 @@
+"""Deduplication operators over the ``documents`` table.
+
+All variants are pure DataFrame programs (JVM-side expressions — no
+Python in the hot path) and deterministic, keyed on md5 so DuckDB can
+run the identical computation as an oracle.
+
+Scale notes (100 TB design):
+- exact: one hash-groupBy; map-side partial agg makes the shuffle
+  carry one row per distinct hash per partition.
+- MinHash+LSH: tokens explode → k min-aggregations in ONE groupBy
+  (one shuffle); band self-join is an equi-join on (band, signature),
+  skew-safe because identical signatures are exactly the near-dups.
+- SimHash: same single-shuffle shape; the signature is 16 bits
+  assembled from per-bit majority votes.
+- n-gram Jaccard: exact verification on candidate pairs only (LSH
+  prunes the quadratic blowup; the verifier is an equi-joined
+  array_intersect/array_union).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup: group by content hash.
+
+    Returns (text_hash, n_docs, min_doc_id) — one row per distinct
+    content; ``n_docs > 1`` rows are the duplicate groups.
+    """
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 8) -> DataFrame:
+    """MinHash signatures: mh_i = min over distinct tokens of
+    md5('<i>:' || token). One explode + one groupBy (single shuffle,
+    k aggregates evaluated map-side)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens())).alias("tok")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """MinHash-LSH: band the signature, equi-join on (band, band_sig).
+
+    Returns distinct candidate pairs (doc_a < doc_b). The join side is
+    the banded signature table — tiny relative to the corpus, and the
+    equi-key means Spark plans a shuffled hash join, never a cross
+    product.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *parts).alias("sig"))
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Token n-gram shingles as an array<string> (space-joined)."""
+    toks = F.split(col, " ")
+    cnt = F.size(toks) - (n - 1)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:
+    """Exact token-n-gram Jaccard for given (doc_a, doc_b) pairs.
+
+    ``pairs`` is typically lsh_candidate_pairs output — the verify
+    stage of the dedup funnel. Jaccard over *distinct* shingle sets,
+    rounded to 6 places for cross-engine stability.
+    """
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), n)).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def consecutive_pairs(docs: DataFrame) -> DataFrame:
+    """Deterministic linear pair set (doc_id, doc_id+1) — used by tests
+    and oracles to exercise the pair-verifier without a quadratic or
+    LSH-dependent pair source."""
+    a = docs.select(F.col("doc_id").alias("doc_a"))
+    return a.withColumn("doc_b", F.col("doc_a") + 1).join(
+        docs.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi"
+    )
+
+
+def _nibble(h: Column, b: int) -> Column:
+    """Value of hex digit b//4 of md5 hex string h (0..15)."""
+    return F.conv(F.substring(h, b // 4 + 1, 1), 16, 10).cast("int")
+
+
+def _bit(h: Column, b: int) -> Column:
+    """Bit b (MSB-first within each nibble) of the md5 hex string."""
+    return F.shiftright(_nibble(h, b), 3 - (b % 4)).bitwiseAND(F.lit(1))
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash over distinct tokens: per bit, majority vote of token
+    hash bits (+1/-1), assembled LSB=bit0. Single explode + groupBy."""
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens())).alias("tok")
+    ).select("doc_id", F.md5(F.col("tok")).alias("h"))
+    aggs = [
+        F.sum(_bit(F.col("h"), b) * 2 - 1).alias(f"s{b}") for b in range(bits)
+    ]
+    votes = toks.groupBy("doc_id").agg(*aggs)
+    val = F.lit(0)
+    for b in range(bits):
+        val = val + F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return votes.select("doc_id", val.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, bits: int = 16, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance over candidate
+    blocks. Blocking: equal upper half of the signature (a 1-band LSH
+    on simhash) keeps the join an equi-join at scale."""
+    sh = simhash(docs, bits)
+    half = bits // 2
+    blocked = sh.withColumn("blk", F.shiftright(F.col("simhash"), half))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+    )

@@ -1,0 +1,95 @@
+"""Text analysis for training-data curation: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything is a closed-form column expression (whole-stage codegen,
+zero Python), deterministic, and mirrored 1:1 in DuckDB SQL for the
+correctness oracle. Heuristics are the standard web-text ones
+(stopword ratio, type-token ratio, length stats) scoped to this
+corpus's lowercase-alnum text; the same expressions extend to real
+text by swapping the tokenizer regex.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny English function-word list — enough signal for n-gram-free
+#: heuristic language ID on this corpus; extend for real text.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+#: BPE-ish sub-token split: runs of letters, runs of digits, or a
+#: single other non-space char — a cheap proxy for tokenizer cost.
+BPE_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _toks() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_types, n_bpe) — whitespace tokens, distinct
+    types, and BPE-ish sub-token count via regexp extraction."""
+    toks = _toks()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_REGEX), 0)).alias(
+            "n_bpe"
+        ),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Deterministic quality score in micro-points (0..1,000,000):
+    500000·type_token_ratio + 300000·min(1, n_tokens/64) +
+    200000·stopword_ratio — computed entirely in *integer* arithmetic
+    (floor division) so the value is bit-identical across engines; no
+    float rounding ties. The three standard boilerplate/garbage
+    signals: lexical diversity, adequate length, function-word rate."""
+    toks = _toks()
+    n = F.size(toks).cast("long")
+    types = F.size(F.array_distinct(toks)).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in EN_STOPWORDS]))
+    ).cast("long")
+    score = (
+        F.floor(types * 500000 / n)
+        + F.least(F.lit(300000), F.floor(n * 300000 / 64))
+        + F.floor(stop_hits * 200000 / n)
+    )
+    return docs.select("doc_id", score.cast("long").alias("quality_ppm"))
+
+
+def lang_id(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
+    """Heuristic language ID: stopword-hit ratio >= threshold → 'en'
+    else 'unk'. (The corpus text is synthetic; the decision rule — a
+    function-word-rate threshold — is the real-world shape.)"""
+    toks = _toks()
+    hits = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in EN_STOPWORDS]))
+    )
+    ratio = hits / F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("unk")).alias(
+            "lang_pred"
+        ),
+        F.round(ratio, 6).alias("stopword_ratio"),
+    )
+
+
+def fingerprint(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
+    """Document fingerprint: min md5 over token n-gram shingles (the
+    winnowing-style 'min-of-rolling-hashes' reduced to its one-band
+    form) + full-content hash. Collision of fp_min across docs ⇒
+    shared shingle ⇒ near-dup candidate."""
+    from hickoryspark.ops.dedup import shingles
+
+    sh = shingles(F.col("text"), shingle_n)
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("content_hash"),
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fp_min"),
+    )
