@@ -1,0 +1,155 @@
+"""Bench harness — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>,
+     "pages_per_sec": ..., "n_pages": ...}
+
+Headline set (the queries a user of the engine actually runs hot):
+  extract_main      — the north-star job: parse → boilerplate strip →
+                      main-content text per page (mapInPandas, Arrow)
+  render_roundtrip  — parse → byte-exact hickory render per page
+  parse_node_stats  — explode pages into the flat node table + agg
+  sel_relational    — a representative selector program evaluated
+                      RELATIONALLY on the node table (child + class +
+                      nth-child windows), exercising the shuffle path
+  dedup_minhash_lsh — MinHash signatures + LSH banding candidate pairs
+  ann_topk          — brute-force cosine top-k over embeddings
+  text_stats        — token counts + quality + language id
+
+Each query is forced with a cheap terminal action (count / write to
+noop-ish agg) so the WHOLE plan executes; timings are wall-clock per
+query after a warm-up of the Spark session (worker JVM + Python worker
+pool startup excluded from per-query numbers, as they would be
+amortized on a long-lived cluster).
+
+Scaling evidence (north_rule: >=0.8 efficiency N -> 4N executors):
+run `python bench.py --scaling` to execute the extract_main job at
+local[8] and local[32] on the same input and report pages/sec at both
+plus efficiency; results land in BENCH/BASELINE.md via tools/bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _queries(sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from hickoryspark.spark.extract import extract_pages
+    from hickoryspark.spark.nodes_table import explode_nodes
+    from hickoryspark.spark.pages import load_documents, load_pages
+    from hickoryspark.spark import selectors_rel as R
+
+    def extract_main(spark):
+        pages = load_pages(spark, sf_dir)
+        out = extract_pages(pages)
+        return out.agg(
+            F.count("*"), F.sum("main_text_len"), F.sum("n_nodes")
+        ).collect()
+
+    def render_roundtrip(spark):
+        import __spark_entry__ as E
+
+        return E.queries()["render_roundtrip"](spark, sf_dir).agg(
+            F.count("*"), F.min("html_md5")
+        ).collect()
+
+    def parse_node_stats(spark):
+        pages = load_pages(spark, sf_dir)
+        nodes = explode_nodes(pages)
+        return nodes.groupBy("tag").agg(
+            F.count("*"), F.avg("depth")
+        ).collect()
+
+    def sel_relational(spark):
+        pages = load_pages(spark, sf_dir)
+        nodes = explode_nodes(pages)
+        sel = R.and_rel(
+            R.child_rel(
+                R.where(R.p_tag("div")), R.where(R.p_tag("p"))
+            ),
+            R.where(R.p_nth_child("odd")),
+        )
+        return sel(nodes).groupBy("url").count().agg(F.sum("count")).collect()
+
+    def dedup_minhash_lsh(spark):
+        from hickoryspark.ops.dedup import lsh_candidate_pairs
+
+        docs = load_documents(spark, sf_dir)
+        return lsh_candidate_pairs(docs, 8, 4).count()
+
+    def ann_topk(spark):
+        from hickoryspark.ops.similarity import brute_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return brute_topk(emb, 50, 10).agg(F.count("*"), F.sum("sim")).collect()
+
+    def text_stats(spark):
+        from hickoryspark.ops.textstats import lang_id, quality_score, token_stats
+
+        docs = load_documents(spark, sf_dir)
+        a = token_stats(docs).agg(F.sum("n_tokens")).collect()
+        b = quality_score(docs).agg(F.sum("quality_ppm")).collect()
+        c = lang_id(docs).groupBy("lang_pred").count().collect()
+        return (a, b, c)
+
+    return {
+        "extract_main": extract_main,
+        "render_roundtrip": render_roundtrip,
+        "parse_node_stats": parse_node_stats,
+        "sel_relational": sel_relational,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "ann_topk": ann_topk,
+        "text_stats": text_stats,
+    }
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from hickoryspark.spark.pages import load_pages
+    from hickoryspark.spark.session import get_spark
+
+    spark = get_spark(cpus, app_name="hickoryspark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_pages = load_pages(spark, sf_dir).count()  # also warms JVM+workers
+
+    timings: dict[str, float] = {}
+    t_extract = None
+    for name, fn in _queries(sf_dir).items():
+        t0 = time.perf_counter()
+        fn(spark)
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        if name == "extract_main":
+            t_extract = dt
+
+    total = round(sum(timings.values()), 4)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_total_sec(extract+render+nodes+select+dedup+ann+text)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "n_pages": n_pages,
+        "pages_per_sec": round(n_pages / t_extract, 2) if t_extract else None,
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,183 @@
+"""Spark-level integration tests: pages generation, extraction
+byte-identity (the north-rule gate), checkpoint/resume, lineage,
+skew repartition, and relational-vs-interpreter cross-validation.
+
+Reference semantics under test: hickory render/parse round-trip
+(/root/reference/src/cljc/hickory/render.cljc:16-63) lifted to the
+distributed path; the rest is the new engine's operational contract
+(BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SF_DIR), reason="driver testdata not present"
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from hickoryspark.spark.session import get_spark
+
+    s = get_spark(4, app_name="hickoryspark-tests", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    from hickoryspark.spark.pages import load_pages
+
+    return load_pages(spark, SF_DIR).cache()
+
+
+def test_pages_schema(pages):
+    # driver-mandated input relation (BASELINE.json input_hint)
+    fields = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
+    assert fields["url"] == "string"
+    assert fields["warc_ts"] == "timestamp"
+    assert fields["html"] == "binary"
+    assert fields["text"] == "string"
+    assert fields["lang"] == "string"
+
+
+def test_pages_generation_is_shuffle_and_udf_free(pages):
+    plan = pages._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF: pure Catalyst projection
+
+
+def test_pages_render_roundtrip_byte_identical(pages):
+    from hickoryspark import parse, as_hickory, hickory_to_html
+
+    rows = pages.select("html").limit(40).collect()
+    assert rows
+    for r in rows:
+        html = bytes(r["html"]).decode("utf-8")
+        assert hickory_to_html(as_hickory(parse(html))) == html
+
+
+def test_extract_main_text_byte_identity(spark, pages):
+    """North-rule gate: extracted text per url is byte-identical to the
+    known ground truth (source + ' ' + documents.text by construction,
+    see hickoryspark/spark/pages.py template)."""
+    from pyspark.sql import functions as F
+
+    from hickoryspark.spark.extract import extract_pages
+    from hickoryspark.spark.pages import load_documents
+
+    docs = load_documents(spark, SF_DIR)
+    truth = docs.select(
+        F.concat(
+            F.lit("https://ex.test/"), F.col("source"), F.lit("/"), F.col("doc_id")
+        ).alias("url"),
+        F.concat_ws(" ", "source", "text").alias("expected"),
+    )
+    got = extract_pages(pages).select("url", "main_text", "parse_error")
+    joined = got.join(truth, "url", "full").cache()
+    n_pages = pages.count()
+    assert joined.count() == n_pages
+    bad = joined.where(
+        F.col("parse_error").isNotNull()
+        | (F.col("main_text") != F.col("expected"))
+        | F.col("main_text").isNull()
+        | F.col("expected").isNull()
+    )
+    assert bad.count() == 0, bad.limit(3).collect()
+
+
+def test_pipeline_resume_and_lineage(spark, pages, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hickoryspark.spark.pipeline import run_extract
+
+    out = str(tmp_path / "extracted")
+    half = pages.where(F.col("url").substr(-1, 1).isin(*"02468"))
+    m1 = run_extract(spark, half, out, num_partitions=4, run_id="r1")
+    assert m1["pages"] == half.count()
+    assert m1["parse_errors"] == 0
+
+    # resume over the FULL input: only the missing urls are processed
+    m2 = run_extract(spark, pages, out, num_partitions=4, run_id="r2")
+    assert m2["pages"] == pages.count() - half.count()
+
+    result = spark.read.parquet(out)
+    assert result.count() == pages.count()
+    assert result.select("url").distinct().count() == pages.count()
+
+    lineage = spark.read.parquet(out + "_lineage")
+    rows = lineage.groupBy("run_id").agg(
+        F.sum("pages").alias("p"), F.sum("parse_errors").alias("e")
+    ).collect()
+    by_run = {r["run_id"]: (r["p"], r["e"]) for r in rows}
+    assert by_run["r1"] == (m1["pages"], 0)
+    assert by_run["r2"] == (m2["pages"], 0)
+
+    # idempotent: a third run with nothing left to do appends nothing
+    m3 = run_extract(spark, pages, out, num_partitions=4, run_id="r3")
+    assert m3["pages"] == 0
+    assert spark.read.parquet(out).count() == pages.count()
+
+
+def test_salt_repartition_balances_pages(pages):
+    from hickoryspark.spark.pipeline import salt_repartition
+
+    df = salt_repartition(pages.select("url", "html"), 8)
+    sizes = [len(p) for p in df.rdd.glom().collect()]
+    assert len(sizes) == 8
+    total = sum(sizes)
+    assert total == pages.count()
+    # no partition hoards more than 3x the fair share
+    assert max(sizes) <= 3 * (total / 8)
+
+
+def test_relational_matches_interpreter(spark, pages):
+    """Cross-validate the two selector engines (relational node-table
+    vs in-UDF interpreter) on selectors with non-trivial structure."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    import hickoryspark.select as S
+    from hickoryspark import parse, as_hickory
+    from hickoryspark.spark import selectors_rel as R
+    from hickoryspark.spark.nodes_table import explode_nodes
+
+    cases = {
+        "desc": (
+            R.descendant_rel(R.where(R.p_class("content")), R.where(R.p_tag("a"))),
+            S.descendant(S.cls("content"), S.tag("a")),
+        ),
+        "nth": (
+            R.and_rel(R.where(R.p_tag("p")), R.where(R.p_nth_child("even"))),
+            S.and_(S.tag("p"), S.nth_child("even")),
+        ),
+        "fa": (
+            R.follow_adjacent_rel(R.where(R.p_tag("h1")), R.where(R.p_tag("p"))),
+            S.follow_adjacent(S.tag("h1"), S.tag("p")),
+        ),
+    }
+
+    sample = pages.limit(25)
+    nodes = explode_nodes(sample).cache()
+    rel_counts = {
+        k: sel(nodes).count() for k, (sel, _) in cases.items()
+    }
+
+    rows = sample.select("html").collect()
+    interp_counts = dict.fromkeys(cases, 0)
+    for r in rows:
+        tree = as_hickory(parse(bytes(r["html"]).decode("utf-8")))
+        for k, (_, sel) in cases.items():
+            interp_counts[k] += len(S.select(sel, tree))
+
+    assert rel_counts == interp_counts
