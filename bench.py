@@ -43,32 +43,56 @@ def _queries(sf_dir: str):
     from hickoryspark.spark.extract import extract_pages
     from hickoryspark.spark.nodes_table import explode_nodes
     from hickoryspark.spark.pages import load_documents, load_pages
+    from hickoryspark.spark.pipeline import salt_repartition
     from hickoryspark.spark import selectors_rel as R
 
+    def _pages(spark):
+        # the sf parquet is one tiny file = one input split; a real
+        # Iceberg table has thousands. Salted repartition stands in for
+        # the multi-split scan so the job actually uses every core.
+        p = spark.sparkContext.defaultParallelism
+        return salt_repartition(
+            load_pages(spark, sf_dir).select("url", "html"), p * 2
+        )
+
     def extract_main(spark):
-        pages = load_pages(spark, sf_dir)
-        out = extract_pages(pages)
+        out = extract_pages(_pages(spark))
         return out.agg(
             F.count("*"), F.sum("main_text_len"), F.sum("n_nodes")
         ).collect()
 
     def render_roundtrip(spark):
-        import __spark_entry__ as E
+        import pandas as pd
 
-        return E.queries()["render_roundtrip"](spark, sf_dir).agg(
-            F.count("*"), F.min("html_md5")
-        ).collect()
+        def gen(batches):
+            import hashlib
+
+            from hickoryspark import parse, as_hickory, hickory_to_html
+
+            for b in batches:
+                if not len(b):
+                    continue
+                md5s = [
+                    hashlib.md5(
+                        hickory_to_html(
+                            as_hickory(parse(bytes(h).decode("utf-8")))
+                        ).encode()
+                    ).hexdigest()
+                    for h in b["html"]
+                ]
+                yield pd.DataFrame({"url": b["url"], "html_md5": md5s})
+
+        df = _pages(spark).mapInPandas(gen, "url string, html_md5 string")
+        return df.agg(F.count("*"), F.min("html_md5")).collect()
 
     def parse_node_stats(spark):
-        pages = load_pages(spark, sf_dir)
-        nodes = explode_nodes(pages)
+        nodes = explode_nodes(_pages(spark))
         return nodes.groupBy("tag").agg(
             F.count("*"), F.avg("depth")
         ).collect()
 
     def sel_relational(spark):
-        pages = load_pages(spark, sf_dir)
-        nodes = explode_nodes(pages)
+        nodes = explode_nodes(_pages(spark))
         sel = R.and_rel(
             R.child_rel(
                 R.where(R.p_tag("div")), R.where(R.p_tag("p"))
@@ -120,7 +144,15 @@ def main() -> None:
     spark = get_spark(cpus, app_name="hickoryspark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    n_pages = load_pages(spark, sf_dir).count()  # also warms JVM+workers
+    from hickoryspark.spark.extract import extract_pages
+    from pyspark.sql import functions as F
+
+    pages = load_pages(spark, sf_dir)
+    n_pages = pages.count()  # warms the JVM
+    # warm the full Python worker pool before any timed query
+    extract_pages(
+        pages.select("url", "html").limit(cpus * 32).repartition(cpus)
+    ).agg(F.count("*")).collect()
 
     timings: dict[str, float] = {}
     t_extract = None

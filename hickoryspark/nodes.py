@@ -83,8 +83,11 @@ class Doc:
         if t == TYPE_TEXT:
             return self.texts[i]
         built: dict[int, object] = {}
-        for j in range(i, self.subtree_end[i] + 1):
-            tj = self.types[j]
+        end = int(self.subtree_end[i])
+        types = self.types[i : end + 1].tolist()
+        parent = self.parent[i : end + 1].tolist()
+        for j in range(i, end + 1):
+            tj = types[j - i]
             if tj == TYPE_TEXT:
                 node_j: object = self.texts[j]
             elif tj == TYPE_ELEMENT:
@@ -105,7 +108,7 @@ class Doc:
                 node_j = {"type": "document", "content": []}
             built[j] = node_j
             if j != i:
-                built[self.parent[j]]["content"].append(node_j)  # type: ignore[index]
+                built[parent[j - i]]["content"].append(node_j)  # type: ignore[index]
         for node_j in built.values():
             if isinstance(node_j, dict) and "content" in node_j and not node_j["content"]:
                 node_j["content"] = None
@@ -131,91 +134,122 @@ class Doc:
 
 
 def flatten(tree) -> Doc:
-    """Flatten a hickory tree (dict / string) into a Doc, iteratively."""
-    # Pass 1: count nodes.
-    n = 0
-    stack = [tree]
-    while stack:
-        node = stack.pop()
-        n += 1
-        if isinstance(node, dict):
-            content = node.get("content")
-            if content:
-                stack.extend(content)
-    doc = Doc(n)
-    # Pass 2: pre-order assignment. Stack holds (node, parent_id, depth,
-    # sib_pos, elem_sib_pos, prev_sib_id_cell).
-    idx = 0
-    # Each stack entry: (node, parent_id, depth)
-    work: list[tuple[object, int, int]] = [(tree, -1, 0)]
-    # per-parent running sibling state, keyed by parent id
-    last_sib: dict[int, int] = {}
-    last_elem: dict[int, int] = {}
-    sib_count: dict[int, int] = {}
-    elem_count: dict[int, int] = {}
+    """Flatten a hickory tree (dict / string) into a Doc, iteratively.
+
+    Hot path: one pre-order pass over plain Python lists (per-node
+    scalar writes into NumPy arrays are ~10x slower), converted to the
+    Doc's int arrays once at the end.
+    """
+    types: list[int] = []
+    tags: list = []
+    attrs: list = []
+    texts: list = []
+    parent: list[int] = []
+    sib_pos: list[int] = []
+    elem_pos: list[int] = []
+    first_child: list[int] = []
+    next_sib: list[int] = []
+    prev_sib: list[int] = []
+    prev_elem: list[int] = []
+    next_elem: list[int] = []
+    # per-node running child state (indexed by node id, filled on visit)
+    last_sib: list[int] = []
+    last_elem_child: list[int] = []
+    sib_cnt: list[int] = []
+    elem_cnt: list[int] = []
+
+    work: list[tuple[object, int]] = [(tree, -1)]
     while work:
-        node, parent_id, depth = work.pop()
-        i = idx
-        idx += 1
-        doc.parent[i] = parent_id
-        doc.depth[i] = depth
-        if parent_id >= 0:
-            pos = sib_count.get(parent_id, 0)
-            doc.sib_pos[i] = pos
-            sib_count[parent_id] = pos + 1
-            prev = last_sib.get(parent_id, -1)
+        node, p = work.pop()
+        i = len(parent)
+        parent.append(p)
+        tags.append(None)
+        attrs.append(None)
+        texts.append(None)
+        first_child.append(-1)
+        next_sib.append(-1)
+        prev_sib.append(-1)
+        prev_elem.append(-1)
+        next_elem.append(-1)
+        last_sib.append(-1)
+        last_elem_child.append(-1)
+        sib_cnt.append(0)
+        elem_cnt.append(0)
+        if p >= 0:
+            pos = sib_cnt[p]
+            sib_pos.append(pos)
+            sib_cnt[p] = pos + 1
+            prev = last_sib[p]
             if prev != -1:
-                doc.next_sib[prev] = i
-                doc.prev_sib[i] = prev
+                next_sib[prev] = i
+                prev_sib[i] = prev
             else:
-                doc.first_child[parent_id] = i
-            last_sib[parent_id] = i
+                first_child[p] = i
+            last_sib[p] = i
+        else:
+            sib_pos.append(0)
         if isinstance(node, str):
-            doc.types[i] = TYPE_TEXT
-            doc.texts[i] = node
-            doc.subtree_end[i] = i
+            types.append(TYPE_TEXT)
+            texts[i] = node
+            elem_pos.append(0)
             continue
         ntype = node.get("type")
         if ntype == "element":
-            doc.types[i] = TYPE_ELEMENT
-            doc.tags[i] = node.get("tag")
-            doc.attrs[i] = node.get("attrs")
-            if parent_id >= 0:
-                ecnt = elem_count.get(parent_id, 0) + 1
-                elem_count[parent_id] = ecnt
-                doc.elem_sib_pos[i] = ecnt
-                pe = last_elem.get(parent_id, -1)
+            types.append(TYPE_ELEMENT)
+            tags[i] = node.get("tag")
+            attrs[i] = node.get("attrs")
+            if p >= 0:
+                ec = elem_cnt[p] + 1
+                elem_cnt[p] = ec
+                elem_pos.append(ec)
+                pe = last_elem_child[p]
                 if pe != -1:
-                    doc.next_elem[pe] = i
-                    doc.prev_elem[i] = pe
-                last_elem[parent_id] = i
-        elif ntype == "comment":
-            doc.types[i] = TYPE_COMMENT
-        elif ntype == "document-type":
-            doc.types[i] = TYPE_DOCTYPE
-            doc.attrs[i] = node.get("attrs")
+                    next_elem[pe] = i
+                    prev_elem[i] = pe
+                last_elem_child[p] = i
+            else:
+                elem_pos.append(0)
         else:
-            doc.types[i] = TYPE_DOCUMENT
+            elem_pos.append(0)
+            if ntype == "comment":
+                types.append(TYPE_COMMENT)
+            elif ntype == "document-type":
+                types.append(TYPE_DOCTYPE)
+                attrs[i] = node.get("attrs")
+            else:
+                types.append(TYPE_DOCUMENT)
         content = node.get("content")
         if content:
             for child in reversed(content):
-                work.append((child, i, depth))
-        # depth of children is depth+1; fix: we pushed with same depth
-    # Recompute depth properly (children pushed with parent depth above).
-    par = doc.parent
+                work.append((child, i))
+
+    n = len(parent)
+    # depth: pre-order guarantees parent index < child index
+    depth = [0] * n
     for i in range(1, n):
-        doc.depth[i] = doc.depth[par[i]] + 1
-    # subtree_end: last pre-order index in each subtree. Nodes are in
-    # pre-order, so sweep backwards: end[i] = max over children or i.
-    end = doc.subtree_end
-    end[:] = np.arange(n, dtype=np.int32)
+        depth[i] = depth[parent[i]] + 1
+    # subtree_end: last pre-order index in each subtree, backward sweep
+    end = list(range(n))
     for i in range(n - 1, 0, -1):
-        p = par[i]
+        p = parent[i]
         if end[p] < end[i]:
             end[p] = end[i]
-    # element-children counts
-    for i in range(n):
-        p = par[i]
-        if p >= 0 and doc.types[i] == TYPE_ELEMENT:
-            doc.n_elem_children[p] += 1
+
+    doc = Doc.__new__(Doc)
+    doc.n = n
+    doc.types = np.array(types, dtype=np.int8)
+    doc.tags = tags
+    doc.attrs = attrs
+    doc.texts = texts
+    doc.parent = np.array(parent, dtype=np.int32)
+    doc.depth = np.array(depth, dtype=np.int32)
+    doc.sib_pos = np.array(sib_pos, dtype=np.int32)
+    doc.elem_sib_pos = np.array(elem_pos, dtype=np.int32)
+    doc.n_elem_children = np.array(elem_cnt, dtype=np.int32)
+    doc.subtree_end = np.array(end, dtype=np.int32)
+    doc.first_child = np.array(first_child, dtype=np.int32)
+    doc.next_sib = np.array(next_sib, dtype=np.int32)
+    doc.prev_sib = np.array(prev_sib, dtype=np.int32)
+    doc.prev_elem = np.array(prev_elem, dtype=np.int32)
+    doc.next_elem = np.array(next_elem, dtype=np.int32)
     return doc

@@ -59,32 +59,39 @@ def _class_tokens(attrs) -> set[str]:
 
 
 def extract_doc(doc: Doc) -> tuple[str, str, int]:
-    """Returns (main_text, main_html, n_candidates) for one parsed Doc."""
+    """Returns (main_text, main_html, n_candidates) for one parsed Doc.
+
+    Hot path: the per-node sweeps run over plain Python lists — scalar
+    indexing into NumPy arrays is ~10x slower than list indexing.
+    """
     n = doc.n
-    types = doc.types
-    parent = doc.parent
+    types = doc.types.tolist()
+    parent = doc.parent.tolist()
+    subtree_end = doc.subtree_end.tolist()
+    tags = doc.tags
+    texts = doc.texts
 
     # pruned[i]: node i or an ancestor is boilerplate. Pre-order sweep:
     # parent index < child index, so one forward pass suffices.
-    pruned = np.zeros(n, dtype=bool)
-    in_anchor = np.zeros(n, dtype=bool)
+    pruned = [False] * n
+    in_anchor = [False] * n
     for i in range(n):
         p = parent[i]
         if p >= 0:
             pruned[i] = pruned[p]
             in_anchor[i] = in_anchor[p]
-        if types[i] == TYPE_ELEMENT and not pruned[i]:
-            tag = doc.tags[i]
-            if tag in PRUNE_TAGS or (_class_tokens(doc.attrs[i]) & PRUNE_CLASSES):
+        if types[i] == TYPE_ELEMENT:
+            tag = tags[i]
+            if not pruned[i] and (
+                tag in PRUNE_TAGS or (_class_tokens(doc.attrs[i]) & PRUNE_CLASSES)
+            ):
                 pruned[i] = True
-        if types[i] == TYPE_ELEMENT and doc.tags[i] == "a":
-            in_anchor[i] = True
+            if tag == "a":
+                in_anchor[i] = True
 
     # own text length per node's subtree, excluding pruned + anchor text:
-    # scatter each surviving text node's length onto all ancestors via
-    # the pre-order interval — equivalently, accumulate with a reverse
-    # sweep (child contributions roll up to parents).
-    own = np.zeros(n, dtype=np.int64)
+    # one reverse pre-order sweep rolls child contributions up to parents.
+    own = [0] * n
     for i in range(n):
         if types[i] == TYPE_TEXT and not pruned[i] and not in_anchor[i]:
             # comment content rows are TEXT children of a comment node;
@@ -92,10 +99,9 @@ def extract_doc(doc: Doc) -> tuple[str, str, int]:
             p = parent[i]
             if p >= 0 and types[p] != TYPE_ELEMENT:
                 continue
-            t = doc.texts[i]
+            t = texts[i]
             if t:
                 own[i] = len(t.strip())
-    # roll up: reverse pre-order, add to parent
     for i in range(n - 1, 0, -1):
         p = parent[i]
         if p >= 0:
@@ -107,18 +113,17 @@ def extract_doc(doc: Doc) -> tuple[str, str, int]:
     for i in range(n):
         if types[i] != TYPE_ELEMENT or pruned[i]:
             continue
-        if doc.tags[i] not in BLOCK_TAGS:
+        if tags[i] not in BLOCK_TAGS:
             continue
         n_cand += 1
-        size = int(doc.subtree_end[i]) - i
-        key = (-int(own[i]), size, i)
+        key = (-own[i], subtree_end[i] - i, i)
         if best < 0 or key < best_key:
             best, best_key = i, key
     if best < 0:
         return "", "", 0
 
     pieces: list[str] = []
-    end = int(doc.subtree_end[best])
+    end = subtree_end[best]
     for j in range(best, end + 1):
         if types[j] == TYPE_TEXT and not pruned[j] and not in_anchor[j]:
             # comment content rows are TEXT children of a comment node;
@@ -126,7 +131,7 @@ def extract_doc(doc: Doc) -> tuple[str, str, int]:
             p = parent[j]
             if p >= 0 and types[p] != TYPE_ELEMENT:
                 continue
-            t = (doc.texts[j] or "").strip()
+            t = (texts[j] or "").strip()
             if t:
                 pieces.append(t)
     main_html = hickory_to_html(doc.node(best))

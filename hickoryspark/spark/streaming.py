@@ -1,0 +1,94 @@
+"""Structured Streaming ingestion: continuous extraction over an
+arriving pages feed.
+
+The batch pipeline (pipeline.py) and this streaming path share the
+same per-batch extraction code (extract.extract_batch via mapInPandas)
+— Structured Streaming's incremental planner gives exactly-once
+per-file processing with its own checkpoint/WAL, which replaces the
+batch path's anti-join resume: a restarted stream resumes from the
+checkpoint offset log without reprocessing.
+
+At design scale the source is an Iceberg table feed or a landing-zone
+of parquet/WARC drops; in-sandbox we use the file source over a
+directory of parquet pages, `maxFilesPerTrigger` bounding micro-batch
+size. Late/duplicate urls are handled downstream by the dedup ops
+(hickoryspark.ops.dedup) — extraction itself is stateless per page, so
+no watermark is needed; windowed per-host throughput metrics use the
+`warc_ts` event time with a watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hickoryspark.spark.extract import EXTRACT_SCHEMA, extract_batch
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def read_pages_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+
+def extract_stream(pages_stream: DataFrame) -> DataFrame:
+    """Stateless streaming transform: same Arrow-batched extractor as
+    the batch pipeline."""
+
+    def gen(batches):
+        for b in batches:
+            if len(b):
+                yield extract_batch(b)
+
+    return pages_stream.select("url", "html").mapInPandas(gen, EXTRACT_SCHEMA)
+
+
+def start_extract_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    max_files_per_trigger: int = 4,
+    trigger_once: bool = False,
+):
+    """Launch the streaming extraction job; returns the StreamingQuery.
+
+    ``trigger_once`` processes the current backlog and stops — the
+    batch-in-streaming mode used for catch-up runs and tests.
+    """
+    stream = extract_stream(read_pages_stream(spark, src_dir, max_files_per_trigger))
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def host_throughput_stream(
+    pages_stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Windowed per-host page counts on event time (`warc_ts`) with a
+    watermark for late arrivals — the monitoring side of the feed."""
+    host = F.regexp_extract("url", r"^[a-z]+://([^/]+)/", 1).alias("host")
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), host)
+        .agg(
+            F.count("*").alias("pages"),
+            F.sum(F.length("html")).alias("bytes"),
+        )
+        .select("w.start", "w.end", "host", "pages", "bytes")
+    )
