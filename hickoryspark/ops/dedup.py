@@ -60,38 +60,91 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8) -> DataFrame:
 def lsh_candidate_pairs(
     docs: DataFrame, num_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
-    """MinHash-LSH: band the signature, equi-join on (band, band_sig).
+    """MinHash-LSH: band the signature, bucket on (band, band_sig),
+    emit all intra-bucket pairs.
 
-    Returns distinct candidate pairs (doc_a < doc_b). The join side is
-    the banded signature table — tiny relative to the corpus, and the
-    equi-key means Spark plans a shuffled hash join, never a cross
-    product.
+    Returns distinct candidate pairs (doc_a < doc_b). Pair generation
+    runs as one vectorized triu-index expansion per bucket inside
+    applyInPandas — a self-join on the bucket key would funnel a
+    mega-bucket's m^2/2 pairs through a single sort-merge task (on a
+    corpus with heavy duplication one bucket can hold most documents);
+    here the quadratic part is a NumPy index op and the only large
+    shuffle is the final pair distinct, which AQE splits freely.
+
+    At design scale, cap mega-buckets instead of expanding them
+    (docs sharing a band-sig by the thousands are resolved cheaper via
+    exact_dup_groups / a union-find on bucket representatives); the
+    uncapped expansion here preserves the oracle's exact semantics.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes)
+    mh = [f"mh{i}" for i in range(num_hashes)]
+
+    # Signature groups: docs with an IDENTICAL full signature collide
+    # in every band, so (a) all intra-group pairs are candidates and
+    # (b) banding only needs to run once per group. On duplication-
+    # heavy corpora this collapses the quadratic blow-up: each output
+    # pair is generated exactly once (a doc belongs to exactly one
+    # group, and group-pairs are deduped while still group-level), so
+    # no distinct over the expanded pairs is ever needed.
+    groups = (
+        sig.groupBy(*mh)
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+        .withColumn("gid", F.xxhash64(*mh))
+        .persist()
+    )
+
+    def emit_intra(batches):
+        import numpy as np
+        import pandas as pd
+
+        for b in batches:
+            for members in b["members"]:
+                m = len(members)
+                if m < 2:
+                    continue
+                ids = np.asarray(members, dtype=np.int64)  # pre-sorted
+                ai, bi = np.triu_indices(m, k=1)
+                yield pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi]})
+
+    intra = groups.select("members").mapInPandas(
+        emit_intra, "doc_a long, doc_b long"
+    )
+
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.concat_ws("|", *parts).alias("sig"))
         )
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
+    gband = groups.select(
+        "gid", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("gid", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    group_pairs = (
+        gband.alias("a")
+        .join(
+            gband.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.gid") < F.col("b.gid")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+        .select(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
+        .distinct()  # group-level only — tiny vs the member expansion
     )
+    gm = groups.select("gid", "members")
+    inter = (
+        group_pairs.join(F.broadcast(gm).withColumnsRenamed(
+            {"gid": "ga", "members": "members_a"}), "ga")
+        .join(F.broadcast(gm).withColumnsRenamed(
+            {"gid": "gb", "members": "members_b"}), "gb")
+        .select(F.explode("members_a").alias("da"), "members_b")
+        .select("da", F.explode("members_b").alias("db"))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+        )
+    )
+    return intra.unionByName(inter)
 
 
 def shingles(col: Column, n: int = 3) -> Column:
