@@ -5,10 +5,15 @@ via spark-submit --py-files at N and 4N executors". Packaging + launch:
 
     cd /root/repo && zip -r /tmp/hickoryspark.zip hickoryspark
     spark-submit --master <cluster> --py-files /tmp/hickoryspark.zip \
-        hickoryspark/cli.py \
+        tools/submit_extract.py \
         --input /data/pages_parquet --output /data/extracted \
         [--input-format iceberg --input-table db.pages] \
         [--partitions 4096] [--no-resume] [--run-id r42]
+
+(tools/submit_extract.py is a thin launcher kept outside the package:
+spark-submit puts the entry script's directory on sys.path, which
+would shadow package-internal module resolution if the entry script
+lived inside hickoryspark/.)
 
 In this sandbox there is no cluster manager and no Iceberg runtime jar,
 so the same entry runs with --master local[N] and parquet IO; the code
