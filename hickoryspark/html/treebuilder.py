@@ -63,6 +63,24 @@ _IN_HEAD_CONTAINERS = frozenset(
     {"title", "style", "script", "noscript", "noframes", "template"}
 )
 
+# WHATWG formatting elements (active-formatting-elements machinery).
+_FORMATTING = frozenset(
+    "a b big code em font i nobr s small strike strong tt u".split()
+)
+# Elements that push a marker onto the active formatting list.
+_AFE_MARKERS = frozenset(
+    {"td", "th", "caption", "applet", "object", "marquee", "template"}
+)
+# Insertion points that trigger foster parenting for non-table content.
+_TABLE_CTX = frozenset({"table", "tbody", "thead", "tfoot", "tr"})
+# Start tags handled by the table-structure rules (implied tbody/tr,
+# orphan-ignore outside a table).
+_TABLE_INTERNAL = frozenset(
+    {"td", "th", "tr", "tbody", "thead", "tfoot", "caption", "col", "colgroup"}
+)
+# Tags allowed directly inside table context without fostering.
+_TABLE_ALLOWED = frozenset({"script", "style", "template", "form"})
+
 (
     _INITIAL,
     _BEFORE_HTML,
@@ -99,6 +117,12 @@ class _Builder:
         self.head: dict | None = None
         self.body: dict | None = None
         self.mode = _INITIAL
+        # Active formatting elements: node dicts + "marker" sentinels
+        # (WHATWG 13.2.4.3) — drives misnested-formatting reconstruction.
+        self.afe: list = []
+        # id(child dict) -> parent dict, for foster parenting (nodes have
+        # no parent pointers; the hickory shape must stay 4 keys).
+        self.parents: dict[int, dict] = {}
 
     # -- insertion helpers ------------------------------------------------
 
@@ -108,9 +132,15 @@ class _Builder:
             content[-1] = content[-1] + node
         else:
             content.append(node)
+            if isinstance(node, dict):
+                self.parents[id(node)] = parent
 
     def _insert_text(self, text: str) -> None:
-        self._append(self.stack[-1], text)
+        cur = self.stack[-1]
+        if cur.get("tag") in _TABLE_CTX and not _is_ws(text):
+            self._foster_insert(text)
+            return
+        self._append(cur, text)
 
     def _insert_element(self, tag: str, attrs: dict | None, push: bool) -> dict:
         node = _elem(tag, attrs)
@@ -154,12 +184,122 @@ class _Builder:
         if i != -1:
             del self.stack[i:]
 
+    # -- active formatting elements (WHATWG 13.2.4.3, simplified) ----------
+
+    def _push_afe(self, node: dict) -> None:
+        # Noah's-ark clause: at most 3 identical (tag, attrs) entries
+        # since the last marker.
+        count = 0
+        for i in range(len(self.afe) - 1, -1, -1):
+            e = self.afe[i]
+            if e == "marker":
+                break
+            if e["tag"] == node["tag"] and e["attrs"] == node["attrs"]:
+                count += 1
+                if count == 3:
+                    self.afe.pop(i)
+                    break
+        self.afe.append(node)
+
+    def _clear_afe_to_marker(self) -> None:
+        while self.afe:
+            if self.afe.pop() == "marker":
+                return
+
+    def _reconstruct_afe(self) -> None:
+        """Re-open formatting elements that were implicitly closed
+        (e.g. ``<p><b>x<p>y`` — the second p is still bold)."""
+        afe = self.afe
+        if not afe:
+            return
+        stack_ids = {id(s) for s in self.stack}
+        last = afe[-1]
+        if last == "marker" or id(last) in stack_ids:
+            return
+        i = len(afe) - 1
+        while i > 0:
+            prev = afe[i - 1]
+            if prev == "marker" or id(prev) in stack_ids:
+                break
+            i -= 1
+        for j in range(i, len(afe)):
+            e = afe[j]
+            clone = _elem(e["tag"], dict(e["attrs"]) if e["attrs"] else None)
+            self._append(self.stack[-1], clone)
+            self.stack.append(clone)
+            afe[j] = clone
+
+    def _adoption_agency_end(self, tag: str) -> bool:
+        """End tag for a formatting element (simplified AAA): the
+        no-furthest-block path is exact; with a furthest block we
+        remove just the formatting element and leave its descendants
+        open (an approximation of the spec's reparenting)."""
+        top = self.stack[-1] if self.stack else None
+        if (
+            top is not None
+            and top.get("tag") == tag
+            and not any(e is top for e in self.afe if e != "marker")
+        ):
+            self.stack.pop()
+            return True
+        fe = None
+        fi = -1
+        for i in range(len(self.afe) - 1, -1, -1):
+            e = self.afe[i]
+            if e == "marker":
+                break
+            if e["tag"] == tag:
+                fe, fi = e, i
+                break
+        if fe is None:
+            return self._generic_end(tag)
+        si = -1
+        for k, s in enumerate(self.stack):
+            if s is fe:
+                si = k
+                break
+        if si == -1:
+            self.afe.pop(fi)
+            return True
+        has_furthest_block = any(
+            self.stack[j]["tag"] in _SPECIAL for j in range(si + 1, len(self.stack))
+        )
+        self.afe.pop(fi)
+        if has_furthest_block:
+            del self.stack[si]  # descendants stay open
+        else:
+            del self.stack[si:]
+        return True
+
+    # -- foster parenting ---------------------------------------------------
+
+    def _foster_insert(self, node_or_text) -> None:
+        """Insert misplaced table content BEFORE the open table."""
+        ti = self._find_open(("table",), ("html",))
+        table = self.stack[ti]
+        parent = self.parents.get(id(table)) or self.body or self.html or self.document
+        content = parent["content"]
+        idx = len(content)
+        for k, c in enumerate(content):
+            if c is table:
+                idx = k
+                break
+        if isinstance(node_or_text, str):
+            if idx > 0 and isinstance(content[idx - 1], str):
+                content[idx - 1] = content[idx - 1] + node_or_text
+            else:
+                content.insert(idx, node_or_text)
+            return
+        content.insert(idx, node_or_text)
+        self.parents[id(node_or_text)] = parent
+
     # -- skeleton creation -------------------------------------------------
 
     def _ensure_html(self, attrs: dict | None = None) -> None:
         if self.html is None:
             self.html = _elem("html", attrs)
             self.document["content"].append(self.html)
+            self.parents[id(self.html)] = self.document
             self.stack.append(self.html)
 
     def _ensure_head(self, attrs: dict | None = None) -> None:
@@ -370,6 +510,8 @@ class _Builder:
     def _in_body(self, tok) -> bool:
         kind = tok[0]
         if kind in ("text", "rawtext"):
+            if self.afe and self.stack[-1].get("tag") not in _TABLE_CTX:
+                self._reconstruct_afe()
             self._insert_text(tok[1])
             return True
         if kind == "comment":
@@ -394,6 +536,8 @@ class _Builder:
             return True
         if tag in ("head", "frameset"):
             return True  # ignored in body
+        if tag in _TABLE_INTERNAL:
+            return self._table_internal_start(tag, attrs, self_closing)
         if tag in _P_CLOSERS and self._p_in_button_scope():
             self._close_p()
         if tag in ("li", "dd", "dt"):
@@ -409,6 +553,14 @@ class _Builder:
             if self.stack[-1]["tag"] in _HEADINGS:
                 self.stack.pop()
         elif tag == "a":
+            # spec: an open <a> in the formatting list triggers AAA
+            for i in range(len(self.afe) - 1, -1, -1):
+                e = self.afe[i]
+                if e == "marker":
+                    break
+                if e["tag"] == "a":
+                    self.afe.pop(i)
+                    break
             i = self._find_open(("a",), ("html", "body"))
             if i != -1:
                 del self.stack[i:]
@@ -416,21 +568,98 @@ class _Builder:
             i = self._find_open(("button",), ("html", "body"))
             if i != -1:
                 del self.stack[i:]
-        elif tag in ("td", "th"):
-            i = self._find_open(("td", "th"), ("table", "html"))
-            if i != -1:
-                del self.stack[i:]
-        elif tag == "tr":
-            i = self._find_open(("tr", "td", "th"), ("table", "html"))
-            if i != -1:
-                del self.stack[i:]
         elif tag in ("option", "optgroup"):
             if self.stack[-1]["tag"] == "option":
                 self.stack.pop()
+
+        in_table_ctx = (
+            self.stack[-1].get("tag") in _TABLE_CTX and tag not in _TABLE_ALLOWED
+        )
+        # WHATWG "in body": only formatting tags and "any other start
+        # tag" reconstruct; special-cased tags (p, div, li, h1...) do
+        # not — their formatting re-opens lazily at the next text token.
+        if not in_table_ctx and (tag in _FORMATTING or tag not in _SPECIAL):
+            self._reconstruct_afe()
         if tag in VOID_ELEMENTS:
-            self._insert_element(tag, attrs, push=False)
+            if in_table_ctx:
+                self._foster_insert(_elem(tag, attrs))
+            else:
+                self._insert_element(tag, attrs, push=False)
+            return True
+        if in_table_ctx:
+            node = _elem(tag, attrs)
+            self._foster_insert(node)
+            if not self_closing:
+                self.stack.append(node)
         else:
+            node = self._insert_element(tag, attrs, push=not self_closing)
+        if not self_closing:
+            if tag in _FORMATTING:
+                self._push_afe(node)
+            elif tag in _AFE_MARKERS:
+                self.afe.append("marker")
+        return True
+
+    def _close_caption_or_colgroup(self) -> None:
+        """Row/cell tokens end an open <caption>/<colgroup> ("in
+        caption": a table-structure token closes the caption)."""
+        i = self._find_open(("caption", "colgroup"), ("table", "html"))
+        if i != -1:
+            was_caption = self.stack[i]["tag"] == "caption"
+            del self.stack[i:]
+            if was_caption:
+                self._clear_afe_to_marker()
+
+    def _table_internal_start(self, tag, attrs, self_closing) -> bool:
+        """Table-structure start tags: implied tbody/tr (WHATWG "in
+        table"/"in table body" modes), orphans outside a table ignored
+        (parse error per the "in body" rules — jsoup does the same)."""
+        if self._find_open(("table",), ("html",)) == -1:
+            return True  # no open table: ignore the token
+        if tag in ("tbody", "thead", "tfoot", "caption", "colgroup"):
+            i = self._find_open(
+                ("tbody", "thead", "tfoot", "caption", "colgroup", "tr", "td", "th"),
+                ("table", "html"),
+            )
+            if i != -1:
+                del self.stack[i:]
             self._insert_element(tag, attrs, push=not self_closing)
+            if tag == "caption" and not self_closing:
+                self.afe.append("marker")
+            return True
+        if tag == "col":
+            if self.stack[-1].get("tag") != "colgroup":
+                i = self._find_open(
+                    ("tbody", "thead", "tfoot", "caption", "tr", "td", "th"),
+                    ("table", "html"),
+                )
+                if i != -1:
+                    del self.stack[i:]
+                self._insert_element("colgroup", None, push=True)
+            self._insert_element("col", attrs, push=False)
+            return True
+        if tag == "tr":
+            i = self._find_open(("tr", "td", "th"), ("table", "html"))
+            if i != -1:
+                del self.stack[i:]
+            self._close_caption_or_colgroup()
+            if self._find_open(("tbody", "thead", "tfoot"), ("table", "html")) == -1:
+                self._insert_element("tbody", None, push=True)
+            self._insert_element("tr", attrs, push=not self_closing)
+            return True
+        # td / th
+        i = self._find_open(("td", "th"), ("table", "html"))
+        if i != -1:
+            del self.stack[i:]
+            self._clear_afe_to_marker()
+        if self._find_open(("tr",), ("table", "html")) == -1:
+            self._close_caption_or_colgroup()
+            if self._find_open(("tbody", "thead", "tfoot"), ("table", "html")) == -1:
+                self._insert_element("tbody", None, push=True)
+            self._insert_element("tr", None, push=True)
+        self._insert_element(tag, attrs, push=not self_closing)
+        if not self_closing:
+            self.afe.append("marker")
         return True
 
     def _in_body_end(self, tok) -> bool:
@@ -452,10 +681,17 @@ class _Builder:
             return True
         if tag in VOID_ELEMENTS:
             return True  # end tags of void elements are ignored
+        if tag in _FORMATTING:
+            return self._adoption_agency_end(tag)
+        return self._generic_end(tag)
+
+    def _generic_end(self, tag: str) -> bool:
         for i in range(len(self.stack) - 1, -1, -1):
             node = self.stack[i]
             if node["tag"] == tag:
                 del self.stack[i:]
+                if tag in _AFE_MARKERS:
+                    self._clear_afe_to_marker()
                 return True
             if node is self.body or node is self.html:
                 break

@@ -1,0 +1,117 @@
+"""WHATWG behaviors beyond the reference corpus: table structure
+(implied tbody/tr/colgroup, caption closing, foster parenting, orphan
+cells ignored) and misnested-formatting recovery (active formatting
+elements + simplified adoption agency). Expected strings hand-derived
+from the WHATWG spec ("in table" / "in body" insertion modes) — the
+same recovery jsoup applies, so these pin real-world parity for
+arbitrary Common-Crawl pages.
+"""
+
+import pytest
+
+from hickoryspark import as_hickory, hickory_to_html, parse
+
+
+def roundtrip(html: str) -> str:
+    out = hickory_to_html(as_hickory(parse(html)))
+    prefix = "<html><head></head><body>"
+    suffix = "</body></html>"
+    assert out.startswith(prefix) and out.endswith(suffix), out
+    return out[len(prefix):-len(suffix)]
+
+
+@pytest.mark.parametrize(
+    "html,expected",
+    [
+        # implied <tbody> before <tr>
+        (
+            "<table><tr><td>a</td><td>b</td></tr></table>",
+            "<table><tbody><tr><td>a</td><td>b</td></tr></tbody></table>",
+        ),
+        # implied tbody after an explicit thead
+        (
+            "<table><thead><tr><th>h</th></thead><tr><td>x</td></table>",
+            "<table><thead><tr><th>h</th></tr></thead>"
+            "<tbody><tr><td>x</td></tr></tbody></table>",
+        ),
+        # implied <tr> before a bare <td>
+        (
+            "<table><td>x</td></table>",
+            "<table><tbody><tr><td>x</td></tr></tbody></table>",
+        ),
+        # <col> implies <colgroup>
+        (
+            '<table><col span="2"><tr><td>x</table>',
+            '<table><colgroup><col span="2"></colgroup>'
+            "<tbody><tr><td>x</td></tr></tbody></table>",
+        ),
+        # <tr> closes an open <caption>
+        (
+            "<table><caption>cap<tr><td>x</table>",
+            "<table><caption>cap</caption>"
+            "<tbody><tr><td>x</td></tr></tbody></table>",
+        ),
+        # foster parenting: stray text moves before the table
+        (
+            "<table>text<tr><td>x</table>",
+            "text<table><tbody><tr><td>x</td></tr></tbody></table>",
+        ),
+        # foster parenting: stray element moves before the table
+        (
+            "<table><div>oops</div><tr><td>x</td></table>",
+            "<div>oops</div><table><tbody><tr><td>x</td></tr></tbody></table>",
+        ),
+        # orphan table-structure tags outside any table are ignored
+        ("<td>orphan</td>", "orphan"),
+        ("<tr><th>h</th></tr>", "h"),
+        # whitespace is allowed inside table structure (not fostered)
+        (
+            "<table> <tr><td>x</td></tr> </table>",
+            "<table> <tbody><tr><td>x</td></tr> </tbody></table>",
+        ),
+    ],
+)
+def test_table_structure(html, expected):
+    assert roundtrip(html) == expected
+
+
+@pytest.mark.parametrize(
+    "html,expected",
+    [
+        # classic misnesting: </b> before </i> — the i continues
+        (
+            "<b>bold<i>both</b>italic</i>",
+            "<b>bold<i>both</i></b><i>italic</i>",
+        ),
+        # formatting survives an implicit <p> close
+        (
+            "<p><b>bold<p>still bold",
+            "<p><b>bold</b></p><p><b>still bold</b></p>",
+        ),
+        # nested formatting reconstructs in order
+        (
+            "<p><em>a<strong>b<p>c",
+            "<p><em>a<strong>b</strong></em></p><p><em><strong>c</strong></em></p>",
+        ),
+        # a new <a> closes an open <a> (no nesting, no reconstruction)
+        (
+            '<a href="1">one<a href="2">two',
+            '<a href="1">one</a><a href="2">two</a>',
+        ),
+        # closing a closed formatting element is a no-op
+        ("<b>x</b>plain</b>", "<b>x</b>plain"),
+        # formatting inside a cell stays inside the cell (marker)
+        (
+            "<table><tr><td><b>cell</td><td>next</td></table>",
+            "<table><tbody><tr><td><b>cell</b></td><td>next</td></tr>"
+            "</tbody></table>",
+        ),
+        # Noah's ark: at most 3 identical re-opened entries
+        (
+            "<p><b><b><b><b>x<p>y",
+            "<p><b><b><b><b>x</b></b></b></b></p><p><b><b><b>y</b></b></b></p>",
+        ),
+    ],
+)
+def test_formatting_recovery(html, expected):
+    assert roundtrip(html) == expected
