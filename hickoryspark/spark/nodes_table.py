@@ -41,34 +41,26 @@ _COLS = [
 def doc_rows(url: str, doc: Doc) -> dict[str, list]:
     """Column lists for one parsed document (pre_ord == node_id)."""
     n = doc.n
-    par = doc.parent
-    out: dict[str, list] = {c: [] for c in _COLS}
+    par = doc.parent.tolist()
+    types = doc.types.tolist()
+    tags = doc.tags
+    nelem = doc.n_elem_children.tolist()
+    out: dict[str, list] = {}
     out["url"] = [url] * n
     out["node_id"] = list(range(n))
-    out["parent_id"] = par.tolist()
+    out["parent_id"] = par
     out["pre_ord"] = out["node_id"]
     out["subtree_end"] = doc.subtree_end.tolist()
     out["sib_pos"] = doc.sib_pos.tolist()
     out["elem_sib_pos"] = doc.elem_sib_pos.tolist()
     out["depth"] = doc.depth.tolist()
-    out["type"] = doc.types.tolist()
-    out["tag"] = list(doc.tags)
+    out["type"] = types
+    out["tag"] = list(tags)
     out["attrs"] = list(doc.attrs)
     out["text"] = list(doc.texts)
-    ptype, ptag, nsibs = [], [], []
-    for i in range(n):
-        p = par[i]
-        if p < 0:
-            ptype.append(None)
-            ptag.append(None)
-            nsibs.append(0)
-        else:
-            ptype.append(int(doc.types[p]))
-            ptag.append(doc.tags[p])
-            nsibs.append(int(doc.n_elem_children[p]))
-    out["parent_type"] = ptype
-    out["parent_tag"] = ptag
-    out["n_elem_sibs"] = nsibs
+    out["parent_type"] = [types[p] if p >= 0 else None for p in par]
+    out["parent_tag"] = [tags[p] if p >= 0 else None for p in par]
+    out["n_elem_sibs"] = [nelem[p] if p >= 0 else 0 for p in par]
     return out
 
 
