@@ -85,6 +85,72 @@ def featurize_media(media: DataFrame, use_fake: bool = True) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(gen, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = "media_id long, resized binary, out_w int, out_h int"
+FRAMES_SCHEMA = "media_id long, frame_idx int, frame binary"
+
+
+def resize_images(media: DataFrame, out_w: int = 64, out_h: int = 64,
+                  use_fake: bool = True) -> DataFrame:
+    """media → (media_id, resized, out_w, out_h). Real resize needs an
+    image codec (stubbed); the DETERMINISTIC FAKE derives out_w*out_h
+    bytes from the payload via md5 expansion, so byte counts / schema /
+    batch shape behave like the real op."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = out_w * out_h
+        for b in batches:
+            if not len(b):
+                continue
+            out = []
+            for p in b["payload"]:
+                raw = bytes(p) if p is not None else b""
+                if not use_fake:
+                    decode_image(raw)  # raises: stub
+                buf = bytearray()
+                seed = hashlib.md5(raw).digest()
+                while len(buf) < target:
+                    seed = hashlib.md5(seed).digest()
+                    buf.extend(seed)
+                out.append(bytes(buf[:target]))
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"].values,
+                    "resized": out,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(gen, RESIZED_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, n_frames: int = 4,
+                        use_fake: bool = True) -> DataFrame:
+    """media → one row PER SAMPLED FRAME (media_id, frame_idx, frame):
+    the row-exploding output shape of a real frame sampler. Fake frames
+    are deterministic payload slices; the real path raises (stub)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(b["media_id"], b["payload"]):
+                raw = bytes(p) if p is not None else b""
+                if not use_fake:
+                    sample_frames(raw)  # raises: stub
+                step = max(1, len(raw) // max(n_frames, 1))
+                for k in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(k)
+                    frames.append(raw[k * step:(k + 1) * step] or b"\x00")
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(gen, FRAMES_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests: payload = repeated
     md5 bytes keyed by media_id."""

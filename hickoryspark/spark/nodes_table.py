@@ -89,3 +89,26 @@ def explode_nodes(pages_df):
                 yield _parse_batch(b)
 
     return pages_df.select("url", "html").mapInPandas(gen, NODES_SCHEMA)
+
+
+def materialize_nodes(pages_df, path: str, num_buckets: int = 256):
+    """Parse once, query many: write the exploded node table bucketed
+    by ``url`` so every structural selector join/window over it is
+    co-partitioned (no shuffle at query time).
+
+    Bucketing via saveAsTable needs a metastore; the portable
+    equivalent used here is hash-repartition on url + sortWithinPartitions
+    (url, pre_ord) — readers get url-clustered, document-ordered row
+    groups, and AQE-era Spark still avoids wide shuffles for url-keyed
+    joins between tables written with the same layout. At design scale
+    on Iceberg, declare ``bucket(url, N)`` partitioning instead and the
+    co-location is metadata-enforced.
+    """
+    nodes = explode_nodes(pages_df)
+    (
+        nodes.repartition(num_buckets, "url")
+        .sortWithinPartitions("url", "pre_ord")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
