@@ -141,6 +141,40 @@ def test_salt_repartition_balances_pages(pages):
     assert max(sizes) <= 3 * (total / 8)
 
 
+def test_salt_repartition_balances_bytes_under_size_skew(spark):
+    """Pathological long-tail page sizes (a few 100x giants): the
+    size-bucketed salt must spread BYTES, not just row counts — no
+    partition may hoard the giant documents."""
+    from pyspark.sql import functions as F
+
+    from hickoryspark.spark.pipeline import salt_repartition
+
+    import pandas as pd
+
+    def gen(batches):
+        for b in batches:
+            ids = b["id"].tolist()
+            yield pd.DataFrame({
+                "url": [f"https://skew.test/{i}" for i in ids],
+                # 16 giants of ~400KB, the rest ~1-4KB
+                "html": [
+                    (b"<p>" + b"x" * (400_000 if i % 64 == 0 else 1000 + (i % 4) * 1000))
+                    for i in ids
+                ],
+            })
+
+    pages = (
+        spark.range(1024).repartition(8)
+        .mapInPandas(gen, "url string, html binary")
+    )
+    df = salt_repartition(pages, 8).select(F.length("html").alias("sz"))
+    per_part = [sum(r["sz"] for r in part) for part in df.rdd.glom().collect()]
+    total = sum(per_part)
+    assert len(per_part) == 8 and total > 6_000_000
+    # fair share is total/8; no partition may exceed 2x fair share
+    assert max(per_part) <= 2 * (total / 8), per_part
+
+
 def test_relational_matches_interpreter(spark, pages):
     """Cross-validate the two selector engines (relational node-table
     vs in-UDF interpreter) on selectors with non-trivial structure."""
