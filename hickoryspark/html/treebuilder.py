@@ -229,11 +229,21 @@ class _Builder:
             self.stack.append(clone)
             afe[j] = clone
 
+    def _detach(self, node: dict) -> None:
+        parent = self.parents.get(id(node))
+        if parent is None:
+            return
+        content = parent.get("content")
+        if content:
+            for k, c in enumerate(content):
+                if c is node:
+                    del content[k]
+                    break
+
     def _adoption_agency_end(self, tag: str) -> bool:
-        """End tag for a formatting element (simplified AAA): the
-        no-furthest-block path is exact; with a furthest block we
-        remove just the formatting element and leave its descendants
-        open (an approximation of the spec's reparenting)."""
+        """End tag for a formatting element: the WHATWG adoption agency
+        algorithm (13.2.6.4.7), including furthest-block reparenting —
+        ``<b><p>para</b>after`` becomes ``<b></b><p><b>para</b>after</p>``."""
         top = self.stack[-1] if self.stack else None
         if (
             top is not None
@@ -242,33 +252,109 @@ class _Builder:
         ):
             self.stack.pop()
             return True
-        fe = None
-        fi = -1
-        for i in range(len(self.afe) - 1, -1, -1):
-            e = self.afe[i]
-            if e == "marker":
-                break
-            if e["tag"] == tag:
-                fe, fi = e, i
-                break
-        if fe is None:
-            return self._generic_end(tag)
-        si = -1
-        for k, s in enumerate(self.stack):
-            if s is fe:
-                si = k
-                break
-        if si == -1:
-            self.afe.pop(fi)
-            return True
-        has_furthest_block = any(
-            self.stack[j]["tag"] in _SPECIAL for j in range(si + 1, len(self.stack))
-        )
-        self.afe.pop(fi)
-        if has_furthest_block:
-            del self.stack[si]  # descendants stay open
-        else:
-            del self.stack[si:]
+        for _ in range(8):  # outer loop
+            fe = None
+            fi = -1
+            for i in range(len(self.afe) - 1, -1, -1):
+                e = self.afe[i]
+                if e == "marker":
+                    break
+                if e["tag"] == tag:
+                    fe, fi = e, i
+                    break
+            if fe is None:
+                return self._generic_end(tag)
+            si = -1
+            for k, s in enumerate(self.stack):
+                if s is fe:
+                    si = k
+                    break
+            if si == -1:
+                self.afe.pop(fi)
+                return True
+            fbi = -1
+            for j in range(si + 1, len(self.stack)):
+                if self.stack[j]["tag"] in _SPECIAL:
+                    fbi = j
+                    break
+            if fbi == -1:
+                del self.stack[si:]
+                self.afe.pop(fi)
+                return True
+            fb = self.stack[fbi]
+            common_ancestor = self.stack[si - 1] if si > 0 else self.body
+            bookmark = fi
+            node_i = fbi
+            last_node = fb
+            inner = 0
+            while True:  # inner loop: walk up from fb toward fe
+                inner += 1
+                node_i -= 1
+                node = self.stack[node_i]
+                if node is fe:
+                    break
+                nai = -1
+                for k in range(len(self.afe) - 1, -1, -1):
+                    if self.afe[k] is node:
+                        nai = k
+                        break
+                if inner > 3 and nai != -1:
+                    self.afe.pop(nai)
+                    if nai < bookmark:
+                        bookmark -= 1
+                    nai = -1
+                if nai == -1:
+                    del self.stack[node_i]
+                    if node_i < si:
+                        si -= 1
+                    continue
+                clone = _elem(node["tag"], dict(node["attrs"]) if node["attrs"] else None)
+                self.afe[nai] = clone
+                self.stack[node_i] = clone
+                self.parents[id(clone)] = self.parents.get(id(node))
+                if last_node is fb:
+                    bookmark = nai + 1
+                self._detach(last_node)
+                self._append(clone, last_node)
+                last_node = clone
+            self._detach(last_node)
+            if common_ancestor.get("tag") in _TABLE_CTX:
+                self._foster_insert(last_node)
+            else:
+                self._append(common_ancestor, last_node)
+            # move fb's children into a clone of fe; attach clone to fb
+            fe_clone = _elem(tag, dict(fe["attrs"]) if fe["attrs"] else None)
+            kids = fb["content"]
+            fb["content"] = []
+            fe_clone["content"] = kids
+            for c in kids:
+                if isinstance(c, dict):
+                    self.parents[id(c)] = fe_clone
+            self._append(fb, fe_clone)
+            # afe: remove fe, insert clone at the bookmark
+            fi2 = -1
+            for k in range(len(self.afe) - 1, -1, -1):
+                if self.afe[k] is fe:
+                    fi2 = k
+                    break
+            if fi2 != -1:
+                self.afe.pop(fi2)
+                if fi2 < bookmark:
+                    bookmark -= 1
+            self.afe.insert(min(bookmark, len(self.afe)), fe_clone)
+            # stack: remove fe, insert clone immediately below fb
+            si2 = -1
+            fbi2 = -1
+            for k, s in enumerate(self.stack):
+                if s is fe:
+                    si2 = k
+                elif s is fb:
+                    fbi2 = k
+            if si2 != -1:
+                del self.stack[si2]
+                if fbi2 > si2:
+                    fbi2 -= 1
+            self.stack.insert(fbi2 + 1, fe_clone)
         return True
 
     # -- foster parenting ---------------------------------------------------

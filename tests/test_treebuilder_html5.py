@@ -111,6 +111,14 @@ def test_table_structure(html, expected):
             "<p><b><b><b><b>x<p>y",
             "<p><b><b><b><b>x</b></b></b></b></p><p><b><b><b>y</b></b></b></p>",
         ),
+        # adoption agency with a furthest block: reparenting
+        ("<b><p>para</b>after", "<b></b><p><b>para</b>after</p>"),
+        ("<b>1<p>2</b>3</p>", "<b>1</b><p><b>2</b>3</p>"),
+        # the WHATWG spec's own worked example (13.2.6.4.7)
+        (
+            "<b><div>x<i>y</b>z</i></div>",
+            "<b></b><div><b>x<i>y</i></b><i>z</i></div>",
+        ),
     ],
 )
 def test_formatting_recovery(html, expected):
