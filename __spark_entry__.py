@@ -660,8 +660,65 @@ def oracle_sql() -> dict[str, str]:
                        i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
                      ), s -> md5(s))) AS fp_min
             FROM documents""",
-        # ann_lsh, multimodal_features: deliberately no SQL oracle
-        # (hyperplane constants / synthetic media are engine-side);
-        # driver records the weaker rows-only check.
     }
+
+    # ann_lsh: the md5-derived hyperplanes are deterministic literals,
+    # so the oracle recomputes buckets + in-bucket cosine top-k with
+    # the SAME weights and the SAME left-to-right double summation
+    # order as the engine (bit-identical dots -> identical buckets).
+    import hashlib as _hl
+
+    def _plane_dot(plane: int, dim: int = 64) -> str:
+        terms = []
+        for j in range(dim):
+            w = float(int(_hl.md5(f"p{plane}:{j}".encode()).hexdigest()[0], 16)) - 7.5
+            terms.append(f"v[{j + 1}]*({w!r})")
+        return "(" + "+".join(terms) + ")"
+
+    bucket_expr = "+".join(
+        f"(CASE WHEN {_plane_dot(p)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(6)
+    )
+    oracles["ann_lsh"] = f"""
+        WITH t AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 ({bucket_expr}) AS bucket
+          FROM embeddings
+        ), q AS (
+          SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM t
+          WHERE vec_id < 10
+        ), scored AS (
+          SELECT q.query_id, t.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(q.qv, t.v), 6) AS sim
+          FROM q JOIN t ON t.bucket = q.qb
+          WHERE t.vec_id != q.query_id
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim
+        FROM ranked WHERE rank <= 3"""
+
+    # multimodal_features: synthetic media is closed-form over range(64)
+    # (payload = repeat(md5('media:'||i), 1+i%4) as ASCII; feature byte b
+    # of md5(payload) quantized to float32 — CAST(.. AS REAL) mirrors the
+    # engine's array<float> storage, outer DOUBLE cast mirrors the
+    # double-accumulating sum).
+    feat_terms = []
+    for b in range(8):
+        nib_hi = f"(strpos('0123456789abcdef', substr(h, {2 * b + 1}, 1)) - 1)"
+        nib_lo = f"(strpos('0123456789abcdef', substr(h, {2 * b + 2}, 1)) - 1)"
+        feat_terms.append(
+            f"CAST(CAST(({nib_hi}*16 + {nib_lo})/255.0 AS REAL) AS DOUBLE)"
+        )
+    oracles["multimodal_features"] = f"""
+        WITH m AS (
+          SELECT i AS media_id,
+                 md5(repeat(md5('media:' || i), 1 + i % 4)) AS h,
+                 CAST(32 * (1 + i % 4) AS INT) AS n_bytes
+          FROM range(64) t(i)
+        )
+        SELECT media_id, ROUND({"+".join(feat_terms)}, 6) AS feat_sum, n_bytes
+        FROM m"""
     return oracles

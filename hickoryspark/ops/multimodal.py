@@ -152,16 +152,20 @@ def sample_video_frames(media: DataFrame, n_frames: int = 4,
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests: payload = repeated
-    md5 bytes keyed by media_id."""
+    """Deterministic fake media table for tests: payload = UTF-8 bytes
+    of the repeated md5 hex digest keyed by media_id. (ASCII content —
+    rather than raw digest bytes — keeps the payload expressible as a
+    DuckDB VARCHAR so the driver oracle can recompute the md5-derived
+    features independently; the column TYPE stays binary, which is the
+    part the plumbing contract cares about.)"""
     rows = []
     for i in range(n):
-        seed = hashlib.md5(f"media:{i}".encode()).digest()
+        seed = hashlib.md5(f"media:{i}".encode()).hexdigest()
         rows.append(
             (
                 i,
                 ["image", "audio", "video"][i % 3],
-                seed * (1 + i % 4),
+                (seed * (1 + i % 4)).encode("ascii"),
                 {"w": str(64 + i), "h": str(48 + i)},
             )
         )
