@@ -203,11 +203,13 @@ def tokenize(s: str):
                 break  # EOF in tag: discard rest (eof-in-tag)
             attrs, self_closing, pos = parsed
             yield ("start", name, attrs, self_closing)
-            if not self_closing:
-                if name in RAWTEXT_ELEMENTS:
-                    rawtext = (name, False)
-                elif name in RCDATA_ELEMENTS:
-                    rawtext = (name, True)
+            # self-closing flag does NOT suppress RAWTEXT/RCDATA: the
+            # tree builder ignores '/' on non-void HTML elements
+            # (WHATWG), so '<script/>' still swallows to '</script>'
+            if name in RAWTEXT_ELEMENTS:
+                rawtext = (name, False)
+            elif name in RCDATA_ELEMENTS:
+                rawtext = (name, True)
         elif nxt == "/":
             i = pos + 2
             if i >= n:

@@ -179,6 +179,17 @@ class _Builder:
     def _p_in_button_scope(self) -> bool:
         return self._find_open(("p",), _P_SCOPE_BOUNDARY) != -1
 
+    def _honor_self_closing(self, self_closing: bool) -> bool:
+        """WHATWG ignores the self-closing flag on non-void HTML
+        elements ('<div/>' stays open); it is honored only in foreign
+        content (an open <svg>/<math> ancestor)."""
+        if not self_closing:
+            return False
+        for s in reversed(self.stack):
+            if s.get("tag") in ("svg", "math"):
+                return True
+        return False
+
     def _close_p(self) -> None:
         i = self._find_open(("p",), _P_SCOPE_BOUNDARY)
         if i != -1:
@@ -362,6 +373,11 @@ class _Builder:
     def _foster_insert(self, node_or_text) -> None:
         """Insert misplaced table content BEFORE the open table."""
         ti = self._find_open(("table",), ("html",))
+        if ti == -1:
+            # no open table (reachable via adoption-agency stack
+            # surgery): plain append, never index stack[-1] by accident
+            self._append(self.stack[-1], node_or_text)
+            return
         table = self.stack[ti]
         parent = self.parents.get(id(table)) or self.body or self.html or self.document
         content = parent["content"]
@@ -527,7 +543,7 @@ class _Builder:
                 self._insert_element(tag, tok[2] or None, push=False)
                 return True
             if tag in _IN_HEAD_CONTAINERS:
-                self._insert_element(tag, tok[2] or None, push=not tok[3])
+                self._insert_element(tag, tok[2] or None, push=True)
                 return True
             if tag == "head":
                 return True
@@ -554,9 +570,13 @@ class _Builder:
 
     def _after_head(self, tok) -> bool:
         kind = tok[0]
-        if kind in ("text", "rawtext") and _is_ws(tok[1]):
-            self._insert_text(tok[1])
-            return True
+        if kind in ("text", "rawtext"):
+            if _is_ws(tok[1]) or self.stack[-1] is not self.html:
+                # ws, or content of an in-head container opened after
+                # </head> (<script>/<style>/<title> between head and
+                # body) — must not leak into <body> as text
+                self._insert_text(tok[1])
+                return True
         if kind == "comment":
             self._append(self.stack[-1], {"type": "comment", "content": [tok[1]]})
             return True
@@ -578,8 +598,7 @@ class _Builder:
             if tag in _IN_HEAD_CONTAINERS and self.head is not None:
                 node = _elem(tag, tok[2] or None)
                 self._append(self.head, node)
-                if not tok[3]:
-                    self.stack.append(node)
+                self.stack.append(node)
                 return True
         if kind == "end" and self.stack and self.stack[-1]["tag"] == tok[1] \
                 and self.stack[-1] is not self.html:
@@ -666,6 +685,7 @@ class _Builder:
         # not — their formatting re-opens lazily at the next text token.
         if not in_table_ctx and (tag in _FORMATTING or tag not in _SPECIAL):
             self._reconstruct_afe()
+        sc = self._honor_self_closing(self_closing)
         if tag in VOID_ELEMENTS:
             if in_table_ctx:
                 self._foster_insert(_elem(tag, attrs))
@@ -675,11 +695,11 @@ class _Builder:
         if in_table_ctx:
             node = _elem(tag, attrs)
             self._foster_insert(node)
-            if not self_closing:
+            if not sc:
                 self.stack.append(node)
         else:
-            node = self._insert_element(tag, attrs, push=not self_closing)
-        if not self_closing:
+            node = self._insert_element(tag, attrs, push=not sc)
+        if not sc:
             if tag in _FORMATTING:
                 self._push_afe(node)
             elif tag in _AFE_MARKERS:
@@ -709,8 +729,8 @@ class _Builder:
             )
             if i != -1:
                 del self.stack[i:]
-            self._insert_element(tag, attrs, push=not self_closing)
-            if tag == "caption" and not self_closing:
+            self._insert_element(tag, attrs, push=True)
+            if tag == "caption":
                 self.afe.append("marker")
             return True
         if tag == "col":
@@ -731,7 +751,7 @@ class _Builder:
             self._close_caption_or_colgroup()
             if self._find_open(("tbody", "thead", "tfoot"), ("table", "html")) == -1:
                 self._insert_element("tbody", None, push=True)
-            self._insert_element("tr", attrs, push=not self_closing)
+            self._insert_element("tr", attrs, push=True)
             return True
         # td / th
         i = self._find_open(("td", "th"), ("table", "html"))
@@ -743,9 +763,8 @@ class _Builder:
             if self._find_open(("tbody", "thead", "tfoot"), ("table", "html")) == -1:
                 self._insert_element("tbody", None, push=True)
             self._insert_element("tr", None, push=True)
-        self._insert_element(tag, attrs, push=not self_closing)
-        if not self_closing:
-            self.afe.append("marker")
+        self._insert_element(tag, attrs, push=True)
+        self.afe.append("marker")
         return True
 
     def _in_body_end(self, tok) -> bool:

@@ -148,13 +148,17 @@ def lsh_candidate_pairs(
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Token n-gram shingles as an array<string> (space-joined)."""
+    """Token n-gram shingles as an array<string> (space-joined).
+
+    Guarded for short docs: sequence(1, 0) in Spark yields the
+    DESCENDING array [1, 0] (and slice(toks, 0, n) then throws), so a
+    doc with fewer than n tokens returns an empty array instead."""
     toks = F.split(col, " ")
     cnt = F.size(toks) - (n - 1)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(cnt, F.lit(0))),
+    return F.when(cnt >= 1, F.transform(
+        F.sequence(F.lit(1), cnt),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    )).otherwise(F.array().cast("array<string>"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:
@@ -176,8 +180,13 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3) -> DataFr
             "doc_a",
             "doc_b",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.coalesce(
+                    F.try_divide(
+                        F.size(F.array_intersect("sh_a", "sh_b")),
+                        F.size(F.array_union("sh_a", "sh_b")),
+                    ),
+                    F.lit(0.0),  # both shingle sets empty -> jaccard 0
+                ),
                 6,
             ).alias("jaccard"),
         )

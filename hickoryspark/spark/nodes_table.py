@@ -67,9 +67,17 @@ def doc_rows(url: str, doc: Doc) -> dict[str, list]:
 def _parse_batch(batch: pd.DataFrame) -> pd.DataFrame:
     cols: dict[str, list] = {c: [] for c in _COLS}
     for url, html in zip(batch["url"], batch["html"]):
-        if isinstance(html, (bytes, bytearray, memoryview)):
-            html = bytes(html).decode("utf-8", "replace")
-        doc = flatten(as_hickory(parse(html)))
+        try:
+            if html is None:
+                html = ""
+            elif isinstance(html, (bytes, bytearray, memoryview)):
+                html = bytes(html).decode("utf-8", "replace")
+            doc = flatten(as_hickory(parse(html)))
+        except Exception:
+            # keep the job alive (mirror extract_batch): a failed page
+            # contributes a lone DOCUMENT row so it stays countable
+            # downstream instead of silently vanishing
+            doc = flatten({"type": "document", "content": None})
         rows = doc_rows(url, doc)
         for c in _COLS:
             cols[c].extend(rows[c])

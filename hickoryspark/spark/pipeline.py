@@ -81,6 +81,7 @@ def run_extract(
     acc_pages = sc.accumulator(0)
     acc_errors = sc.accumulator(0)
     acc_nodes = sc.accumulator(0)
+    acc_text = sc.accumulator(0)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -101,6 +102,7 @@ def run_extract(
         acc_pages.add(pages_n)
         acc_errors.add(errors_n)
         acc_nodes.add(nodes_n)
+        acc_text.add(text_b)
 
     result_schema = EXTRACT_SCHEMA + ", run_id string, partition_id int"
     extracted = pages.mapInPandas(gen, result_schema)
@@ -127,6 +129,7 @@ def run_extract(
         "pages": acc_pages.value,
         "parse_errors": acc_errors.value,
         "nodes": acc_nodes.value,
+        "text_bytes": acc_text.value,
     }
 
 

@@ -133,10 +133,10 @@ def _stride(pos: Column, n: int, c: int) -> Column:
     match at or past c in the stride direction."""
     if n == 0:
         return pos == c
-    # reference semantics: distance counted in moves of the stride;
-    # match iff (pos - c) mod n == 0 and the multiple is >= 0
-    k = (pos - c) / n
-    return ((pos - c) % n == 0) & (k >= 0)
+    # reference semantics (select.cljc:318-326): match iff
+    # (pos - c) mod n == 0 — no direction constraint; pos < c matches
+    # whenever the congruence holds, exactly like the interpreter.
+    return (pos - c) % n == 0
 
 
 def _resolve_nth(n, c):
@@ -371,90 +371,81 @@ def ancestor_rel(*sels):
     return out
 
 
-def _sibling_join(nodes, left_sel, right_sel, offset_expr, gap: bool):
-    """Shared engine for follow/precede[-adjacent]: element siblings
-    within (url, parent_id), matched on elem_sib_pos arithmetic."""
-    a = left_sel(nodes).where(p_element()).select(
-        F.col("url").alias("u"),
-        F.col("parent_id").alias("p"),
-        F.col("elem_sib_pos").alias("a_pos"),
-    )
-    b = nodes.where(p_element())
-    cond = (b["url"] == a["u"]) & (b["parent_id"] == a["p"])
-    if gap:
-        cond = cond & offset_expr(b["elem_sib_pos"], a["a_pos"])
+def _sibling_chain_rel(sels, anchor_last: bool, adjacent: bool):
+    """Shared n-ary engine for follow/precede[-adjacent]
+    (select.cljc:489-515 / 597-632 instantiated with element-sibling
+    moves): anchored at the last (follow-*) or first (precede-*)
+    selector, walking element siblings within (url, parent_id) via
+    elem_sib_pos arithmetic. EVERY selector evaluates against the full
+    node table, so composite selectors (has_child_rel etc.) compose
+    correctly; the walk itself is a chain of url-local joins carrying
+    (anchor_id, current position)."""
+    if len(sels) == 1:
+        return lambda nodes: sels[0](nodes).where(p_element())
+    chain = list(reversed(sels[:-1])) if anchor_last else list(sels[1:])
+    anchor_sel = sels[-1] if anchor_last else sels[0]
+    # moving left (toward earlier siblings) from a follow-anchor;
+    # moving right from a precede-anchor
+    if anchor_last:
+        offset = (
+            (lambda cur, s: s == cur - 1) if adjacent else (lambda cur, s: s < cur)
+        )
     else:
-        cond = cond & offset_expr(b["elem_sib_pos"], a["a_pos"])
-    matched = b.join(a, cond, "left_semi")
-    return right_sel(matched)
+        offset = (
+            (lambda cur, s: s == cur + 1) if adjacent else (lambda cur, s: s > cur)
+        )
+
+    def run(nodes: DataFrame) -> DataFrame:
+        cur = anchor_sel(nodes).where(p_element()).select(
+            "url",
+            F.col("node_id").alias("anchor_id"),
+            F.col("parent_id").alias("par"),
+            F.col("elem_sib_pos").alias("cur"),
+        )
+        for s in chain:
+            lvl = s(nodes).where(p_element()).select(
+                F.col("url").alias("u"),
+                F.col("parent_id").alias("p"),
+                F.col("elem_sib_pos").alias("s_pos"),
+            )
+            cur = (
+                cur.join(
+                    lvl,
+                    (cur["url"] == lvl["u"])
+                    & (cur["par"] == lvl["p"])
+                    & offset(cur["cur"], lvl["s_pos"]),
+                )
+                .select("url", "anchor_id", "par", F.col("s_pos").alias("cur"))
+            )
+        matched = cur.select("url", F.col("anchor_id").alias("node_id")).distinct()
+        return nodes.join(matched, _KEY, "left_semi")
+
+    return run
 
 
 def follow_adjacent_rel(*sels):
-    """CSS `A + B` (select.cljc:565-579): B whose immediately-preceding
-    element sibling matches A. Join on elem_sib_pos == a_pos + 1."""
-    a_sel, b_sel = sels[0], sels[1]
-
-    def run(nodes: DataFrame) -> DataFrame:
-        return _sibling_join(
-            nodes, a_sel, b_sel, lambda bpos, apos: bpos == apos + 1, gap=False
-        )
-
-    return run
+    """CSS `A + B + ...` (select.cljc:565-579): selects the LAST
+    element; each earlier selector matches the immediately-preceding
+    element sibling."""
+    return _sibling_chain_rel(sels, anchor_last=True, adjacent=True)
 
 
 def precede_adjacent_rel(*sels):
-    """mirror — selects A of `A + B` (select.cljc:581-595)."""
-    a_sel, b_sel = sels[0], sels[1]
-
-    def run(nodes: DataFrame) -> DataFrame:
-        b = b_sel(nodes).where(p_element()).select(
-            F.col("url").alias("u"),
-            F.col("parent_id").alias("p"),
-            F.col("elem_sib_pos").alias("b_pos"),
-        )
-        a = a_sel(nodes).where(p_element())
-        return a.join(
-            b,
-            (a["url"] == b["u"]) & (a["parent_id"] == b["p"])
-            & (a["elem_sib_pos"] == b["b_pos"] - 1),
-            "left_semi",
-        )
-
-    return run
+    """mirror — selects the FIRST element of the adjacent chain
+    (select.cljc:581-595)."""
+    return _sibling_chain_rel(sels, anchor_last=False, adjacent=True)
 
 
 def follow_rel(*sels):
-    """CSS `A ~ B` (select.cljc:695-708): some earlier element sibling
-    matches A (gaps allowed)."""
-    a_sel, b_sel = sels[0], sels[1]
-
-    def run(nodes: DataFrame) -> DataFrame:
-        return _sibling_join(
-            nodes, a_sel, b_sel, lambda bpos, apos: bpos > apos, gap=True
-        )
-
-    return run
+    """CSS `A ~ B ~ ...` (select.cljc:695-708): selects the last
+    element; earlier selectors match strictly-earlier element siblings
+    in order, gaps allowed."""
+    return _sibling_chain_rel(sels, anchor_last=True, adjacent=False)
 
 
 def precede_rel(*sels):
-    """mirror of follow — selects A (select.cljc:710-723)."""
-    a_sel, b_sel = sels[0], sels[1]
-
-    def run(nodes: DataFrame) -> DataFrame:
-        b = b_sel(nodes).where(p_element()).select(
-            F.col("url").alias("u"),
-            F.col("parent_id").alias("p"),
-            F.col("elem_sib_pos").alias("b_pos"),
-        )
-        a = a_sel(nodes).where(p_element())
-        return a.join(
-            b,
-            (a["url"] == b["u"]) & (a["parent_id"] == b["p"])
-            & (a["elem_sib_pos"] < b["b_pos"]),
-            "left_semi",
-        )
-
-    return run
+    """mirror of follow — selects the first element (select.cljc:710-723)."""
+    return _sibling_chain_rel(sels, anchor_last=False, adjacent=False)
 
 
 def select_rel(sel, nodes: DataFrame) -> DataFrame:

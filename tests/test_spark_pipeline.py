@@ -175,6 +175,42 @@ def test_salt_repartition_balances_bytes_under_size_skew(spark):
     assert max(per_part) <= 2 * (total / 8), per_part
 
 
+def test_explode_nodes_survives_bad_pages(spark):
+    """NULL / garbage html must not kill the node-table job: a failed
+    page contributes a lone document row (countable, not vanished)."""
+    from pyspark.sql import functions as F
+
+    from hickoryspark.spark.nodes_table import explode_nodes
+
+    pages = spark.createDataFrame(
+        [("ok", b"<p>x</p>"), ("null", None), ("garbage", bytes(range(256)))],
+        "url string, html binary",
+    )
+    nodes = explode_nodes(pages)
+    per_url = {r["url"]: r["n"] for r in
+               nodes.groupBy("url").agg(F.count("*").alias("n")).collect()}
+    assert set(per_url) == {"ok", "null", "garbage"}
+    assert per_url["ok"] >= 5  # document/html/head/body/p/text
+
+
+def test_short_doc_shingles_do_not_crash(spark):
+    """Docs with fewer tokens than the shingle width must yield empty
+    shingle sets, not a sequence(1,0) SparkRuntimeException."""
+    from hickoryspark.ops.dedup import consecutive_pairs, ngram_jaccard_pairs
+    from hickoryspark.ops.textstats import fingerprint
+
+    docs = spark.createDataFrame(
+        [(0, "only two"), (1, "a"), (2, "three token text"), (3, "")],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(docs, consecutive_pairs(docs), 3).collect()
+    assert len(pairs) == 3  # pairs exist; jaccard 0.0 where no shingles
+    assert all(r["jaccard"] == 0.0 for r in pairs)
+    fps = fingerprint(docs).collect()
+    assert len(fps) == 4
+    assert sum(r["fp_min"] is None for r in fps) == 3  # only doc 2 has shingles
+
+
 def test_relational_matches_interpreter(spark, pages):
     """Cross-validate the two selector engines (relational node-table
     vs in-UDF interpreter) on selectors with non-trivial structure."""

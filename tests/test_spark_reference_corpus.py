@@ -164,3 +164,64 @@ def test_relational_selectors_on_reference_corpus(spark, corpus_pages):
             for loc in S.select_locs(isel, tree):
                 expected.add((url, loc.i))  # storage index IS pre-order
         assert rel[name] == expected, f"selector {name} diverges"
+
+
+def test_cross_engine_regressions(spark):
+    """Cases where the relational engine historically diverged from
+    the interpreter: an+b stride with pos < c, composite selectors
+    inside sibling combinators, and n-ary sibling chains."""
+    import hickoryspark.select as S
+    from hickoryspark import parse, as_hickory
+    from hickoryspark.spark import selectors_rel as R
+    from hickoryspark.spark.nodes_table import explode_nodes
+
+    w = R.where
+    docs = {
+        "five": "<div><p>1</p><p>2</p><p>3</p><p>4</p><p>5</p></div>",
+        "comp": '<div><p id="a">x</p><div id="b"><em>y</em></div>'
+                '<span id="c">z</span></div>',
+    }
+    cases = {
+        # (pos - c) % n == 0 must match BELOW c too: positions 1,3,5
+        "stride_below_c": (
+            R.and_rel(w(R.p_tag("p")), w(R.p_nth_child(2, 3))),
+            S.and_(S.tag("p"), S.nth_child(2, 3)),
+        ),
+        # composite B selector in a sibling combinator evaluates
+        # against the FULL node table, not the pre-filtered side
+        "composite_sibling": (
+            R.follow_adjacent_rel(w(R.p_tag("p")), R.has_child_rel(w(R.p_tag("em")))),
+            S.follow_adjacent(S.tag("p"), S.has_child(S.tag("em"))),
+        ),
+        # n-ary chains: 3-selector follow / follow-adjacent
+        "nary_follow": (
+            R.follow_rel(w(R.p_tag("p")), w(R.p_tag("div")), w(R.p_tag("span"))),
+            S.follow(S.tag("p"), S.tag("div"), S.tag("span")),
+        ),
+        "nary_adjacent": (
+            R.follow_adjacent_rel(
+                w(R.p_tag("p")), w(R.p_tag("div")), w(R.p_tag("span"))
+            ),
+            S.follow_adjacent(S.tag("p"), S.tag("div"), S.tag("span")),
+        ),
+        "nary_precede": (
+            R.precede_rel(w(R.p_tag("p")), w(R.p_tag("div")), w(R.p_tag("span"))),
+            S.precede(S.tag("p"), S.tag("div"), S.tag("span")),
+        ),
+    }
+
+    pages = spark.createDataFrame(
+        [(k, v.encode()) for k, v in docs.items()], "url string, html binary"
+    )
+    nodes = explode_nodes(pages).cache()
+    for name, (rsel, isel) in cases.items():
+        got = {
+            (r["url"], r["pre_ord"])
+            for r in rsel(nodes).select("url", "pre_ord").collect()
+        }
+        expected = set()
+        for url, html in docs.items():
+            tree = as_hickory(parse(html))
+            for loc in S.select_locs(isel, tree):
+                expected.add((url, loc.i))
+        assert got == expected, f"{name}: {got} != {expected}"

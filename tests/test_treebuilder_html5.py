@@ -123,3 +123,31 @@ def test_table_structure(html, expected):
 )
 def test_formatting_recovery(html, expected):
     assert roundtrip(html) == expected
+
+
+def test_script_between_head_and_body_does_not_leak():
+    # regression: in after-head mode, rawtext of a late in-head
+    # container must stay inside it, not fall through into <body>
+    out = hickory_to_html(
+        as_hickory(parse("<html><head></head><script>var x=1;</script><p>hi</p></html>"))
+    )
+    assert out == (
+        "<html><head><script>var x=1;</script></head>"
+        "<body><p>hi</p></body></html>"
+    )
+
+
+def test_self_closing_ignored_on_html_elements():
+    # WHATWG/jsoup: '/>' has no effect on non-void HTML elements
+    assert roundtrip("<div/>content") == "<div>content</div>"
+    assert roundtrip("<span/>a<b/>c") == "<span>a<b>c</b></span>"
+    # script stays RAWTEXT even when written self-closing (a bare
+    # leading <script/> belongs to <head> per the insertion modes)
+    assert hickory_to_html(as_hickory(parse("<script/>x</script>"))) == (
+        "<html><head><script>x</script></head><body></body></html>"
+    )
+    # ... but inside foreign content (svg/math) self-closing is honored
+    assert roundtrip("<svg><circle></svg>after") == "<svg><circle></circle></svg>after"
+    assert roundtrip("<svg><circle/><rect/></svg>") == (
+        "<svg><circle></circle><rect></rect></svg>"
+    )
