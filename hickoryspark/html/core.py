@@ -44,6 +44,10 @@ def as_hiccup(parsed):
     (trampoline-equivalent, core.clj:12-16)."""
     if isinstance(parsed, str):
         return html_escape(parsed)
+    if isinstance(parsed, list):
+        # a parse_fragment result: one hiccup form per root, mirroring
+        # the reference usage (map as-hiccup (parse-fragment ...))
+        return [as_hiccup(node) for node in parsed]
     if isinstance(parsed, dict) and parsed.get("type") == "document":
         out: list = []
         _fill_children(out, parsed.get("content") or [])

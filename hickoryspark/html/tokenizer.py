@@ -142,16 +142,20 @@ def _read_doctype_id(s: str, pos: int, n: int):
     return "", pos
 
 
-def _find_rawtext_end(s_lower: str, pos: int, tag: str, n: int) -> int:
-    """Index of the '<' of the matching ``</tag`` end tag, or -1."""
-    needle = "</" + tag
-    k = len(needle)
-    i = s_lower.find(needle, pos)
+def _find_rawtext_end(s: str, pos: int, tag: str, n: int) -> int:
+    """Index of the '<' of the matching ``</tag`` end tag, or -1.
+
+    Case-insensitive WITHOUT lowercasing the haystack: str.lower() is
+    not length-preserving (e.g. U+0130 lowers to two chars), which
+    would desynchronize indices and corrupt the token stream."""
+    k = 2 + len(tag)
+    i = s.find("</", pos)
     while i != -1:
-        j = i + k
-        if j >= n or s_lower[j] in _WS or s_lower[j] in "/>":
-            return i
-        i = s_lower.find(needle, i + 1)
+        if s[i + 2 : i + k].lower() == tag:
+            j = i + k
+            if j >= n or s[j] in _WS or s[j] in "/>":
+                return i
+        i = s.find("</", i + 1)
     return -1
 
 
@@ -159,16 +163,13 @@ def tokenize(s: str):
     """Yield tokens for an HTML document/fragment string."""
     s = preprocess(s)
     n = len(s)
-    s_lower: str | None = None  # lazily lowered copy for rawtext search
     pos = 0
     rawtext: tuple[str, bool] | None = None  # (tag, decode_entities?)
     while pos < n:
         if rawtext is not None:
             tag, decode = rawtext
             rawtext = None
-            if s_lower is None:
-                s_lower = s.lower()
-            end = _find_rawtext_end(s_lower, pos, tag, n)
+            end = _find_rawtext_end(s, pos, tag, n)
             if end == -1:
                 text = s[pos:]
                 if text:

@@ -117,6 +117,8 @@ class _Builder:
         self.head: dict | None = None
         self.body: dict | None = None
         self.mode = _INITIAL
+        # WHATWG form element pointer: nested <form> start tags ignored
+        self.form: dict | None = None
         # Active formatting elements: node dicts + "marker" sentinels
         # (WHATWG 13.2.4.3) — drives misnested-formatting reconstruction.
         self.afe: list = []
@@ -179,12 +181,15 @@ class _Builder:
     def _p_in_button_scope(self) -> bool:
         return self._find_open(("p",), _P_SCOPE_BOUNDARY) != -1
 
-    def _honor_self_closing(self, self_closing: bool) -> bool:
+    def _honor_self_closing(self, self_closing: bool, tag: str = "") -> bool:
         """WHATWG ignores the self-closing flag on non-void HTML
-        elements ('<div/>' stays open); it is honored only in foreign
-        content (an open <svg>/<math> ancestor)."""
+        elements ('<div/>' stays open); it is honored in foreign
+        content (an open <svg>/<math> ancestor) and on the foreign
+        roots themselves ('<svg/>' inserts-and-pops per 'in body')."""
         if not self_closing:
             return False
+        if tag in ("svg", "math"):
+            return True
         for s in reversed(self.stack):
             if s.get("tag") in ("svg", "math"):
                 return True
@@ -614,10 +619,18 @@ class _Builder:
 
     def _in_body(self, tok) -> bool:
         kind = tok[0]
+        skip_lf, self._skip_lf = getattr(self, "_skip_lf", False), False
         if kind in ("text", "rawtext"):
+            text = tok[1]
+            if skip_lf and text.startswith("\n"):
+                # WHATWG: the LF right after <pre>/<listing>/<textarea>
+                # is ignored
+                text = text[1:]
+                if not text:
+                    return True
             if self.afe and self.stack[-1].get("tag") not in _TABLE_CTX:
                 self._reconstruct_afe()
-            self._insert_text(tok[1])
+            self._insert_text(text)
             return True
         if kind == "comment":
             self._append(self.stack[-1], {"type": "comment", "content": [tok[1]]})
@@ -645,6 +658,12 @@ class _Builder:
             return self._table_internal_start(tag, attrs, self_closing)
         if tag in _P_CLOSERS and self._p_in_button_scope():
             self._close_p()
+        if tag == "table":
+            # WHATWG "in table": a nested <table> start tag closes the
+            # open table first (the new table becomes its sibling)
+            i = self._find_open(("table",), ("html",))
+            if i != -1:
+                del self.stack[i:]
         if tag in ("li", "dd", "dt"):
             closers = ("li",) if tag == "li" else ("dd", "dt")
             for i in range(len(self.stack) - 1, -1, -1):
@@ -658,21 +677,34 @@ class _Builder:
             if self.stack[-1]["tag"] in _HEADINGS:
                 self.stack.pop()
         elif tag == "a":
-            # spec: an open <a> in the formatting list triggers AAA
-            for i in range(len(self.afe) - 1, -1, -1):
-                e = self.afe[i]
-                if e == "marker":
-                    break
-                if e["tag"] == "a":
-                    self.afe.pop(i)
-                    break
-            i = self._find_open(("a",), ("html", "body"))
-            if i != -1:
-                del self.stack[i:]
+            # spec: an open <a> in the formatting list runs the
+            # adoption agency for "a", then any leftover open <a> is
+            # removed from the stack and the list
+            has_open_a = any(
+                e != "marker" and e["tag"] == "a"
+                for e in reversed(self.afe)
+            )
+            if has_open_a:
+                self._adoption_agency_end("a")
+                for i in range(len(self.afe) - 1, -1, -1):
+                    e = self.afe[i]
+                    if e != "marker" and e["tag"] == "a":
+                        self.afe.pop(i)
+                        break
+                i = self._find_open(("a",), ("html", "body"))
+                if i != -1:
+                    del self.stack[i : i + 1]
         elif tag == "button":
             i = self._find_open(("button",), ("html", "body"))
             if i != -1:
                 del self.stack[i:]
+        elif tag == "form":
+            if self.form is not None:
+                return True  # form element pointer set: ignore (spec)
+            if self.stack[-1].get("tag") in _TABLE_CTX:
+                # "in table": insert the form and pop it immediately
+                self.form = self._insert_element(tag, attrs, push=False)
+                return True
         elif tag in ("option", "optgroup"):
             if self.stack[-1]["tag"] == "option":
                 self.stack.pop()
@@ -685,7 +717,7 @@ class _Builder:
         # not — their formatting re-opens lazily at the next text token.
         if not in_table_ctx and (tag in _FORMATTING or tag not in _SPECIAL):
             self._reconstruct_afe()
-        sc = self._honor_self_closing(self_closing)
+        sc = self._honor_self_closing(self_closing, tag)
         if tag in VOID_ELEMENTS:
             if in_table_ctx:
                 self._foster_insert(_elem(tag, attrs))
@@ -704,6 +736,10 @@ class _Builder:
                 self._push_afe(node)
             elif tag in _AFE_MARKERS:
                 self.afe.append("marker")
+        if tag == "form":
+            self.form = node
+        if tag in ("pre", "listing", "textarea"):
+            self._skip_lf = True
         return True
 
     def _close_caption_or_colgroup(self) -> None:
@@ -788,6 +824,8 @@ class _Builder:
             return True  # end tags of void elements are ignored
         if tag in _FORMATTING:
             return self._adoption_agency_end(tag)
+        if tag == "form":
+            self.form = None
         return self._generic_end(tag)
 
     def _generic_end(self, tag: str) -> bool:

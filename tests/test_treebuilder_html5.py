@@ -125,6 +125,49 @@ def test_formatting_recovery(html, expected):
     assert roundtrip(html) == expected
 
 
+@pytest.mark.parametrize(
+    "html,expected",
+    [
+        # rawtext end-tag search must not be confused by characters
+        # whose lower() changes the string length (U+0130)
+        (
+            "<body><p>İ</p><script>var a=1;</script>after</body>",
+            "<p>İ</p><script>var a=1;</script>after",
+        ),
+        # '<svg/>' self-closes (foreign root honors the flag)
+        ("<svg/><p>hi</p>", "<svg></svg><p>hi</p>"),
+        # the LF right after <pre>/<textarea> start tags is dropped
+        (
+            "<pre>\nfoo\nbar</pre><textarea>\nx</textarea>",
+            "<pre>foo\nbar</pre><textarea>x</textarea>",
+        ),
+        # a second <a> runs the adoption agency, not a stack pop
+        ("<a>1<p>2<a>3", "<a>1</a><p><a>2</a><a>3</a></p>"),
+        # a nested <table> closes the open table (sibling order kept)
+        (
+            "<table><table><tr><td>x",
+            "<table></table><table><tbody><tr><td>x</td></tr></tbody></table>",
+        ),
+        # <form> in table context is inserted empty; rows stay in table
+        (
+            "<table><form><tr><td>x",
+            "<table><form></form><tbody><tr><td>x</td></tr></tbody></table>",
+        ),
+        # form element pointer: nested <form> start tags are ignored
+        ("<form><form><input></form></form>", "<form><input></form>"),
+    ],
+)
+def test_whatwg_edge_behaviors(html, expected):
+    assert roundtrip(html) == expected
+
+
+def test_as_hiccup_accepts_fragment_list():
+    from hickoryspark import as_hiccup, parse_fragment
+
+    forms = as_hiccup(parse_fragment("x<div>y</div>"))
+    assert forms == ["x", ["div", {}, "y"]]
+
+
 def test_script_between_head_and_body_does_not_leak():
     # regression: in after-head mode, rawtext of a late in-head
     # container must stay inside it, not fall through into <body>
