@@ -475,8 +475,14 @@ def oracle_sql() -> dict[str, str]:
         "sel_element_child": c(f"9 + np + {_L}"),
         "sel_root": c("1"),
         "sel_node_type": c("1"),
+        # matching parents: the <p class=para> chunks, plus the <h1>
+        # (direct text = source) and <p class=fine> (direct text =
+        # 'copyright ' || source) whenever the source itself contains
+        # the word — no vocabulary assumption about `source`
         "sel_find_in_text": c(
             r"len(list_filter(chunks, ch -> regexp_matches(ch, '\bspark\b')))"
+            r" + 2 * (CASE WHEN regexp_matches(source, '\bspark\b')"
+            r" THEN 1 ELSE 0 END)"
         ),
         # positional: fold the per-parent element-child counts
         "sel_nth_child": c(f"list_sum(list_transform({_KIDS}, k -> (k+1)//2))"),

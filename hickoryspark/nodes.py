@@ -48,6 +48,7 @@ class Doc:
         "depth",
         "sib_pos",
         "elem_sib_pos",
+        "n_elems_left",
         "n_elem_children",
         "subtree_end",
         "first_child",
@@ -67,6 +68,7 @@ class Doc:
         self.depth = np.zeros(n, dtype=np.int32)
         self.sib_pos = np.zeros(n, dtype=np.int32)
         self.elem_sib_pos = np.zeros(n, dtype=np.int32)  # 1-based, 0 = non-elem
+        self.n_elems_left = np.zeros(n, dtype=np.int32)  # elem sibs strictly left
         self.n_elem_children = np.zeros(n, dtype=np.int32)
         self.subtree_end = np.zeros(n, dtype=np.int32)
         self.first_child = np.full(n, -1, dtype=np.int32)
@@ -147,6 +149,7 @@ def flatten(tree) -> Doc:
     parent: list[int] = []
     sib_pos: list[int] = []
     elem_pos: list[int] = []
+    elems_left: list[int] = []  # element siblings strictly to the left
     first_child: list[int] = []
     next_sib: list[int] = []
     prev_sib: list[int] = []
@@ -179,6 +182,7 @@ def flatten(tree) -> Doc:
             pos = sib_cnt[p]
             sib_pos.append(pos)
             sib_cnt[p] = pos + 1
+            elems_left.append(elem_cnt[p])
             prev = last_sib[p]
             if prev != -1:
                 next_sib[prev] = i
@@ -188,6 +192,7 @@ def flatten(tree) -> Doc:
             last_sib[p] = i
         else:
             sib_pos.append(0)
+            elems_left.append(0)
         if isinstance(node, str):
             types.append(TYPE_TEXT)
             texts[i] = node
@@ -245,6 +250,7 @@ def flatten(tree) -> Doc:
     doc.depth = np.array(depth, dtype=np.int32)
     doc.sib_pos = np.array(sib_pos, dtype=np.int32)
     doc.elem_sib_pos = np.array(elem_pos, dtype=np.int32)
+    doc.n_elems_left = np.array(elems_left, dtype=np.int32)
     doc.n_elem_children = np.array(elem_cnt, dtype=np.int32)
     doc.subtree_end = np.array(end, dtype=np.int32)
     doc.first_child = np.array(first_child, dtype=np.int32)

@@ -180,12 +180,11 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3) -> DataFr
             "doc_a",
             "doc_b",
             F.round(
-                F.coalesce(
-                    F.try_divide(
-                        F.size(F.array_intersect("sh_a", "sh_b")),
-                        F.size(F.array_union("sh_a", "sh_b")),
-                    ),
-                    F.lit(0.0),  # both shingle sets empty -> jaccard 0
+                # 0/0 (both shingle sets empty) -> NULL, matching the
+                # DuckDB oracle's x/0 semantics exactly
+                F.try_divide(
+                    F.size(F.array_intersect("sh_a", "sh_b")),
+                    F.size(F.array_union("sh_a", "sh_b")),
                 ),
                 6,
             ).alias("jaccard"),

@@ -31,7 +31,6 @@ from hickoryspark.nodes import (
     flatten,
 )
 
-_END = object()  # zip/end sentinel
 
 
 class Loc:
@@ -535,9 +534,7 @@ def ordered_adjacent(move_fn, *selectors):
 
     def sel(loc):
         curr = loc
-        for idx, s in enumerate(selectors):
-            if idx > 0 and curr is None:
-                return None
+        for s in selectors:
             if curr is None:
                 return None
             nxt = s(curr)

@@ -143,7 +143,9 @@ def extract_batch(batch: pd.DataFrame) -> pd.DataFrame:
     for url, html in zip(batch["url"], batch["html"]):
         urls.append(url)
         try:
-            if isinstance(html, (bytes, bytearray, memoryview)):
+            if html is None:
+                html = ""  # same policy as nodes_table: empty document
+            elif isinstance(html, (bytes, bytearray, memoryview)):
                 html = bytes(html).decode("utf-8", "replace")
             doc = flatten(as_hickory(parse(html)))
             mt, mh, nc = extract_doc(doc)

@@ -26,14 +26,14 @@ from hickoryspark.nodes import Doc, flatten, TYPE_ELEMENT
 
 NODES_SCHEMA = (
     "url string, node_id int, parent_id int, pre_ord int, subtree_end int, "
-    "sib_pos int, elem_sib_pos int, depth int, type tinyint, tag string, "
+    "sib_pos int, elem_sib_pos int, n_elems_left int, depth int, type tinyint, tag string, "
     "attrs map<string,string>, text string, "
     "parent_type tinyint, parent_tag string, n_elem_sibs int"
 )
 
 _COLS = [
     "url", "node_id", "parent_id", "pre_ord", "subtree_end", "sib_pos",
-    "elem_sib_pos", "depth", "type", "tag", "attrs", "text",
+    "elem_sib_pos", "n_elems_left", "depth", "type", "tag", "attrs", "text",
     "parent_type", "parent_tag", "n_elem_sibs",
 ]
 
@@ -53,6 +53,7 @@ def doc_rows(url: str, doc: Doc) -> dict[str, list]:
     out["subtree_end"] = doc.subtree_end.tolist()
     out["sib_pos"] = doc.sib_pos.tolist()
     out["elem_sib_pos"] = doc.elem_sib_pos.tolist()
+    out["n_elems_left"] = doc.n_elems_left.tolist()
     out["depth"] = doc.depth.tolist()
     out["type"] = types
     out["tag"] = list(tags)

@@ -124,12 +124,30 @@ def run_extract(
     )
     lineage.write.format(sink_format).mode("append").save(lineage_path)
 
+    # Exact totals come from the COMMITTED lineage (accumulators update
+    # inside a transformation, so task retries / speculative attempts
+    # can double-count them — they remain useful only as live-progress
+    # signals on the driver).
+    import pyspark.sql.functions as _F
+
+    totals = (
+        spark.read.format(sink_format)
+        .load(lineage_path)
+        .where(_F.col("run_id") == run_id)
+        .agg(
+            _F.coalesce(_F.sum("pages"), _F.lit(0)).alias("pages"),
+            _F.coalesce(_F.sum("parse_errors"), _F.lit(0)).alias("parse_errors"),
+            _F.coalesce(_F.sum("nodes"), _F.lit(0)).alias("nodes"),
+            _F.coalesce(_F.sum("text_bytes"), _F.lit(0)).alias("text_bytes"),
+        )
+        .collect()[0]
+    )
     return {
         "run_id": run_id,
-        "pages": acc_pages.value,
-        "parse_errors": acc_errors.value,
-        "nodes": acc_nodes.value,
-        "text_bytes": acc_text.value,
+        "pages": int(totals["pages"]),
+        "parse_errors": int(totals["parse_errors"]),
+        "nodes": int(totals["nodes"]),
+        "text_bytes": int(totals["text_bytes"]),
     }
 
 

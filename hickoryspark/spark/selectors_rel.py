@@ -54,14 +54,15 @@ def p_node_type(t: str) -> Column:
 
 
 def p_tag(t: str) -> Column:
-    """select.cljc:187-199 — tag equality (tags lowercased at parse)."""
-    return F.col("tag") == F.lit(str(t).lower())
+    """select.cljc:187-199 — tag equality, case-insensitive; leading
+    ':' stripped exactly like the interpreter's keyword-style args."""
+    return F.col("tag") == F.lit(str(t).lstrip(":").lower())
 
 
 def p_attr(name: str, value_pred: Column | None = None) -> Column:
     """select.cljc:201-230 — attrs contains key (lowercased); optional
     predicate over the raw value, evaluated only when the key exists."""
-    k = str(name).lower()
+    k = str(name).lstrip(":").lower()
     has = F.map_contains_key(F.col("attrs"), F.lit(k))
     if value_pred is None:
         return has
@@ -69,19 +70,19 @@ def p_attr(name: str, value_pred: Column | None = None) -> Column:
 
 
 def attr_value(name: str) -> Column:
-    return F.col("attrs").getItem(str(name).lower())
+    return F.col("attrs").getItem(str(name).lstrip(":").lower())
 
 
 def p_id(x: str) -> Column:
     """select.cljc:232-239 — case-insensitive id equality."""
-    return p_attr("id", F.lower(attr_value("id")) == F.lit(str(x).lower()))
+    return p_attr("id", F.lower(attr_value("id")) == F.lit(str(x).lstrip(":").lower()))
 
 
 def p_class(c: str) -> Column:
     """select.cljc:241-251 — class attr split on \\s+, lowercased,
     set-contains."""
     classes = F.split(F.lower(attr_value("class")), r"\s+")
-    return p_attr("class", F.array_contains(classes, str(c).lower()))
+    return p_attr("class", F.array_contains(classes, str(c).lstrip(":").lower()))
 
 
 def p_element() -> Column:
@@ -172,11 +173,13 @@ def with_type_rank(nodes: DataFrame) -> DataFrame:
 
 
 def p_nth_of_type(n: int, c: int, tag: str) -> Column:
-    """Requires with_type_rank. select.cljc:329-351."""
+    """Requires with_type_rank. select.cljc:329-351. Tag comparison is
+    case-SENSITIVE (reference keyword equality) — mirrors the
+    interpreter's nth_of_type, which only strips a leading ':'."""
     n, c = _resolve_nth(n, c)
     return (
         p_element_child()
-        & (F.col("tag") == str(tag).lower())
+        & (F.col("tag") == str(tag).lstrip(":"))
         & _stride(F.col("tag_sib_pos"), n, c)
     )
 
@@ -186,7 +189,7 @@ def p_nth_last_of_type(n: int, c: int, tag: str) -> Column:
     pos = F.col("n_tag_sibs") - F.col("tag_sib_pos") + 1
     return (
         p_element_child()
-        & (F.col("tag") == str(tag).lower())
+        & (F.col("tag") == str(tag).lstrip(":"))
         & _stride(pos, n, c)
     )
 
@@ -381,7 +384,10 @@ def _sibling_chain_rel(sels, anchor_last: bool, adjacent: bool):
     correctly; the walk itself is a chain of url-local joins carrying
     (anchor_id, current position)."""
     if len(sels) == 1:
-        return lambda nodes: sels[0](nodes).where(p_element())
+        # a 1-selector chain is just the selector (no move happens);
+        # the anchor is NOT required to be an element (select.cljc
+        # ordered-adjacent applies moves only BETWEEN selectors)
+        return sels[0]
     chain = list(reversed(sels[:-1])) if anchor_last else list(sels[1:])
     anchor_sel = sels[-1] if anchor_last else sels[0]
     # moving left (toward earlier siblings) from a follow-anchor;
@@ -396,11 +402,24 @@ def _sibling_chain_rel(sels, anchor_last: bool, adjacent: bool):
         )
 
     def run(nodes: DataFrame) -> DataFrame:
-        cur = anchor_sel(nodes).where(p_element()).select(
+        # anchor may be ANY node type (left/right-of-node-type element
+        # starts from wherever the anchor is): its VIRTUAL element
+        # position makes the uniform +-1 arithmetic work — an element
+        # uses its own rank; a text/comment node with k element
+        # siblings to its left sits "between" ranks k and k+1.
+        if anchor_last:  # moving left: nearest element left is at v-1
+            vpos = F.when(p_element(), F.col("elem_sib_pos")).otherwise(
+                F.col("n_elems_left") + 1
+            )
+        else:  # moving right: nearest element right is at v+1
+            vpos = F.when(p_element(), F.col("elem_sib_pos")).otherwise(
+                F.col("n_elems_left")
+            )
+        cur = anchor_sel(nodes).select(
             "url",
             F.col("node_id").alias("anchor_id"),
             F.col("parent_id").alias("par"),
-            F.col("elem_sib_pos").alias("cur"),
+            vpos.alias("cur"),
         )
         for s in chain:
             lvl = s(nodes).where(p_element()).select(

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hickoryspark.spark.extract import EXTRACT_SCHEMA, extract_batch
+from hickoryspark.spark.extract import extract_pages
 
 PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -40,15 +40,10 @@ def read_pages_stream(
 
 
 def extract_stream(pages_stream: DataFrame) -> DataFrame:
-    """Stateless streaming transform: same Arrow-batched extractor as
-    the batch pipeline."""
-
-    def gen(batches):
-        for b in batches:
-            if len(b):
-                yield extract_batch(b)
-
-    return pages_stream.select("url", "html").mapInPandas(gen, EXTRACT_SCHEMA)
+    """Stateless streaming transform: literally the batch extractor —
+    mapInPandas is streaming-compatible, so the two paths share one
+    implementation."""
+    return extract_pages(pages_stream)
 
 
 def start_extract_stream(

@@ -175,6 +175,24 @@ def test_salt_repartition_balances_bytes_under_size_skew(spark):
     assert max(per_part) <= 2 * (total / 8), per_part
 
 
+def test_oracle_closed_form_preconditions(spark):
+    """The driver oracles' closed forms assume (a) every doc has at
+    least np tokens (no empty paragraph chunks) and (b) no `source`
+    value collides with class/id vocabulary. Validate the assumptions
+    hold on every shipped sf dir rather than trusting them silently."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        d = f"/root/testdata/sf{sf}/documents.parquet"
+        if not os.path.exists(d):
+            continue
+        bad, = duckdb.sql(
+            f"""SELECT count(*) FROM read_parquet('{d}')
+                WHERE len(string_split(text, ' ')) < n_chars % 5 + 2"""
+        ).fetchone()
+        assert bad == 0, f"sf{sf}: {bad} docs shorter than their np"
+
+
 def test_explode_nodes_survives_bad_pages(spark):
     """NULL / garbage html must not kill the node-table job: a failed
     page contributes a lone document row (countable, not vanished)."""
@@ -203,9 +221,12 @@ def test_short_doc_shingles_do_not_crash(spark):
         [(0, "only two"), (1, "a"), (2, "three token text"), (3, "")],
         "doc_id long, text string",
     )
-    pairs = ngram_jaccard_pairs(docs, consecutive_pairs(docs), 3).collect()
-    assert len(pairs) == 3  # pairs exist; jaccard 0.0 where no shingles
-    assert all(r["jaccard"] == 0.0 for r in pairs)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, consecutive_pairs(docs), 3).collect()}
+    assert len(pairs) == 3
+    # 0/0 (both sides shingle-less) is NULL per the oracle's semantics;
+    # one-sided emptiness is 0.0
+    assert pairs[(0, 1)] is None and pairs[(2, 3)] == 0.0 and pairs[(1, 2)] == 0.0
     fps = fingerprint(docs).collect()
     assert len(fps) == 4
     assert sum(r["fp_min"] is None for r in fps) == 3  # only doc 2 has shingles

@@ -180,6 +180,9 @@ def test_cross_engine_regressions(spark):
         "five": "<div><p>1</p><p>2</p><p>3</p><p>4</p><p>5</p></div>",
         "comp": '<div><p id="a">x</p><div id="b"><em>y</em></div>'
                 '<span id="c">z</span></div>',
+        # non-element siblings interleaved: text + comments between
+        # elements exercise the virtual-position arithmetic
+        "mixed": "<div><h1>t</h1><!--c-->text<p>y</p>tail</div>",
     }
     cases = {
         # (pos - c) % n == 0 must match BELOW c too: positions 1,3,5
@@ -207,6 +210,25 @@ def test_cross_engine_regressions(spark):
         "nary_precede": (
             R.precede_rel(w(R.p_tag("p")), w(R.p_tag("div")), w(R.p_tag("span"))),
             S.precede(S.tag("p"), S.tag("div"), S.tag("span")),
+        ),
+        # NON-ELEMENT anchors: the reference's element-sibling moves
+        # start from wherever the anchor loc is — text/comment anchors
+        # must match (left/right-of-node-type element semantics)
+        "text_anchor_follow_adj": (
+            R.follow_adjacent_rel(w(R.p_tag("h1")), w(R.p_node_type("text"))),
+            S.follow_adjacent(S.tag("h1"), S.node_type("text")),
+        ),
+        "comment_anchor_single": (
+            R.follow_adjacent_rel(w(R.p_node_type("comment"))),
+            S.follow_adjacent(S.node_type("comment")),
+        ),
+        "text_anchor_follow": (
+            R.follow_rel(w(R.p_tag("h1")), w(R.p_node_type("text"))),
+            S.follow(S.tag("h1"), S.node_type("text")),
+        ),
+        "text_anchor_precede": (
+            R.precede_rel(w(R.p_node_type("text")), w(R.p_tag("p"))),
+            S.precede(S.node_type("text"), S.tag("p")),
         ),
     }
 
