@@ -75,6 +75,12 @@ def lsh_candidate_pairs(
     (docs sharing a band-sig by the thousands are resolved cheaper via
     exact_dup_groups / a union-find on bucket representatives); the
     uncapped expansion here preserves the oracle's exact semantics.
+
+    Note: the internal signature-group frame is persist()ed (it feeds
+    three branches of the returned plan); the blocks live until LRU
+    eviction or session end — long-lived sessions calling this in a
+    loop should unpersist via spark.catalog.clearCache() between runs
+    or materialize the result.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes)
