@@ -428,6 +428,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return fingerprint(load_documents(spark, sf))
 
+    def q_events_windowed(spark, sf):
+        from hickoryspark.ops.events import windowed_counts
+
+        return windowed_counts(spark.read.parquet(f"{sf}/events.parquet"))
+
+    def q_events_sessionize(spark, sf):
+        from hickoryspark.ops.events import sessionize
+
+        return sessionize(spark.read.parquet(f"{sf}/events.parquet"))
+
+    def q_events_props(spark, sf):
+        from hickoryspark.ops.events import props_stats
+
+        return props_stats(spark.read.parquet(f"{sf}/events.parquet"))
+
     def q_multimodal(spark, sf):
         from hickoryspark.ops.multimodal import featurize_media, synthetic_media
 
@@ -456,6 +471,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_quality=q_quality,
         text_lang_id=q_lang_id,
         text_fingerprint=q_fingerprint,
+        events_windowed=q_events_windowed,
+        events_sessionize=q_events_sessionize,
+        events_props=q_events_props,
         multimodal_features=q_multimodal,
     )
     return out
@@ -666,6 +684,38 @@ def oracle_sql() -> dict[str, str]:
                        i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
                      ), s -> md5(s))) AS fp_min
             FROM documents""",
+        "events_windowed": """
+            SELECT date_trunc('hour', ts) AS win_start, event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 6) AS value_sum
+            FROM events GROUP BY 1, 2""",
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g
+            ), per AS (
+              SELECT user_id, session_id, COUNT(*) AS n
+              FROM s GROUP BY 1, 2
+            )
+            SELECT user_id, COUNT(*) AS n_sessions, SUM(n) AS n_events,
+                   MAX(n) AS max_session_events
+            FROM per GROUP BY 1""",
+        "events_props": """
+            SELECT event_type,
+                   ROUND(AVG(k), 6) AS k_avg, MAX(k) AS k_max,
+                   COUNT(k) AS n_with_k
+            FROM (SELECT event_type,
+                         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY 1""",
     }
 
     # ann_lsh: the md5-derived hyperplanes are deterministic literals,

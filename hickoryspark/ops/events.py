@@ -1,0 +1,78 @@
+"""Event-stream analytics over the ``events`` table
+(event_id, ts, user_id, event_type, value, props-json).
+
+The batch forms of the windowed operators a crawl-monitoring pipeline
+runs continuously (streaming.host_throughput_stream is the streaming
+twin): tumbling-window aggregation, gap-based sessionization, and
+JSON property extraction — all pure DataFrame programs with exact
+DuckDB mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window per event_type: count + value sum.
+    The streaming twin adds withWatermark; the plan is otherwise the
+    same windowed partial-aggregate."""
+    return (
+        events.groupBy(
+            F.window("ts", window).alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type",
+                "n_events", "value_sum")
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization per user: a session breaks when the
+    time since the previous event exceeds the gap. One url-free shuffle
+    on user_id; both window functions share the same (user_id, ts)
+    sort. Returns (user_id, n_sessions, n_events, max_session_events).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts arrives as TIMESTAMP_NTZ from parquet; route through TIMESTAMP
+    # (session tz = UTC) to get epoch seconds
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), 1
+    ).otherwise(0)
+    sessions = events.withColumn(
+        "session_id",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.max("n").alias("max_session_events"),
+    )
+
+
+def props_stats(events: DataFrame) -> DataFrame:
+    """JSON property extraction (props is a JSON string column):
+    avg/max of $.k per event_type. get_json_object is JVM-side —
+    no Python in the path."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("k_avg"),
+            F.max("k").alias("k_max"),
+            F.count("k").alias("n_with_k"),
+        )
+    )

@@ -72,6 +72,48 @@ def start_extract_stream(
     return writer.start()
 
 
+def dedup_first_seen_stream(
+    pages_stream: DataFrame,
+) -> DataFrame:
+    """Cross-micro-batch EXACT dedup: emit only the first-ever
+    occurrence of each content hash, keyed state via
+    applyInPandasWithState (the custom-stateful-operator surface).
+
+    State is one boolean per distinct content hash, persisted in the
+    streaming state store and restored from the checkpoint on restart —
+    a page whose content was seen in ANY earlier micro-batch (or before
+    a restart) is dropped. At design scale bound the state with a
+    timeout (GroupStateTimeout.ProcessingTimeTimeout + a TTL matched to
+    the crawl revisit horizon) or periodically compact to a bloom
+    filter; NoTimeout here keeps the sandbox behavior exact.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def emit_first(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            return  # hash already emitted in an earlier batch
+        first = None
+        for pdf in pdfs:
+            if first is None and len(pdf):
+                first = pdf.iloc[[0]][["url", "content_hash"]]
+        state.update((True,))
+        if first is not None:
+            yield first
+
+    hashed = pages_stream.select(
+        "url", F.md5(F.col("html")).alias("content_hash")
+    )
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        emit_first,
+        outputStructType="url string, content_hash string",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def host_throughput_stream(
     pages_stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -62,6 +62,66 @@ def test_stream_extract_and_resume(spark, tmp_path):
     assert result.select("url").distinct().count() == n
 
 
+def test_stateful_dedup_first_seen(spark, tmp_path):
+    """applyInPandasWithState dedup: only first-ever occurrence of each
+    content hash is emitted, including ACROSS restarts (state restored
+    from the checkpoint)."""
+    from pyspark.sql import functions as F
+
+    from hickoryspark.spark.streaming import dedup_first_seen_stream
+
+    src = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_batch(rows):
+        spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary, "
+                  "text string, lang string"
+        ).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "url string, warc_ts timestamp, html binary, "
+                "text string, lang string"
+            ).option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        q = (
+            dedup_first_seen_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    import datetime
+
+    t = datetime.datetime(2025, 7, 25)
+    # batch 1: A, A-dup, B
+    run_batch([
+        ("u1", t, b"<p>A</p>", "", "en"),
+        ("u2", t, b"<p>A</p>", "", "en"),
+        ("u3", t, b"<p>B</p>", "", "en"),
+    ])
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 2
+    assert got1.select("content_hash").distinct().count() == 2
+
+    # batch 2 (restart): A again (dropped via restored state), C (new)
+    run_batch([
+        ("u4", t, b"<p>A</p>", "", "en"),
+        ("u5", t, b"<p>C</p>", "", "en"),
+    ])
+    got2 = spark.read.parquet(out)
+    assert got2.count() == 3
+    hashes = {r["content_hash"] for r in got2.collect()}
+    assert len(hashes) == 3
+    urls = {r["url"] for r in got2.collect()}
+    assert "u4" not in urls  # duplicate content dropped across restart
+
+
 def test_host_throughput_window(spark):
     from hickoryspark.spark.pages import load_pages
     from hickoryspark.spark.streaming import host_throughput_stream
