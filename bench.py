@@ -165,7 +165,8 @@ def main() -> None:
             t_extract = dt
 
     total = round(sum(timings.values()), 4)
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    base = os.path.basename(sf_dir.rstrip("/"))
+    sf = base[2:] if base.startswith("sf") else base
     try:
         sf_val = float(sf)
     except ValueError:

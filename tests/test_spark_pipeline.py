@@ -176,10 +176,11 @@ def test_salt_repartition_balances_bytes_under_size_skew(spark):
 
 
 def test_oracle_closed_form_preconditions(spark):
-    """The driver oracles' closed forms assume (a) every doc has at
-    least np tokens (no empty paragraph chunks) and (b) no `source`
-    value collides with class/id vocabulary. Validate the assumptions
-    hold on every shipped sf dir rather than trusting them silently."""
+    """The driver oracles' closed forms assume every doc has at least
+    np tokens (no empty paragraph chunks). Validate the assumption on
+    every shipped sf dir rather than trusting it silently. (`source`
+    appears only as h1/copyright TEXT in the template, never as a
+    class/id, so no vocabulary precondition exists for it.)"""
     import duckdb
 
     for sf in ("0.001", "0.01", "0.1"):
@@ -258,13 +259,18 @@ def test_relational_matches_interpreter(spark, pages):
         ),
     }
 
-    sample = pages.limit(25)
+    # collect the sample ONCE: limit() on an unordered frame is not
+    # guaranteed to pick the same rows across separate actions, so both
+    # engines must be driven from the identical collected pages
+    rows = pages.select("url", "html").limit(25).collect()
+    sample = spark.createDataFrame(
+        [(r["url"], bytes(r["html"])) for r in rows], "url string, html binary"
+    )
     nodes = explode_nodes(sample).cache()
     rel_counts = {
         k: sel(nodes).count() for k, (sel, _) in cases.items()
     }
 
-    rows = sample.select("html").collect()
     interp_counts = dict.fromkeys(cases, 0)
     for r in rows:
         tree = as_hickory(parse(bytes(r["html"]).decode("utf-8")))

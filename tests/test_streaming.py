@@ -44,7 +44,7 @@ def test_stream_extract_and_resume(spark, tmp_path):
     first.write.parquet(src)
 
     q = start_extract_stream(spark, src, out, ckpt, trigger_once=True)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish in time"
     got = spark.read.parquet(out)
     assert got.count() == n_first
     assert got.where(F.col("parse_error").isNotNull()).count() == 0
@@ -55,7 +55,7 @@ def test_stream_extract_and_resume(spark, tmp_path):
         "append"
     ).parquet(src)
     q2 = start_extract_stream(spark, src, out, ckpt, trigger_once=True)
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "resumed stream did not finish in time"
 
     result = spark.read.parquet(out)
     assert result.count() == n
@@ -94,7 +94,7 @@ def test_stateful_dedup_first_seen(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "dedup stream did not finish in time"
 
     import datetime
 

@@ -1,7 +1,7 @@
 """Micro-benchmarks: per-page latency percentiles by page size, and an
 Arrow batch-size sweep of the distributed extract path.
 
-Appends a measured section to BENCH/MICRO.md. Pages are synthesized
+Rewrites BENCH/MICRO.md with the freshly measured sections. Pages are synthesized
 deterministically (repeatable article-like HTML with paragraphs, links
 and boilerplate divs at target byte sizes) — no wall-clock, no RNG.
 

@@ -177,7 +177,10 @@ def main() -> None:
         return (results[b]["pages_per_sec"] / results[a]["pages_per_sec"]) / (b / a)
 
     e_main, e_extra = eff(lo, hi), eff(xlo, xhi)
-    gate = "PASS" if e_main >= 0.8 else "FAIL"
+    integrity_ok = len({r["text_bytes"] for r in results.values()}) == 1
+    gate = "PASS" if (e_main >= 0.8 and integrity_ok) else "FAIL"
+    if not integrity_ok:
+        gate = "INVALID (outputs differ across levels)"
     print("calibrating raw-CPU ceiling ...", flush=True)
     ceil_main, ceil_extra = calibrate(lo, hi), calibrate(xlo, xhi)
 

@@ -63,6 +63,11 @@ def main() -> int:
 
     qs = E.queries()
     oracles = E.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        print(f"     available: {sorted(qs)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -78,9 +83,11 @@ def main() -> int:
             continue
         sql = oracles.get(name)
         if sql is None:
-            print(f"ok   {name}: rows={n_s} (no oracle — rows-only)")
             if n_s == 0:
+                print(f"FAIL {name}: rows=0 (no oracle — rows-only check)")
                 failures.append(name)
+            else:
+                print(f"ok   {name}: rows={n_s} (no oracle — rows-only)")
             continue
         try:
             res = con.execute(sql)
