@@ -92,14 +92,22 @@ def _queries(sf_dir: str):
         ).collect()
 
     def sel_relational(spark):
-        nodes = explode_nodes(_pages(spark))
-        sel = R.and_rel(
-            R.child_rel(
-                R.where(R.p_tag("div")), R.where(R.p_tag("p"))
-            ),
-            R.where(R.p_nth_child("odd")),
-        )
-        return sel(nodes).groupBy("url").count().agg(F.sum("count")).collect()
+        # composite selectors reference the node table several times;
+        # parse once and cache (the materialize_nodes pattern) so each
+        # reference reads the cached table instead of re-parsing —
+        # timed region includes the parse+cache
+        nodes = explode_nodes(_pages(spark)).cache()
+        try:
+            nodes.count()
+            sel = R.and_rel(
+                R.child_rel(
+                    R.where(R.p_tag("div")), R.where(R.p_tag("p"))
+                ),
+                R.where(R.p_nth_child("odd")),
+            )
+            return sel(nodes).groupBy("url").count().agg(F.sum("count")).collect()
+        finally:
+            nodes.unpersist()
 
     def dedup_minhash_lsh(spark):
         from hickoryspark.ops.dedup import lsh_candidate_pairs

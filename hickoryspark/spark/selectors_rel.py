@@ -20,6 +20,12 @@ Physical notes (what Catalyst does with these):
   the interval as a residual, never a broadcast-nested-loop over the
   whole table. The reference's O(N·subtree) warning
   (select.cljc:655-658) does not apply.
+
+Usage note: composite selectors reference the node table SEVERAL
+times (anchor + per-level + final semi-join). If ``nodes`` is the lazy
+output of explode_nodes, every reference re-runs the Python parse —
+cache() it or query a materialize_nodes() parquet table (parse once,
+query many; that table is also what you'd bucket by url at scale).
 """
 
 from __future__ import annotations
