@@ -45,6 +45,8 @@ def hickory_to_hiccup(dom):
         if isinstance(node, str):
             target.append(html_escape(node))
             continue
+        if not isinstance(node, dict):
+            raise ValueError("Not a valid node: " + repr(node))
         ntype = node.get("type")
         if ntype == "document":
             result: list = []
@@ -72,7 +74,7 @@ def hickory_to_hiccup(dom):
                 target.append(form)
                 stack.append((form, list(reversed(content))))
         elif ntype == "comment":
-            target.append("<!--" + "".join(node.get("content") or []) + "-->")
+            target.append("<!--" + "".join(c if isinstance(c, str) else str(c) for c in node.get("content") or []) + "-->")
         else:
             raise ValueError(f"Not a valid node: {node!r}")
     return out_holder[0]

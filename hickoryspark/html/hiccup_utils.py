@@ -16,7 +16,12 @@ from collections.abc import Iterator
 
 
 def _name(tag) -> str:
-    return tag if isinstance(tag, str) else str(tag)
+    if isinstance(tag, str):
+        return tag
+    # the reference requires a named value (keyword/symbol/string,
+    # hiccup_utils.cljc) — a list/None/number tag is a malformed form;
+    # stringifying it would render repr garbage into HTML
+    raise ValueError(f"Not a valid hiccup tag: {tag!r}")
 
 
 def _first_idx(a: int, b: int) -> int:
@@ -142,8 +147,8 @@ def normalize_form(form):
         node = stack.pop()
         for i in range(2, len(node)):
             child = node[i]
-            if isinstance(child, list):
-                norm = normalize_element(child)
+            if isinstance(child, (list, tuple)):  # tuples are forms too
+                norm = normalize_element(list(child))
                 norm[2:] = expand_content_seqs(norm[2:])
                 node[i] = norm
                 stack.append(norm)

@@ -106,7 +106,11 @@ def hickory_to_html(dom) -> str:
                         stack.append((_NODE, child))
                 continue
             if ntype == "comment":
-                out.append("<!--" + "".join(node.get("content") or []) + "-->")
+                # (apply str ...) in the reference stringifies any item
+                out.append("<!--" + "".join(
+                    c if isinstance(c, str) else str(c)
+                    for c in node.get("content") or []
+                ) + "-->")
                 continue
         raise HickoryRenderError("Not a valid node: " + repr(node), dom=node)
     return "".join(out)
@@ -154,10 +158,8 @@ def hiccup_to_html(hiccup_forms) -> str:
         tag = form[0]
         attrs = form[1] if len(form) > 1 else {}
         content = form[2:]
-        if tag in VOID_ELEMENTS:
-            out.append("<" + str(tag) + _render_hiccup_attrs(attrs) + ">")
-        else:
-            out.append("<" + str(tag) + _render_hiccup_attrs(attrs) + ">")
+        out.append("<" + str(tag) + _render_hiccup_attrs(attrs) + ">")
+        if tag not in VOID_ELEMENTS:
             stack.append((_RAW, "</" + str(tag) + ">"))
             for child in reversed(content):
                 stack.append((_NODE, child))

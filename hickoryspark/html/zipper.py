@@ -131,7 +131,7 @@ def hickory_zip(root) -> ZipLoc:
 
 def _hiccup_children(node):
     """zip.cljc:26-35 — tolerate missing attr maps and node lists."""
-    if isinstance(node, (list, tuple)) and node and not isinstance(node, str):
+    if isinstance(node, (list, tuple)) and node:
         if _is_form(node):
             if len(node) > 1 and isinstance(node[1], dict):
                 return list(node[2:])
