@@ -705,7 +705,8 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": """
             SELECT date_trunc('hour', ts) AS win_start, event_type,
                    COUNT(*) AS n_events,
-                   ROUND(SUM(value), 6) AS value_sum
+                   CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        AS DECIMAL(18,6)) AS value_sum
             FROM events GROUP BY 1, 2""",
         "events_sessionize": """
             WITH g AS (

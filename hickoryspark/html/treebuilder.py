@@ -80,6 +80,12 @@ _TABLE_INTERNAL = frozenset(
 )
 # Tags allowed directly inside table context without fostering.
 _TABLE_ALLOWED = frozenset({"script", "style", "template", "form"})
+# "Has a <table> in table scope" barriers (WHATWG 13.2.4.2): a cell or
+# caption (or the classic scope barriers) between here and the nearest
+# open table means that table is NOT in scope.
+_TABLE_SCOPE_BOUNDARY = (
+    "html", "td", "th", "caption", "applet", "object", "marquee", "template",
+)
 
 (
     _INITIAL,
@@ -659,9 +665,13 @@ class _Builder:
         if tag in _P_CLOSERS and self._p_in_button_scope():
             self._close_p()
         if tag == "table":
-            # WHATWG "in table": a nested <table> start tag closes the
-            # open table first (the new table becomes its sibling)
-            i = self._find_open(("table",), ("html",))
+            # WHATWG "in table": a <table> start tag closes the open
+            # table only when that table is in *table scope* — td/th/
+            # caption (and the applet/object/marquee/template scope
+            # barriers) block the search, so a table opened inside a
+            # cell legally nests (the "in cell" mode routes it through
+            # "in body", which plain-inserts it).
+            i = self._find_open(("table",), _TABLE_SCOPE_BOUNDARY)
             if i != -1:
                 del self.stack[i:]
         if tag in ("li", "dd", "dt"):

@@ -96,7 +96,11 @@ def lsh_candidate_pairs(
     groups = (
         sig.groupBy(*mh)
         .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
-        .withColumn("gid", F.xxhash64(*mh))
+        # group identity = smallest member doc_id: groups partition the
+        # doc space, so this is collision-FREE (a 64-bit signature hash
+        # here would silently drop pairs for colliding groups, since
+        # the a.gid < b.gid join condition can never fire between them)
+        .withColumn("gid", F.element_at("members", 1))
         .persist()
     )
 

@@ -25,7 +25,14 @@ def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("value_sum"),
+            # DECIMAL, not DOUBLE: float summation order differs between
+            # Spark partial aggregation and any oracle engine, so a
+            # rounded double sum can flake as event volume grows —
+            # decimal addition is exact and order-independent (same
+            # rationale as relational.py's DECIMAL(18,4) money sums)
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("decimal(18,6)")
+            .alias("value_sum"),
         )
         .select(F.col("w.start").alias("win_start"), "event_type",
                 "n_events", "value_sum")

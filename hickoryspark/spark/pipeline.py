@@ -109,7 +109,12 @@ def run_extract(
     extracted.write.format(sink_format).mode("append").save(out_path)
 
     # lineage from the just-written output (one tiny aggregation scan;
-    # avoids a second pass over the raw pages)
+    # avoids a second pass over the raw pages). The aggregation covers
+    # ALL output rows with this run_id, so a resumed run reusing a
+    # run_id must REPLACE its lineage partition, not append — an append
+    # would leave two aggregations whose sums double-count the first
+    # attempt's rows. partitionBy(run_id) + dynamic partition overwrite
+    # rewrites only this run's partition, leaving other runs untouched.
     lineage = (
         spark.read.format(sink_format)
         .load(out_path)
@@ -122,7 +127,13 @@ def run_extract(
             F.sum("main_text_len").alias("text_bytes"),
         )
     )
-    lineage.write.format(sink_format).mode("append").save(lineage_path)
+    (
+        lineage.write.format(sink_format)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("run_id")
+        .save(lineage_path)
+    )
 
     # Exact totals come from the COMMITTED lineage (accumulators update
     # inside a transformation, so task retries / speculative attempts

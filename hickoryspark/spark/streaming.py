@@ -86,6 +86,12 @@ def dedup_first_seen_stream(
     timeout (GroupStateTimeout.ProcessingTimeTimeout + a TTL matched to
     the crawl revisit horizon) or periodically compact to a bloom
     filter; NoTimeout here keeps the sandbox behavior exact.
+
+    Representative contract: when several urls with the same content
+    hash arrive in the SAME micro-batch, the emitted row is the one
+    with the smallest (warc_ts, url) — row order within a micro-batch
+    group is undefined, so "iloc[0]" would be nondeterministic across
+    reruns, breaking the engine's reproducibility guarantee.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -94,16 +100,15 @@ def dedup_first_seen_stream(
 
         if state.exists:
             return  # hash already emitted in an earlier batch
-        first = None
-        for pdf in pdfs:
-            if first is None and len(pdf):
-                first = pdf.iloc[[0]][["url", "content_hash"]]
+        frames = [pdf for pdf in pdfs if len(pdf)]
         state.update((True,))
-        if first is not None:
-            yield first
+        if frames:
+            allrows = pd.concat(frames, ignore_index=True)
+            first = allrows.sort_values(["warc_ts", "url"]).iloc[[0]]
+            yield first[["url", "content_hash"]]
 
     hashed = pages_stream.select(
-        "url", F.md5(F.col("html")).alias("content_hash")
+        "url", "warc_ts", F.md5(F.col("html")).alias("content_hash")
     )
     return hashed.groupBy("content_hash").applyInPandasWithState(
         emit_first,

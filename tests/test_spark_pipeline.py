@@ -129,6 +129,27 @@ def test_pipeline_resume_and_lineage(spark, pages, tmp_path):
     assert spark.read.parquet(out).count() == pages.count()
 
 
+def test_pipeline_reused_run_id_does_not_double_count(spark, pages, tmp_path):
+    # regression: a resumed run reusing a run_id must REPLACE its
+    # lineage partition; an appended second aggregation would cover the
+    # first attempt's output rows too and double the reported totals
+    from pyspark.sql import functions as F
+
+    from hickoryspark.spark.pipeline import run_extract
+
+    out = str(tmp_path / "extracted")
+    half = pages.where(F.col("url").substr(-1, 1).isin(*"02468"))
+    m1 = run_extract(spark, half, out, num_partitions=4, run_id="rX")
+    m2 = run_extract(spark, pages, out, num_partitions=4, run_id="rX")
+    assert m1["pages"] == half.count()
+    # second call processed only the remainder, and its totals cover
+    # exactly the full output attributed to rX — not 2x the first half
+    total = pages.count()
+    assert m2["pages"] == total
+    lineage = spark.read.parquet(out + "_lineage")
+    assert lineage.agg(F.sum("pages")).collect()[0][0] == total
+
+
 def test_salt_repartition_balances_pages(pages):
     from hickoryspark.spark.pipeline import salt_repartition
 

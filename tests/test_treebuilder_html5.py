@@ -69,6 +69,38 @@ def roundtrip(html: str) -> str:
             "<table> <tr><td>x</td></tr> </table>",
             "<table> <tbody><tr><td>x</td></tr> </tbody></table>",
         ),
+        # a <table> opened inside a cell legally NESTS ("in cell" routes
+        # it through "in body"; td/th block table scope) — it must NOT
+        # close the outer table (WHATWG 13.2.4.2 table scope)
+        (
+            "<table><tr><td><table><tr><td>inner",
+            "<table><tbody><tr><td>"
+            "<table><tbody><tr><td>inner</td></tr></tbody></table>"
+            "</td></tr></tbody></table>",
+        ),
+        # three levels deep, with trailing outer content after the
+        # inner tables close
+        (
+            "<table><tr><td><table><tr><td><table><tr><td>deep"
+            "</table></td></table>ok</td></tr></table>",
+            "<table><tbody><tr><td><table><tbody><tr><td>"
+            "<table><tbody><tr><td>deep</td></tr></tbody></table>"
+            "</td></tr></tbody></table>ok</td></tr></tbody></table>",
+        ),
+        # a <table> in caption also nests (caption blocks table scope)
+        (
+            "<table><caption><table><tr><td>c",
+            "<table><caption>"
+            "<table><tbody><tr><td>c</td></tr></tbody></table>"
+            "</caption></table>",
+        ),
+        # ... but in "in table" mode (no cell between), a nested <table>
+        # start DOES close the open table and becomes its sibling
+        (
+            "<table><tr><td>x</td></tr><table><tr><td>y",
+            "<table><tbody><tr><td>x</td></tr></tbody></table>"
+            "<table><tbody><tr><td>y</td></tr></tbody></table>",
+        ),
     ],
 )
 def test_table_structure(html, expected):
