@@ -36,16 +36,37 @@ def _doc_ids(pages: DataFrame) -> DataFrame:
     return pages.select("url", "doc_id")
 
 
+# One cached node table per (session, sf_dir): composite relational
+# selectors (and/child/descendant/sibling chains) reference the node
+# table 2-4 times each, and 31 selector queries run per gate — without
+# this, EVERY reference re-runs the Python parse UDF over every page.
+# At 100x scale that is 2-4 redundant full-corpus parses per composite
+# query; with it, the whole gate parses each page exactly once (the
+# same parse-once pattern bench.py uses).
+_NODES_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _cached_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hickoryspark.spark.nodes_table import explode_nodes
+
+    key = (id(spark), sf_dir)
+    nodes = _NODES_CACHE.get(key)
+    if nodes is None:
+        pages = load_pages(spark, sf_dir, with_params=True)
+        nodes = explode_nodes(pages).persist()
+        _NODES_CACHE[key] = nodes
+    return nodes
+
+
 def _sel_count_query(sel_factory, needs_rank: bool = False):
     """Generic per-doc match-count query over the relational selector
     layer: pages → node table → selector → zero-filled counts."""
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        from hickoryspark.spark.nodes_table import explode_nodes
         from hickoryspark.spark.selectors_rel import with_type_rank
 
         pages = load_pages(spark, sf_dir, with_params=True)
-        nodes = explode_nodes(pages)
+        nodes = _cached_nodes(spark, sf_dir)
         if needs_rank:
             nodes = with_type_rank(nodes)
         matched = sel_factory()(nodes).groupBy("url").agg(
