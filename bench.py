@@ -15,6 +15,7 @@ Headline set (the queries a user of the engine actually runs hot):
                       nth-child windows), exercising the shuffle path
   dedup_minhash_lsh — MinHash signatures + LSH banding candidate pairs
   ann_topk          — brute-force cosine top-k over embeddings
+  ann_lsh           — hyperplane-LSH bucketed top-k (the ANN scale path)
   text_stats        — token counts + quality + language id
 
 Each query is forced with a cheap terminal action (count / write to
@@ -121,6 +122,14 @@ def _queries(sf_dir: str):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return brute_topk(emb, 50, 10).agg(F.count("*"), F.sum("sim")).collect()
 
+    def ann_lsh(spark):
+        from hickoryspark.ops.similarity import lsh_bucket_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return (
+            lsh_bucket_topk(emb, 50, 10).agg(F.count("*"), F.sum("sim")).collect()
+        )
+
     def text_stats(spark):
         from hickoryspark.ops.textstats import lang_id, quality_score, token_stats
 
@@ -137,6 +146,7 @@ def _queries(sf_dir: str):
         "sel_relational": sel_relational,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "ann_topk": ann_topk,
+        "ann_lsh": ann_lsh,
         "text_stats": text_stats,
     }
 

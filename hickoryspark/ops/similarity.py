@@ -121,18 +121,43 @@ def brute_topk(
     )
 
 
-def _hyperplane_sign(vec: Column, plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane component from md5:
+def _hyperplane_matrix(planes: int, dim: int):
+    """Deterministic pseudo-random hyperplane weights from md5:
     weight(plane, j) = nibble(md5('p<plane>:<j>')) - 7.5 — fixed,
-    reproducible, no RNG state to ship to executors."""
-    weights = F.array(
-        *[
-            (F.conv(F.substring(F.md5(F.lit(f"p{plane}:{j}")), 1, 1), 16, 10)
-             .cast("double") - F.lit(7.5))
-            for j in range(dim)
-        ]
+    reproducible, no RNG state to ship to executors. Identical to the
+    literal weights the DuckDB oracle bakes into its bucket expression
+    (__spark_entry__._plane_dot)."""
+    import hashlib
+
+    return np.array(
+        [
+            [
+                float(int(hashlib.md5(f"p{p}:{j}".encode()).hexdigest()[0], 16))
+                - 7.5
+                for j in range(dim)
+            ]
+            for p in range(planes)
+        ],
+        dtype=np.float64,
     )
-    return (dot(vec, weights) >= 0).cast("int")
+
+
+def _seq_sum(arr):
+    """Strict left-to-right float64 row sums: cumsum's recurrence
+    out[i] = out[i-1] + x[i] reproduces the left-assoc chain of IEEE
+    additions that a SQL `a+b+c...` expression (the oracle) and a
+    Catalyst `aggregate` HOF evaluate — np.dot/matmul use pairwise
+    summation, which can flip the sign of a near-zero hyperplane dot
+    and land a vector in a different bucket than the oracle."""
+    return np.cumsum(arr, axis=-1)[..., -1]
+
+
+def _lsh_buckets(E, W):
+    """Bucket ids for embedding rows E (n×dim) under hyperplanes W."""
+    b = np.zeros(len(E), dtype=np.int64)
+    for p in range(len(W)):
+        b |= (_seq_sum(E * W[p]) >= 0).astype(np.int64) << p
+    return b
 
 
 def lsh_bucket_topk(
@@ -140,37 +165,71 @@ def lsh_bucket_topk(
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign bits of `planes`
     hyperplanes; search only within the query's bucket. The scale
-    path for ANN — bucket join is an equi-join; recall traded for a
-    ~2^planes candidate reduction."""
+    path for ANN — recall traded for a ~2^planes candidate reduction.
+
+    Bucketing + scoring run as vectorized NumPy inside mapInPandas
+    (per-element Catalyst HOF evaluation of the same expressions is
+    interpreted, ~50x slower — module docstring). Mirrors brute_topk's
+    shape: broadcast query matrix, per-task PARTIAL top-k, tiny final
+    merge. Bit-identity contract with the oracle: hyperplane dots and
+    the cosine dot/norms use strict left-to-right float64 summation
+    (_seq_sum), the same op order as the previous column-expression
+    implementation and the oracle's literal `v[1]*w1+v[2]*w2+...`.
+    """
     from pyspark.sql.window import Window
 
-    v = _dvec("embedding")
-    bucket = F.lit(0)
-    for p in range(planes):
-        bucket = bucket + F.shiftleft(_hyperplane_sign(v, p, dim), p)
-    tagged = emb.select(
-        "vec_id", v.alias("v"), bucket.cast("int").alias("bucket")
+    W = _hyperplane_matrix(planes, dim)
+    q_rows = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
     )
-    q = tagged.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("bucket").alias("qb"),
-    )
-    scored = (
-        F.broadcast(q)
-        .join(tagged, F.col("qb") == F.col("bucket"))
-        .where(F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("sim"),
-        )
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
+    if len(Q):
+        qnorm = np.sqrt(_seq_sum(Q * Q))
+        qbuck = _lsh_buckets(Q, W)
+    else:
+        qnorm = np.zeros(0)
+        qbuck = np.zeros(0, dtype=np.int64)
+    bc = emb.sparkSession.sparkContext.broadcast((qids, Q, qnorm, qbuck, W, k))
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        qids, Q, qnorm, qbuck, W, k = bc.value
+        for b in batches:
+            if not len(b) or not len(qids):
+                continue
+            C = np.array([np.asarray(e, dtype=np.float64) for e in b["embedding"]])
+            nids = b["vec_id"].to_numpy()
+            cbuck = _lsh_buckets(C, W)
+            cnorm = np.sqrt(_seq_sum(C * C))
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                m = (cbuck == qbuck[qi]) & (nids != qids[qi])
+                if not m.any():
+                    continue
+                dots = _seq_sum(C[m] * Q[qi])
+                sims = np.round(dots / (qnorm[qi] * cnorm[m]), 6)
+                cand = nids[m]
+                order = np.lexsort((cand, -sims))[: min(k, len(sims))]
+                out_q.extend([qids[qi]] * len(order))
+                out_n.extend(cand[order])
+                out_s.extend(sims[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+            )
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(
+        gen, "query_id long, neighbor_id long, sim double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "sim")
     )
