@@ -58,7 +58,10 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, num_hashes: int = 8, bands: int = 4
+    docs: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    group_cap: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH: band the signature, bucket on (band, band_sig),
     emit all intra-bucket pairs.
@@ -71,10 +74,16 @@ def lsh_candidate_pairs(
     here the quadratic part is a NumPy index op and the only large
     shuffle is the final pair distinct, which AQE splits freely.
 
-    At design scale, cap mega-buckets instead of expanding them
-    (docs sharing a band-sig by the thousands are resolved cheaper via
-    exact_dup_groups / a union-find on bucket representatives); the
-    uncapped expansion here preserves the oracle's exact semantics.
+    ``group_cap`` is the mega-bucket control for design scale: a
+    signature group with m > group_cap members contributes a STAR
+    (representative = min doc_id, m-1 pairs) instead of the m(m-1)/2
+    triangle, and participates in cross-group pairs only via that
+    representative. The output is then no longer the exact all-pairs
+    candidate set but a sparsified graph with IDENTICAL connected
+    components — the property the dedup consumer (union-find /
+    connected-components clustering) actually uses. A corpus where
+    10^7 near-identical docs share one signature emits 10^7-1 pairs
+    instead of ~5*10^13. ``None`` keeps exact all-pairs semantics.
 
     Note: the internal signature-group frame is persist()ed (it feeds
     three branches of the returned plan); the blocks live until LRU
@@ -114,6 +123,13 @@ def lsh_candidate_pairs(
                 if m < 2:
                     continue
                 ids = np.asarray(members, dtype=np.int64)  # pre-sorted
+                if group_cap is not None and m > group_cap:
+                    # mega-bucket: star from the representative —
+                    # linear, same connected component
+                    yield pd.DataFrame(
+                        {"doc_a": np.repeat(ids[0], m - 1), "doc_b": ids[1:]}
+                    )
+                    continue
                 ai, bi = np.triu_indices(m, k=1)
                 yield pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi]})
 
@@ -142,6 +158,16 @@ def lsh_candidate_pairs(
         .distinct()  # group-level only — tiny vs the member expansion
     )
     gm = groups.select("gid", "members")
+    if group_cap is not None:
+        # mega-buckets join cross-group only via their representative:
+        # caps the inter expansion at cap*m (or 1*1 for two giants)
+        # while keeping the merged component reachable through the rep
+        gm = gm.select(
+            "gid",
+            F.when(
+                F.size("members") > group_cap, F.array(F.element_at("members", 1))
+            ).otherwise(F.col("members")).alias("members"),
+        )
     inter = (
         group_pairs.join(F.broadcast(gm).withColumnsRenamed(
             {"gid": "ga", "members": "members_a"}), "ga")
