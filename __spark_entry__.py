@@ -431,10 +431,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_embed_neardup(spark, sf):
+        # cell_cap=32 forces the triangle-tiled sub-split path (label
+        # cells hold ~50 vectors at sf0.01) — its output is pair-for-
+        # pair identical to the unsplit mode, so the same exact oracle
+        # value-checks the scale path
         from hickoryspark.ops.similarity import embedding_near_dup_pairs
 
         return embedding_near_dup_pairs(
-            spark.read.parquet(f"{sf}/embeddings.parquet"), 0.3
+            spark.read.parquet(f"{sf}/embeddings.parquet"), 0.3, cell_cap=32
         )
 
     def q_token_stats(spark, sf):

@@ -235,43 +235,118 @@ def lsh_bucket_topk(
     )
 
 
+_PAIR_SCHEMA = "vec_a long, vec_b long, sim double"
+
+
+def _empty_pairs():
+    import pandas as pd
+
+    return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []}).astype(
+        {"vec_a": "int64", "vec_b": "int64", "sim": "float64"}
+    )
+
+
+def _load_sorted(b):
+    import numpy as np
+
+    order = np.argsort(b["vec_id"].to_numpy())
+    ids = b["vec_id"].to_numpy()[order]
+    V = np.array([np.asarray(e, dtype=np.float64) for e in b["embedding"]])[order]
+    return ids, V, np.sqrt((V * V).sum(axis=1))
+
+
+def tile_cells(cols: DataFrame, cell_cap: int) -> DataFrame:
+    """Triangle tiling of label cells: sub-split each cell into
+    nblk = ceil(n/cap) salt blocks on xxhash64(vec_id) and replicate
+    every row to its nblk (bi <= bj) tiles, so each unordered block
+    pair is one bounded task and every within-cell vector pair lands
+    in exactly one tile."""
+    counts = cols.groupBy("label").agg(F.count("*").alias("n_in_cell"))
+    tagged = (
+        cols.join(F.broadcast(counts), "label")
+        .withColumn(
+            "nblk",
+            F.ceil(F.col("n_in_cell") / F.lit(cell_cap)).cast("int"),
+        )
+        .withColumn(
+            "blk", F.pmod(F.xxhash64("vec_id"), F.col("nblk")).cast("int")
+        )
+    )
+    return tagged.select(
+        "label", "vec_id", "embedding", "blk",
+        F.explode(F.sequence(F.lit(0), F.col("nblk") - 1)).alias("t"),
+    ).select(
+        "label", "vec_id", "embedding", "blk",
+        F.least("blk", "t").alias("bi"),
+        F.greatest("blk", "t").alias("bj"),
+    )
+
+
 def embedding_near_dup_pairs(
-    emb: DataFrame, threshold: float = 0.9
+    emb: DataFrame, threshold: float = 0.9, cell_cap: int | None = None
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label (the
     IVF-cell analogue): all-pairs scoring happens only WITHIN a block
     — the blocking key is what makes this viable at 10^9+ vectors.
 
     Each block is scored by one float64 Gram-matrix matmul inside
-    applyInPandas (one shuffle on the block key; block sizes are the
-    skew knob — at design scale sub-split giant cells by a salt on
-    vec_id ranges).
+    applyInPandas (one shuffle on the block key).
+
+    ``cell_cap`` is the skew control: a label cell holding more than
+    cap vectors is sub-split into ceil(n/cap) salt blocks on
+    xxhash64(vec_id), and the cell's pair set is covered by TRIANGLE
+    TILING — one task per unordered block pair (i <= j), each row
+    replicated to its nblk tiles. The output pair set is IDENTICAL to
+    the unsplit mode (every within-cell pair lands in exactly one
+    tile); what changes is task granularity: a cell holding 80% of the
+    corpus becomes ~nblk^2/2 bounded tasks instead of one straggler.
     """
 
     def score_block(b):
         import numpy as np
-        import pandas as pd
 
         if len(b) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []}).astype(
-                {"vec_a": "int64", "vec_b": "int64", "sim": "float64"}
-            )
-        order = np.argsort(b["vec_id"].to_numpy())
-        ids = b["vec_id"].to_numpy()[order]
-        V = np.array(
-            [np.asarray(e, dtype=np.float64) for e in b["embedding"]]
-        )[order]
-        norms = np.sqrt((V * V).sum(axis=1))
+            return _empty_pairs()
+        ids, V, norms = _load_sorted(b)
         sims = np.round((V @ V.T) / (norms[:, None] * norms[None, :]), 6)
         ai, bi = np.triu_indices(len(ids), k=1)
         keep = sims[ai, bi] >= threshold
+        import pandas as pd
+
         return pd.DataFrame(
             {"vec_a": ids[ai[keep]], "vec_b": ids[bi[keep]],
              "sim": sims[ai[keep], bi[keep]]}
         )
 
-    return (
-        emb.select("vec_id", "embedding", "label")
-        .groupBy("label")
-        .applyInPandas(score_block, "vec_a long, vec_b long, sim double")
+    cols = emb.select("vec_id", "embedding", "label")
+    if cell_cap is None:
+        return cols.groupBy("label").applyInPandas(score_block, _PAIR_SCHEMA)
+
+    tiles = tile_cells(cols, cell_cap)
+
+    def score_tile(b):
+        import numpy as np
+        import pandas as pd
+
+        if len(b) < 2:
+            return _empty_pairs()
+        bi, bj = int(b["bi"].iloc[0]), int(b["bj"].iloc[0])
+        if bi == bj:
+            return score_block(b)
+        a_side = b[b["blk"] == bi]
+        b_side = b[b["blk"] == bj]
+        if not len(a_side) or not len(b_side):
+            return _empty_pairs()
+        ids_a, A, na = _load_sorted(a_side)
+        ids_b, B, nb = _load_sorted(b_side)
+        sims = np.round((A @ B.T) / (na[:, None] * nb[None, :]), 6)
+        ai, bj_idx = np.nonzero(sims >= threshold)
+        xa, xb = ids_a[ai], ids_b[bj_idx]
+        return pd.DataFrame(
+            {"vec_a": np.minimum(xa, xb), "vec_b": np.maximum(xa, xb),
+             "sim": sims[ai, bj_idx]}
+        )
+
+    return tiles.groupBy("label", "bi", "bj").applyInPandas(
+        score_tile, _PAIR_SCHEMA
     )

@@ -1,0 +1,95 @@
+"""Giant-cell skew control for embedding near-dup (cell_cap).
+
+embedding_near_dup_pairs blocks by label; one label holding most of
+the corpus turns the blocked all-pairs into a single straggler task.
+cell_cap triangle-tiles such cells into bounded tasks — these tests
+pin (a) exact output equivalence vs the unsplit mode and (b) that the
+tiles are actually balanced under an 80%-in-one-label skew.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from hickoryspark.spark.session import get_spark
+
+    s = get_spark(4, app_name="hickoryspark-sim-tests", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="module")
+def skewed_emb(spark):
+    # 500 vectors, 80% in label 0 — deterministic md5-derived floats
+    rows = []
+    for i in range(500):
+        label = 0 if i % 5 != 4 else 1 + i % 3
+        h = hashlib.md5(f"emb:{i}".encode()).digest()
+        vec = [float(b) / 255.0 + 0.01 for b in h]  # dim 16, all-positive
+        rows.append((i, vec, label))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+
+
+def test_cell_cap_output_identical_to_unsplit(spark, skewed_emb):
+    from hickoryspark.ops.similarity import embedding_near_dup_pairs
+
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in embedding_near_dup_pairs(skewed_emb, 0.9).collect()
+    }
+    tiled = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in embedding_near_dup_pairs(skewed_emb, 0.9, cell_cap=50).collect()
+    }
+    assert exact  # all-positive vectors: plenty of >=0.9 cosine pairs
+    assert tiled == exact
+
+
+def test_cell_cap_tiles_are_balanced(spark, skewed_emb):
+    from pyspark.sql import functions as F
+
+    from hickoryspark.ops.similarity import tile_cells
+
+    cols = skewed_emb.select("vec_id", "embedding", "label")
+    giant = cols.where(F.col("label") == 0).count()
+    assert giant >= 0.75 * 500  # the skew premise
+
+    tiles = tile_cells(cols, 50).groupBy("label", "bi", "bj").count()
+    rows = tiles.collect()
+    # the giant cell becomes nblk*(nblk+1)/2 tasks, each bounded by
+    # two salt blocks (~2*cap) instead of one 400-row straggler
+    giant_tiles = [r for r in rows if r["label"] == 0]
+    nblk = -(-giant // 50)
+    assert len(giant_tiles) == nblk * (nblk + 1) // 2
+    assert max(r["count"] for r in giant_tiles) <= 3 * 50
+    # every within-cell pair is covered by exactly one tile:
+    # sum over tiles of per-tile pair counts == C(n,2) per label
+    import collections
+
+    per_label = collections.Counter()
+    det = tile_cells(cols, 50).collect()
+    by_tile = collections.defaultdict(list)
+    for r in det:
+        by_tile[(r["label"], r["bi"], r["bj"])].append((r["vec_id"], r["blk"]))
+    for (label, bi, bj), members in by_tile.items():
+        if bi == bj:
+            n = len(members)
+            per_label[label] += n * (n - 1) // 2
+        else:
+            na = sum(1 for _, blk in members if blk == bi)
+            nb = sum(1 for _, blk in members if blk == bj)
+            per_label[label] += na * nb
+    for label, n in [(r["label"], r["n"]) for r in
+                     cols.groupBy("label").agg(F.count("*").alias("n")).collect()]:
+        assert per_label[label] == n * (n - 1) // 2
