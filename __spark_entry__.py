@@ -28,8 +28,23 @@ from hickoryspark.spark.pages import (
 
 # SQL shorthands over the pages CTE
 _L = "(CASE WHEN has_link THEN 1 ELSE 0 END)"
-#: element-child counts per element parent: html, head, body, main, footer
-_KIDS = f"[2, 2, 2, 1 + np + {_L}, 2]"
+
+
+def _dv(deltas: list[int]) -> str:
+    """Per-variant constant delta (variant = doc_id % 4) — the counts
+    each adversarial boilerplate block adds, derived empirically from
+    the interpreter engine across (np, has_link) combos."""
+    return f"([{','.join(map(str, deltas))}])[variant + 1]"
+
+
+#: element-child counts per element parent: html, head, body, main,
+#: footer, then the variant block's own parents (nested-table chain /
+#: ul-li tree / link-footer div) — body holds 3 kids when a variant
+#: block is present
+_KIDS = (
+    f"([2, 2, CASE WHEN variant = 0 THEN 2 ELSE 3 END, 1 + np + {_L}, 2]"
+    " || ([[], [1,1,1,2,1,1,1,1,1,1], [1,2,1,2,1,1], [5]])[variant + 1])"
+)
 
 
 def _doc_ids(pages: DataFrame) -> DataFrame:
@@ -696,10 +711,10 @@ def oracle_sql() -> dict[str, str]:
         "sel_tag": c("np + 1"),
         "sel_class": c("np"),
         "sel_id": c("1"),
-        "sel_attr": c(f"1 + {_L}"),
+        "sel_attr": c(f"1 + {_L} + {_dv([0, 2, 3, 5])}"),
         "sel_attr_pred": c(_L),
-        "sel_any": c(f"10 + np + {_L}"),
-        "sel_element_child": c(f"9 + np + {_L}"),
+        "sel_any": c(f"10 + np + {_L} + {_dv([0, 12, 9, 6])}"),
+        "sel_element_child": c(f"9 + np + {_L} + {_dv([0, 12, 9, 6])}"),
         "sel_root": c("1"),
         "sel_node_type": c("1"),
         # matching parents: the <p class=para> chunks, plus the <h1>
@@ -714,21 +729,21 @@ def oracle_sql() -> dict[str, str]:
         # positional: fold the per-parent element-child counts
         "sel_nth_child": c(f"list_sum(list_transform({_KIDS}, k -> (k+1)//2))"),
         "sel_nth_last_child": c(f"list_sum(list_transform({_KIDS}, k -> k//2))"),
-        "sel_first_child": c("5"),
-        "sel_last_child": c("5"),
+        "sel_first_child": c(f"5 + {_dv([0, 10, 6, 1])}"),
+        "sel_last_child": c(f"5 + {_dv([0, 10, 6, 1])}"),
         "sel_nth_of_type": c("(np+1)//2 + 1"),
         "sel_nth_last_of_type": c("(np+1)//2 + 1"),
         # combinators
         "sel_and": c("np"),
-        "sel_or": c(f"2 + {_L}"),
-        "sel_not": c(f"8 + np + {_L}"),
-        "sel_el_not": c(f"10 + {_L}"),
+        "sel_or": c(f"2 + {_L} + {_dv([0, 2, 3, 5])}"),
+        "sel_not": c(f"8 + np + {_L} + {_dv([0, 2, 3, 5])}"),
+        "sel_el_not": c(f"10 + {_L} + {_dv([0, 12, 9, 6])}"),
         "sel_child": c("np + 1"),
-        "sel_has_child": c(f"1 + {_L}"),
+        "sel_has_child": c(f"1 + {_L} + {_dv([0, 2, 3, 1])}"),
         "sel_parent": c("2"),
-        "sel_descendant": c(f"1 + {_L}"),
-        "sel_has_descendant": c(f"4 + {_L}"),
-        "sel_ancestor": c(f"1 + {_L}"),
+        "sel_descendant": c(f"1 + {_L} + {_dv([0, 2, 3, 5])}"),
+        "sel_has_descendant": c(f"4 + {_L} + {_dv([0, 10, 6, 1])}"),
+        "sel_ancestor": c(f"1 + {_L} + {_dv([0, 1, 0, 1])}"),
         "sel_follow_adjacent": c("1"),
         "sel_precede_adjacent": c("1"),
         "sel_follow": c(_L),
@@ -737,10 +752,13 @@ def oracle_sql() -> dict[str, str]:
         "sel_interp_descendant": c(_L),
         "parse_node_stats": DUCKDB_PAGES_CTE + f"""
             SELECT doc_id,
-                   CAST(18 + 2*np + 2*{_L} AS BIGINT) AS n_nodes,
-                   CAST(10 + np + {_L} AS BIGINT) AS n_elements,
-                   CAST(5 + np + {_L} AS BIGINT) AS n_text,
-                   CAST(5 AS BIGINT) AS max_depth
+                   CAST(18 + 2*np + 2*{_L} + {_dv([0, 14, 12, 11])}
+                        AS BIGINT) AS n_nodes,
+                   CAST(10 + np + {_L} + {_dv([0, 12, 9, 6])}
+                        AS BIGINT) AS n_elements,
+                   CAST(5 + np + {_L} + {_dv([0, 2, 3, 5])}
+                        AS BIGINT) AS n_text,
+                   CAST({_dv([5, 13, 10, 5])} AS BIGINT) AS max_depth
             FROM pages""",
         "render_roundtrip": DUCKDB_PAGES_CTE
         + "SELECT doc_id, md5(html) AS html_md5 FROM pages",
@@ -770,9 +788,14 @@ def oracle_sql() -> dict[str, str]:
                    'div|class=Alpha beta,data-n=' || np || ',id=override'
                    || doc_id || '|4|span:s' || doc_id AS norm_sig
             FROM pages""",
+        # variants 1/2 put a nav anchor BEFORE div#main at a constant
+        # pre-order position (19 / 12); variants 0/3 reach main's link
+        # (or the footer's) at the np-dependent position
         "zip_first_anchor": DUCKDB_PAGES_CTE + """
             SELECT doc_id,
-                   CAST(CASE WHEN has_link THEN 13 + 2*np
+                   CAST(CASE WHEN variant = 1 THEN 19
+                             WHEN variant = 2 THEN 12
+                             WHEN has_link THEN 13 + 2*np
                              ELSE 16 + 2*np END AS BIGINT) AS first_a_steps
             FROM pages""",
         "extract_main": DUCKDB_PAGES_CTE

@@ -762,38 +762,78 @@ class _Builder:
             if was_caption:
                 self._clear_afe_to_marker()
 
+    #: the table-structure vocabulary — "clear the stack back to a
+    #: table context" stops here (WHATWG 13.2.6.4.9-13)
+    _TABLE_STRUCTURE = frozenset(
+        {"table", "tbody", "thead", "tfoot", "tr", "td", "th",
+         "caption", "colgroup", "html"}
+    )
+
+    def _clear_to_table_context(self) -> None:
+        """WHATWG "clear the stack back to a table context": fostered
+        elements opened while a table was current (e.g. <table><b>...)
+        sit on the stack ABOVE the table and must be popped before a
+        table-structure tag is processed — otherwise the implied
+        tbody/tr would nest inside the fostered element and the table
+        would render empty."""
+        while self.stack and self.stack[-1]["tag"] not in self._TABLE_STRUCTURE:
+            self.stack.pop()
+
+    def _pop_table_scope(self, i: int) -> None:
+        """Pop stack[i:], clearing the AFE list to its marker for each
+        popped cell/caption (they pushed one on entry — a leaked marker
+        would silently disable formatting reconstruction later)."""
+        popped = self.stack[i:]
+        del self.stack[i:]
+        for node in popped:
+            if node["tag"] in ("td", "th", "caption"):
+                self._clear_afe_to_marker()
+
     def _table_internal_start(self, tag, attrs, self_closing) -> bool:
         """Table-structure start tags: implied tbody/tr (WHATWG "in
         table"/"in table body" modes), orphans outside a table ignored
         (parse error per the "in body" rules — jsoup does the same)."""
         if self._find_open(("table",), ("html",)) == -1:
             return True  # no open table: ignore the token
+        self._clear_to_table_context()
         if tag in ("tbody", "thead", "tfoot", "caption", "colgroup"):
-            i = self._find_open(
-                ("tbody", "thead", "tfoot", "caption", "colgroup", "tr", "td", "th"),
-                ("table", "html"),
-            )
-            if i != -1:
-                del self.stack[i:]
+            # pop EVERY open row-group/row/cell back to the table: a
+            # single pop would leave an unclosed <tr> capturing the new
+            # group (consecutive unclosed sections are common crawl HTML)
+            while True:
+                i = self._find_open(
+                    ("tbody", "thead", "tfoot", "caption", "colgroup",
+                     "tr", "td", "th"),
+                    ("table", "html"),
+                )
+                if i == -1:
+                    break
+                self._pop_table_scope(i)
             self._insert_element(tag, attrs, push=True)
             if tag == "caption":
                 self.afe.append("marker")
             return True
         if tag == "col":
             if self.stack[-1].get("tag") != "colgroup":
-                i = self._find_open(
-                    ("tbody", "thead", "tfoot", "caption", "tr", "td", "th"),
-                    ("table", "html"),
-                )
-                if i != -1:
-                    del self.stack[i:]
+                while True:
+                    i = self._find_open(
+                        ("tbody", "thead", "tfoot", "caption", "tr", "td", "th"),
+                        ("table", "html"),
+                    )
+                    if i == -1:
+                        break
+                    self._pop_table_scope(i)
                 self._insert_element("colgroup", None, push=True)
             self._insert_element("col", attrs, push=False)
             return True
         if tag == "tr":
-            i = self._find_open(("tr", "td", "th"), ("table", "html"))
-            if i != -1:
-                del self.stack[i:]
+            # close the open cell AND the open row (both, not just the
+            # topmost): <tr><td>a<tr> must yield sibling rows
+            while True:
+                i = self._find_open(("tr", "td", "th"), ("table", "html"))
+                if i == -1:
+                    break
+                self._pop_table_scope(i)
             self._close_caption_or_colgroup()
             if self._find_open(("tbody", "thead", "tfoot"), ("table", "html")) == -1:
                 self._insert_element("tbody", None, push=True)
@@ -802,8 +842,7 @@ class _Builder:
         # td / th
         i = self._find_open(("td", "th"), ("table", "html"))
         if i != -1:
-            del self.stack[i:]
-            self._clear_afe_to_marker()
+            self._pop_table_scope(i)
         if self._find_open(("tr",), ("table", "html")) == -1:
             self._close_caption_or_colgroup()
             if self._find_open(("tbody", "thead", "tfoot"), ("table", "html")) == -1:

@@ -16,16 +16,36 @@ so that ``render(parse(html)) == html`` byte-for-byte):
 
     <!DOCTYPE html><html><head><title>doc{id}</title>
     <meta charset="utf-8"></head><body><!--nav-->
+    [PRE_BLOCK[variant]  — adversarial boilerplate, see below]
     <div id="main" class="content article"><h1 class="headline">{source}</h1>
     <p class="para">{chunk_1}</p> ... <p class="para">{chunk_np}</p>
     [<a href="https://ex.test/{id}" class="ref">more</a>  if doc_id even]
     </div><div class="footer boilerplate"><p class="fine">copyright {source}</p>
-    <a href="/about">about</a></div></body></html>
+    <a href="/about">about</a></div>
+    [POST_BLOCK[variant]]</body></html>
 
 Generation parameters (all derivable from scalar columns):
   np       = n_chars % 5 + 2          (number of <p class="para"> blocks)
   has_link = doc_id % 2 == 0
+  variant  = doc_id % 4               (adversarial boilerplate mix)
   chunk_i  = tokens[ (i-1)*ntok//np + 1 .. i*ntok//np ]  (1-based, space-joined)
+
+Adversarial template variants (constant strings — NAV_TABLE / NAV_TREE
+/ LINK_FOOTER below — shared verbatim with the DuckDB mirror, so both
+sides stay byte-identical by construction):
+  variant 0: the plain page (no extra blocks)
+  variant 1: nested-table boilerplate nav before div#main (exercises
+             the WHATWG table-in-cell nesting path)
+  variant 2: deep <ul><li> nav tree before div#main (depth 13 chains)
+  variant 3: link-dense footer div appended after the normal footer
+
+Every variant block is prunable boilerplate for the extractor
+(class nav / class menu are PRUNE_CLASSES; the link footer's text is
+100% anchor text, scoring 0), so the north-rule extraction contract
+``main_text == source || ' ' || text`` holds over the mixed corpus.
+Blocks use single-attribute elements only, so the hiccup render
+(sorted attrs) equals the hickory render on them and the
+convert_hiccup_render oracle keeps its two fixed rewrites.
 
 Chunks partition the token list in order, so the concatenation of the
 paragraph texts joined with single spaces is byte-identical to
@@ -41,6 +61,33 @@ from pyspark.sql import functions as F
 
 #: epoch seconds of 2025-07-25T00:00:00Z — fixed warc_ts base (FIXTURES.md A)
 WARC_TS_BASE = 1753401600
+
+#: variant 1 — nested-table nav (a <table> inside a <td>, the WHATWG
+#: in-cell nesting case; explicit <tbody> keeps it parser-canonical)
+NAV_TABLE = (
+    '<div class="nav"><table><tbody><tr><td><table><tbody><tr><td>'
+    '<a href="/t1">t1</a></td></tr></tbody></table></td><td>'
+    '<a href="/t2">t2</a></td></tr></tbody></table></div>'
+)
+#: variant 2 — deep nav tree (3-level nested list, max node depth 10)
+NAV_TREE = (
+    '<ul class="menu"><li><a href="/m1">m1</a><ul><li><a href="/m2">m2</a>'
+    '<ul><li><a href="/m3">m3</a></li></ul></li></ul></li></ul>'
+)
+#: variant 3 — link-dense footer (unpruned div candidate whose text is
+#: 100% anchor text → extraction score 0)
+LINK_FOOTER = (
+    '<div class="links footer2"><a href="/l1">l1</a><a href="/l2">l2</a>'
+    '<a href="/l3">l3</a><a href="/l4">l4</a><a href="/l5">l5</a></div>'
+)
+
+#: (pre_main, post_footer) block per variant — index with doc_id % 4
+VARIANT_BLOCKS: list[tuple[str, str]] = [
+    ("", ""),
+    (NAV_TABLE, ""),
+    (NAV_TREE, ""),
+    ("", LINK_FOOTER),
+]
 
 
 def _chunk(toks: Column, ntok: Column, np_: Column, i: Column) -> Column:
@@ -66,6 +113,13 @@ def pages_from_documents(documents: DataFrame, with_params: bool = False) -> Dat
     ntok = F.size(toks)
     np_ = (F.col("n_chars") % 5 + 2).cast("int")
     has_link = F.col("doc_id") % 2 == 0
+    variant = (F.col("doc_id") % 4).cast("int")
+    pre_block = F.element_at(
+        F.array(*[F.lit(pre) for pre, _ in VARIANT_BLOCKS]), variant + 1
+    )
+    post_block = F.element_at(
+        F.array(*[F.lit(post) for _, post in VARIANT_BLOCKS]), variant + 1
+    )
     paras = F.array_join(
         F.transform(
             F.sequence(F.lit(1), np_),
@@ -87,6 +141,7 @@ def pages_from_documents(documents: DataFrame, with_params: bool = False) -> Dat
         F.lit("<!DOCTYPE html><html><head><title>doc"),
         F.col("doc_id"),
         F.lit('</title><meta charset="utf-8"></head><body><!--nav-->'),
+        pre_block,
         F.lit('<div id="main" class="content article"><h1 class="headline">'),
         F.col("source"),
         F.lit("</h1>"),
@@ -94,7 +149,9 @@ def pages_from_documents(documents: DataFrame, with_params: bool = False) -> Dat
         link,
         F.lit('</div><div class="footer boilerplate"><p class="fine">copyright '),
         F.col("source"),
-        F.lit('</p><a href="/about">about</a></div></body></html>'),
+        F.lit('</p><a href="/about">about</a></div>'),
+        post_block,
+        F.lit("</body></html>"),
     )
     cols = [
         F.concat(F.lit("https://ex.test/"), F.col("source"), F.lit("/"), F.col("doc_id")).alias("url"),
@@ -108,6 +165,7 @@ def pages_from_documents(documents: DataFrame, with_params: bool = False) -> Dat
             F.col("doc_id"),
             np_.alias("np"),
             has_link.alias("has_link"),
+            variant.alias("variant"),
             F.col("n_chars"),
         ]
     return documents.select(*cols)
@@ -115,8 +173,10 @@ def pages_from_documents(documents: DataFrame, with_params: bool = False) -> Dat
 
 #: DuckDB CTE mirroring the generation, for oracle SQL. Exposes per-doc
 #: generation parameters + the reconstructed html string + chunk list.
-#: ``documents`` is a pre-registered view in the driver's DuckDB.
-DUCKDB_PAGES_CTE = """
+#: ``documents`` is a pre-registered view in the driver's DuckDB. The
+#: variant blocks are interpolated from the SAME Python constants the
+#: Spark generator uses, so the two sides cannot drift.
+DUCKDB_PAGES_CTE = f"""
 WITH gen AS (
   SELECT doc_id,
          'https://ex.test/' || source || '/' || doc_id AS url,
@@ -124,7 +184,8 @@ WITH gen AS (
          string_split(text, ' ') AS toks,
          len(string_split(text, ' ')) AS ntok,
          (n_chars % 5 + 2)::INT AS np,
-         (doc_id % 2 = 0) AS has_link
+         (doc_id % 2 = 0) AS has_link,
+         (doc_id % 4)::INT AS variant
   FROM documents
 ), pages AS (
   SELECT *,
@@ -134,6 +195,7 @@ WITH gen AS (
          ) AS chunks,
          '<!DOCTYPE html><html><head><title>doc' || doc_id ||
          '</title><meta charset="utf-8"></head><body><!--nav-->' ||
+         (['', '{NAV_TABLE}', '{NAV_TREE}', ''])[variant + 1] ||
          '<div id="main" class="content article"><h1 class="headline">' ||
          source || '</h1>' ||
          array_to_string(list_transform(range(1, np + 1),
@@ -144,7 +206,9 @@ WITH gen AS (
               THEN '<a href="https://ex.test/' || doc_id || '" class="ref">more</a>'
               ELSE '' END ||
          '</div><div class="footer boilerplate"><p class="fine">copyright ' ||
-         source || '</p><a href="/about">about</a></div></body></html>' AS html
+         source || '</p><a href="/about">about</a></div>' ||
+         (['', '', '', '{LINK_FOOTER}'])[variant + 1] ||
+         '</body></html>' AS html
   FROM gen
 )
 """

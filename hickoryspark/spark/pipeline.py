@@ -37,19 +37,30 @@ LINEAGE_SCHEMA = (
 )
 
 
-def salt_repartition(pages: DataFrame, num_partitions: int) -> DataFrame:
-    """Salted, size-bucketed repartition (SURVEY.md §4.2 'skew handling').
+#: pages larger than this are "giants" and get striped round-robin
+GIANT_CUTOFF_BYTES = 1 << 16  # 64 KiB
 
-    Hash-salting alone balances *counts*; the size bucket balances
-    *bytes* — two pages in the same xxhash bucket but 1000× apart in
-    size land in different partitions, so no partition accumulates all
-    the giant documents.
+
+def salt_repartition(pages: DataFrame, num_partitions: int) -> DataFrame:
+    """Skew-aware repartition (SURVEY.md §4.2 'skew handling').
+
+    Two-level routing: documents above GIANT_CUTOFF_BYTES stripe
+    round-robin (exact count balance — hash-routing a handful of
+    giants is Poisson-lumpy at EVERY scale: some partition draws 2-3×
+    its share of 100 MB documents and straggles the stage), while the
+    small-page bulk hash-partitions on the full-cardinality
+    xxhash64(url) (uniform by the law of large numbers). The union
+    keeps the two classes in separate partitions, so parse tasks are
+    size-homogeneous — better straggler behavior than mixing one giant
+    into an otherwise-small task. Still one shuffle; 2×num_partitions
+    tasks, half of them typically near-empty.
     """
-    return pages.repartition(
-        num_partitions,
-        F.pmod(F.xxhash64("url"), F.lit(num_partitions)),
-        F.floor(F.log2(F.length("html") + F.lit(1))),
+    sz = F.length("html")
+    giants = pages.where(sz > GIANT_CUTOFF_BYTES).repartition(num_partitions)
+    smalls = pages.where(sz.isNull() | (sz <= GIANT_CUTOFF_BYTES)).repartition(
+        num_partitions, F.xxhash64("url")
     )
+    return giants.unionAll(smalls)
 
 
 def run_extract(

@@ -20,6 +20,31 @@ CLASSES = ["c1", "c2", "cool", "x"]
 IDS = ["i1", "i2", "i3"]
 
 
+def gen_table(rng: random.Random) -> str:
+    """Messy table markup: unclosed rows/cells, stray text and elements
+    inside table context (foster parenting), nested tables inside
+    cells — the recovery paths the tree builder must keep in lockstep
+    across both selector engines."""
+    parts = ["<table>"]
+    if rng.random() < 0.3:
+        parts.append(rng.choice(["stray", "<b>oops", "<div>el</div>", " "]))
+    for _ in range(rng.randint(1, 3)):
+        parts.append(rng.choice(["<tr>", "<tr>", "<tbody><tr>"]))
+        for _ in range(rng.randint(1, 3)):
+            cell = rng.choice(["<td>", "<th>", '<td class="c1">'])
+            content = rng.choice(
+                ["x", "a&amp;b", "<span>s</span>", "<!--c-->",
+                 "<table><tr><td>inner</td></tr></table>", ""]
+            )
+            parts.append(cell + content)
+            if rng.random() < 0.5:
+                parts.append("</td>" if cell.startswith("<td") else "</th>")
+        if rng.random() < 0.4:
+            parts.append("</tr>")
+    parts.append("</table>")
+    return "".join(parts)
+
+
 def gen_html(rng: random.Random, max_depth: int = 4) -> str:
     def gen_node(depth: int) -> str:
         r = rng.random()
@@ -27,6 +52,8 @@ def gen_html(rng: random.Random, max_depth: int = 4) -> str:
             return rng.choice(["text", "spark words", " ", "x&y"])
         if r < 0.32:
             return "<!--note-->"
+        if r < 0.40:
+            return gen_table(rng)
         tag = rng.choice(TAGS)
         attrs = ""
         if rng.random() < 0.4:
@@ -52,7 +79,7 @@ def gen_selector_pairs(rng: random.Random):
     def atom():
         kind = rng.choice(["tag", "cls", "id", "type", "nth", "first", "any"])
         if kind == "tag":
-            t = rng.choice(TAGS)
+            t = rng.choice(TAGS + ["table", "tr", "td", "tbody"])
             return w(R.p_tag(t)), S.tag(t)
         if kind == "cls":
             c = rng.choice(CLASSES)
@@ -118,7 +145,7 @@ def test_cross_engine_fuzz():
     spark.sparkContext.setLogLevel("ERROR")
 
     rng = random.Random(20260816)
-    docs = {f"d{i}": gen_html(rng) for i in range(30)}
+    docs = {f"d{i}": gen_html(rng) for i in range(60)}
     pages = spark.createDataFrame(
         [(u, h.encode()) for u, h in docs.items()], "url string, html binary"
     )
@@ -127,7 +154,7 @@ def test_cross_engine_fuzz():
     trees = {u: as_hickory(parse(h)) for u, h in docs.items()}
 
     n_nonempty = 0
-    for trial in range(12):
+    for trial in range(24):
         rsel, isel = gen_selector_pairs(rng)
         got = {
             (r["url"], r["pre_ord"])

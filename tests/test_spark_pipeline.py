@@ -67,6 +67,30 @@ def test_pages_render_roundtrip_byte_identical(pages):
         assert hickory_to_html(as_hickory(parse(html))) == html
 
 
+def test_adversarial_variants_present_and_roundtrip(spark):
+    """The synthesized corpus must mix all 4 adversarial template
+    variants (doc_id % 4), each parser-canonical: render(parse(x)) == x
+    byte-for-byte including the nested-table nav (variant 1), the deep
+    nav tree (variant 2), and the link-dense footer (variant 3)."""
+    from hickoryspark import parse, as_hickory, hickory_to_html
+    from hickoryspark.spark.pages import (
+        LINK_FOOTER, NAV_TABLE, NAV_TREE, load_pages,
+    )
+
+    rows = (
+        load_pages(spark, SF_DIR, with_params=True)
+        .select("variant", "html").limit(64).collect()
+    )
+    seen = {r["variant"] for r in rows}
+    assert seen == {0, 1, 2, 3}
+    marker = {1: NAV_TABLE, 2: NAV_TREE, 3: LINK_FOOTER}
+    for r in rows:
+        html = bytes(r["html"]).decode("utf-8")
+        if r["variant"]:
+            assert marker[r["variant"]] in html
+        assert hickory_to_html(as_hickory(parse(html))) == html
+
+
 def test_extract_main_text_byte_identity(spark, pages):
     """North-rule gate: extracted text per url is byte-identical to the
     known ground truth (source + ' ' + documents.text by construction,
@@ -151,15 +175,19 @@ def test_pipeline_reused_run_id_does_not_double_count(spark, pages, tmp_path):
 
 
 def test_salt_repartition_balances_pages(pages):
+    # two-level routing: 8 giant partitions (empty here — no page tops
+    # 64 KiB) + 8 hash-routed small partitions, counts balanced
     from hickoryspark.spark.pipeline import salt_repartition
 
     df = salt_repartition(pages.select("url", "html"), 8)
     sizes = [len(p) for p in df.rdd.glom().collect()]
-    assert len(sizes) == 8
+    # giants + smalls legs give up to 16 partitions; AQE may coalesce
+    # the empty giant leg, so only the balance contract is pinned
+    assert 8 <= len(sizes) <= 16
     total = sum(sizes)
     assert total == pages.count()
-    # no partition hoards more than 3x the fair share
-    assert max(sizes) <= 3 * (total / 8)
+    # no partition hoards more than 3x the 8-way fair share
+    assert max(sizes) <= 3 * (total / 8), sizes
 
 
 def test_salt_repartition_balances_bytes_under_size_skew(spark):
@@ -191,8 +219,9 @@ def test_salt_repartition_balances_bytes_under_size_skew(spark):
     df = salt_repartition(pages, 8).select(F.length("html").alias("sz"))
     per_part = [sum(r["sz"] for r in part) for part in df.rdd.glom().collect()]
     total = sum(per_part)
-    assert len(per_part) == 8 and total > 6_000_000
-    # fair share is total/8; no partition may exceed 2x fair share
+    assert 8 <= len(per_part) <= 16 and total > 6_000_000
+    # the 16 giants stripe round-robin: exactly 2 per giant partition,
+    # so no partition may exceed 2x the 8-way fair share
     assert max(per_part) <= 2 * (total / 8), per_part
 
 

@@ -101,10 +101,91 @@ def roundtrip(html: str) -> str:
             "<table><tbody><tr><td>x</td></tr></tbody></table>"
             "<table><tbody><tr><td>y</td></tr></tbody></table>",
         ),
+        # clear-the-stack-back-to-table-context: a fostered element
+        # must NOT capture the subsequent table structure (the <b> is
+        # popped when <tr> arrives; the table keeps its rows)
+        (
+            "<table><b>bold<tr><td>y</table>",
+            "<b>bold</b><table><tbody><tr><td>y</td></tr></tbody></table>",
+        ),
+        (
+            "<div><table><p>foster<tr><td>c</table></div>",
+            "<div><p>foster</p>"
+            "<table><tbody><tr><td>c</td></tr></tbody></table></div>",
+        ),
+        # consecutive unclosed rows become SIBLINGS, never nest
+        (
+            "<table><tr><td>a<tr><td>b</table>",
+            "<table><tbody><tr><td>a</td></tr><tr><td>b</td></tr>"
+            "</tbody></table>",
+        ),
+        # a second <tbody> closes the open row group (and its open row)
+        (
+            "<table><tbody><tr><td>a<tbody><tr><td>b</table>",
+            "<table><tbody><tr><td>a</td></tr></tbody>"
+            "<tbody><tr><td>b</td></tr></tbody></table>",
+        ),
+        # <td> closes the previous cell through its open subtree
+        (
+            "<table><tr><td><div><p>x<td>y</table>",
+            "<table><tbody><tr><td><div><p>x</p></div></td><td>y</td>"
+            "</tr></tbody></table>",
+        ),
+        # <tbody> closes an open caption (implied end, AFE marker kept)
+        (
+            "<table><caption>cap<tbody><tr><td>x</table>",
+            "<table><caption>cap</caption>"
+            "<tbody><tr><td>x</td></tr></tbody></table>",
+        ),
+        # fostered text with a character reference decodes before the
+        # table and re-escapes on render
+        (
+            "<table>a&amp;b<tr><td>x</table>",
+            "a&amp;b<table><tbody><tr><td>x</td></tr></tbody></table>",
+        ),
+        # text inside <tr> (before AND after the cell) is fostered
+        (
+            "<table><tr>mid<td>x</td>tail</tr></table>",
+            "midtail<table><tbody><tr><td>x</td></tr></tbody></table>",
+        ),
     ],
 )
 def test_table_structure(html, expected):
     assert roundtrip(html) == expected
+
+
+@pytest.mark.parametrize(
+    "html,expected",
+    [
+        # RCDATA (<textarea>): entities decode, tags do NOT parse;
+        # render re-escapes & < > "
+        (
+            "<textarea>&lt;div&gt; &amp; x</textarea>",
+            "<textarea>&lt;div&gt; &amp; x</textarea>",
+        ),
+        (
+            "<textarea><p>not parsed</p></textarea>",
+            "<textarea>&lt;p&gt;not parsed&lt;/p&gt;</textarea>",
+        ),
+    ],
+)
+def test_rcdata_entities(html, expected):
+    assert roundtrip(html) == expected
+
+
+def test_rcdata_title_entities():
+    from hickoryspark import as_hickory, hickory_to_html, parse
+
+    # <title> is RCDATA in head; legacy named references without a
+    # semicolon decode per WHATWG (the spec's own '&notit;' example
+    # family: '&not' is consumed greedily, '&amp y' decodes too)
+    out = hickory_to_html(as_hickory(parse(
+        "<title>x &notarealentity; &amp y</title>"
+    )))
+    assert out == (
+        "<html><head><title>x ¬arealentity; &amp; y</title></head>"
+        "<body></body></html>"
+    )
 
 
 @pytest.mark.parametrize(
