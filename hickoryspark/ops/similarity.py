@@ -235,6 +235,122 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    n_cells: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """True IVF ANN: a coarse quantizer (centroids) partitions the
+    corpus into inverted cells; each query probes only its ``nprobe``
+    nearest cells. Centroids here are the embeddings of
+    ``vec_id < n_cells`` — deterministic seeds, so the DuckDB oracle
+    can recompute the identical assignment; at design scale they come
+    from a separate k-means fit job and the pattern is unchanged.
+
+    Scale shape (mirrors brute_topk / lsh_bucket_topk): the tiny
+    centroid + query matrices broadcast; candidates stream through ONE
+    mapInPandas pass that assigns each row's cell and scores it against
+    the queries probing that cell (vectorized float64 NumPy); each task
+    emits only its partial top-k, so the exact merge sees
+    n_queries x n_partitions x k rows regardless of corpus size — no
+    shuffle of the embedding column at all.
+
+    Determinism contract with the oracle: cell assignment is argmax of
+    the 6-decimal-ROUNDED cosine with ties broken by smallest centroid
+    id (rounding makes ties likely, so the tiebreak is part of the
+    contract on both sides).
+    """
+    from pyspark.sql.window import Window
+
+    cent_rows = (
+        emb.where(F.col("vec_id") < n_cells)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    Cm = np.array([list(r["embedding"]) for r in cent_rows], dtype=np.float64)
+    cm_norm = np.sqrt((Cm * Cm).sum(axis=1))
+
+    def assign(E):
+        """Cell id per row of E: nearest centroid by rounded cosine,
+        ties to the smallest centroid id."""
+        en = np.sqrt((E * E).sum(axis=1))
+        sims = np.round((E @ Cm.T) / (en[:, None] * cm_norm[None, :]), 6)
+        # lexsort: primary -sim, secondary cid — column 0 of the result
+        best = np.array(
+            [cids[np.lexsort((cids, -row))[0]] for row in sims], dtype=np.int64
+        )
+        return best, sims
+
+    q_rows = (
+        emb.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
+    if len(Q):
+        qnorm = np.sqrt((Q * Q).sum(axis=1))
+        _, qsims = assign(Q)
+        probes = np.array(
+            [cids[np.lexsort((cids, -row))[:nprobe]] for row in qsims],
+            dtype=np.int64,
+        )
+    else:
+        qnorm = np.zeros(0)
+        probes = np.zeros((0, nprobe), dtype=np.int64)
+    bc = emb.sparkSession.sparkContext.broadcast(
+        (qids, Q, qnorm, probes, cids, Cm, cm_norm, k)
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        qids, Q, qnorm, probes, cids, Cm, cm_norm, k = bc.value
+        for b in batches:
+            if not len(b) or not len(qids):
+                continue
+            C = np.array([np.asarray(e, dtype=np.float64) for e in b["embedding"]])
+            nids = b["vec_id"].to_numpy()
+            cn = np.sqrt((C * C).sum(axis=1))
+            csims = np.round((C @ Cm.T) / (cn[:, None] * cm_norm[None, :]), 6)
+            cells = np.array(
+                [cids[np.lexsort((cids, -row))[0]] for row in csims],
+                dtype=np.int64,
+            )
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                m = np.isin(cells, probes[qi]) & (nids != qids[qi])
+                if not m.any():
+                    continue
+                sims = np.round(
+                    (C[m] @ Q[qi]) / (qnorm[qi] * cn[m]), 6
+                )
+                cand = nids[m]
+                order = np.lexsort((cand, -sims))[: min(k, len(sims))]
+                out_q.extend([qids[qi]] * len(order))
+                out_n.extend(cand[order])
+                out_s.extend(sims[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
+            )
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(
+        gen, "query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
 _PAIR_SCHEMA = "vec_a long, vec_b long, sim double"
 
 

