@@ -269,6 +269,10 @@ def ivf_topk(
         .select("vec_id", "embedding")
         .collect()
     )
+    # centroid columns sorted by ascending cid: argmax returns the
+    # FIRST max index, which then IS the smallest-cid tiebreak — fully
+    # vectorized, no per-row lexsort in the hot path
+    cent_rows.sort(key=lambda r: r["vec_id"])
     cids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
     Cm = np.array([list(r["embedding"]) for r in cent_rows], dtype=np.float64)
     cm_norm = np.sqrt((Cm * Cm).sum(axis=1))
@@ -278,11 +282,7 @@ def ivf_topk(
         ties to the smallest centroid id."""
         en = np.sqrt((E * E).sum(axis=1))
         sims = np.round((E @ Cm.T) / (en[:, None] * cm_norm[None, :]), 6)
-        # lexsort: primary -sim, secondary cid — column 0 of the result
-        best = np.array(
-            [cids[np.lexsort((cids, -row))[0]] for row in sims], dtype=np.int64
-        )
-        return best, sims
+        return cids[np.argmax(sims, axis=1)], sims
 
     q_rows = (
         emb.where(F.col("vec_id") < n_queries)
@@ -294,10 +294,11 @@ def ivf_topk(
     if len(Q):
         qnorm = np.sqrt((Q * Q).sum(axis=1))
         _, qsims = assign(Q)
-        probes = np.array(
-            [cids[np.lexsort((cids, -row))[:nprobe]] for row in qsims],
-            dtype=np.int64,
-        )
+        # np.argsort(kind="stable") on -sims: equal sims keep ascending
+        # cid column order — same smallest-cid-first tiebreak
+        probes = cids[
+            np.argsort(-qsims, axis=1, kind="stable")[:, :nprobe]
+        ]
     else:
         qnorm = np.zeros(0)
         probes = np.zeros((0, nprobe), dtype=np.int64)
@@ -317,10 +318,7 @@ def ivf_topk(
             nids = b["vec_id"].to_numpy()
             cn = np.sqrt((C * C).sum(axis=1))
             csims = np.round((C @ Cm.T) / (cn[:, None] * cm_norm[None, :]), 6)
-            cells = np.array(
-                [cids[np.lexsort((cids, -row))[0]] for row in csims],
-                dtype=np.int64,
-            )
+            cells = cids[np.argmax(csims, axis=1)]
             out_q, out_n, out_s = [], [], []
             for qi in range(len(qids)):
                 m = np.isin(cells, probes[qi]) & (nids != qids[qi])

@@ -1,0 +1,116 @@
+"""Physical-plan shape guards: the properties that make the operators
+viable at 100 TB are asserted on the EXECUTED/optimized plans, so a
+regression (lost broadcast, lost column pruning, extra shuffle, a
+Python UDF sneaking into a JVM-only path) fails CI instead of
+silently costing a cluster.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SF_DIR), reason="driver testdata not present"
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from hickoryspark.spark.session import get_spark
+
+    s = get_spark(4, app_name="hickoryspark-plan-tests", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_relational_joins_broadcast_the_dimension_tables(spark):
+    """revenue_by_nation joins lineitem against orders/customer/nation:
+    the dim side must be broadcast (no shuffled sort-merge join of the
+    fact table against a tiny dimension)."""
+    from hickoryspark.ops.relational import revenue_by_nation
+
+    plan = _plan(revenue_by_nation(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_textstats_scan_prunes_columns_and_stays_jvm_side(spark):
+    """token_stats needs only (doc_id, text): the parquet ReadSchema
+    must not include lang/source/n_chars, and no Python evaluation may
+    appear — the whole query is JVM expressions."""
+    from hickoryspark.ops.textstats import token_stats
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(token_stats(docs))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    assert "lang" not in scan[0] and "source" not in scan[0]
+    assert "Python" not in plan  # builtins only; no UDF in the hot path
+
+
+def test_extract_prunes_unused_page_columns(spark):
+    """extract_pages selects only (url, html): column pruning must push
+    through the pages-synthesis projection to the documents scan, so
+    the column the synthesis does NOT need for those two outputs
+    (lang) never leaves parquet."""
+    from hickoryspark.spark.extract import extract_pages
+    from hickoryspark.spark.pages import load_pages
+
+    plan = _plan(extract_pages(load_pages(spark, SF_DIR)))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    assert "lang" not in scan[0], scan[0]
+
+
+def test_minhash_signatures_single_shuffle(spark):
+    """minhash_signatures = explode + ONE groupBy with k min-aggs: the
+    executed plan must contain exactly one shuffle exchange."""
+    from hickoryspark.ops.dedup import minhash_signatures
+    from hickoryspark.spark.pages import load_documents
+
+    plan = _plan(minhash_signatures(load_documents(spark, SF_DIR), 4))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_ann_partial_topk_shuffles_only_partials(spark):
+    """brute_topk: the embedding column must NOT cross a shuffle — the
+    only exchange is the final per-query merge of (query_id,
+    neighbor_id, sim) partials."""
+    from hickoryspark.ops.similarity import brute_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = _plan(brute_topk(emb, 5, 3))
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 1, plan
+    assert "embedding" not in exchanges[0]
+
+
+def test_pages_filter_pushed_to_parquet_scan(spark):
+    """A doc_id predicate over the synthesized pages must reach the
+    documents parquet scan as a pushed filter (the generation is a pure
+    projection, so Catalyst can push through it)."""
+    from pyspark.sql import functions as F
+
+    from hickoryspark.spark.pages import load_pages
+
+    df = load_pages(spark, SF_DIR, with_params=True).where(F.col("doc_id") < 10)
+    plan = _plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "doc_id" in pushed[0], plan

@@ -197,7 +197,8 @@ def main() -> None:
 North-rule gate: throughput scaling efficiency >= 0.8 from N to 4N
 executors (BASELINE.json `north_rule`). Sandbox protocol (task brief):
 the identical `extract_main` job (parse -> boilerplate strip -> main
-text, via salted+size-bucketed repartition + Arrow-batched
+text, via two-level skew routing (round-robin giants + url-hash
+bulk) + Arrow-batched
 mapInPandas) on identical input at two parallelism levels, each in its
 own JVM.
 
@@ -239,7 +240,7 @@ box = {ceil_extra:.3f} (the box itself cannot scale pure CPU work
 
 Per-page work is row-independent; the only shuffle is the input
 salting. Scaling on a real cluster is gated by input-split balance
-(handled: size-bucketed salting), Python worker startup amortization
+(handled: two-level skew routing), Python worker startup amortization
 (handled: spark.python.worker.reuse, long-lived executors), and Arrow
 batch sizing (128 pages/batch). Nothing in the job is driver-bound or
 single-point: no collect(), no broadcast of large state, no global
