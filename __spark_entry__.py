@@ -671,6 +671,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return fingerprint(load_documents(spark, sf))
 
+    def q_lang_trigram(spark, sf):
+        from hickoryspark.ops.textstats import lang_trigram
+
+        return lang_trigram(load_documents(spark, sf))
+
+    def q_gopher(spark, sf):
+        from hickoryspark.ops.textstats import gopher_quality
+
+        return gopher_quality(load_documents(spark, sf))
+
+    def q_url_normalize(spark, sf):
+        # url canonicalization end-to-end: each page url is messed up
+        # deterministically by variant (case-mangled host / explicit
+        # default port + trailing slash / utm params / fragment), then
+        # normalize_url must recover the clean url EXACTLY — the
+        # oracle is the clean url itself, so it never runs the
+        # normalizer (fully independent check)
+        from hickoryspark.ops.urls import normalize_url
+
+        pages = load_pages(spark, sf, with_params=True)
+        u, v = F.col("url"), F.col("variant")
+        tail = F.substring(u, F.lit(16), F.length(u))  # after https://ex.test
+        messy = (
+            F.when(v == 0, F.concat(F.lit("HTTPS://EX.TEST"), tail))
+            .when(v == 1, F.concat(F.lit("https://ex.test:443"), tail, F.lit("/")))
+            .when(v == 2, F.concat(u, F.lit("?utm_source=feed&utm_campaign=c"),
+                                   F.col("doc_id")))
+            .otherwise(F.concat(u, F.lit("#sec"), F.col("doc_id")))
+        )
+        return pages.select(
+            "doc_id", normalize_url(messy).alias("url_norm")
+        )
+
     def q_events_windowed(spark, sf):
         from hickoryspark.ops.events import windowed_counts
 
@@ -860,7 +893,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_token_stats=q_token_stats,
         text_quality=q_quality,
         text_lang_id=q_lang_id,
+        text_lang_trigram=q_lang_trigram,
+        text_gopher=q_gopher,
         text_fingerprint=q_fingerprint,
+        url_normalize=q_url_normalize,
         events_windowed=q_events_windowed,
         events_sessionize=q_events_sessionize,
         events_props=q_events_props,
@@ -1257,6 +1293,55 @@ def oracle_sql() -> dict[str, str]:
                               t -> list_contains({stop_list}, t))) AS DOUBLE)
                          / len(string_split(text,' ')) AS ratio
                   FROM documents)""",
+        # trigram-profile scores recomputed with replace-count; strict
+        # argmax in en,de,fr order; all-zero -> 'unk'
+        "text_lang_trigram": """
+            WITH s AS (
+              SELECT doc_id,
+                     """ + ", ".join(
+                         "("
+                         + " + ".join(
+                             f"(length(text) - length(replace(text, '{t}', '')))//3"
+                             for t in tris
+                         )
+                         + f") AS score_{lang}"
+                         for lang, tris in (
+                             ("en", ("the", "and", "ing", "ion", "ent")),
+                             ("de", ("der", "ein", "ich", "sch", "und")),
+                             ("fr", ("les", "des", "que", "ait", "oir")),
+                         )
+                     ) + """
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN score_fr > greatest(score_en, score_de, 0)
+                             THEN 'fr'
+                        WHEN score_de > greatest(score_en, 0) THEN 'de'
+                        WHEN score_en > 0 THEN 'en'
+                        ELSE 'unk' END AS lang_pred,
+                   score_en, score_de, score_fr
+            FROM s""",
+        "text_gopher": """
+            WITH m AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n,
+                     len(list_distinct(string_split(text, ' '))) AS types,
+                     length(text) - (len(string_split(text, ' ')) - 1)
+                         AS word_chars
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   CAST(word_chars AS BIGINT) AS word_chars,
+                   CAST(n - types AS BIGINT) AS n_dup_tokens,
+                   (n BETWEEN 50 AND 100000
+                    AND word_chars BETWEEN 3*n AND 10*n
+                    AND (n - types) * 10 <= n * 3) AS passes_gopher
+            FROM m""",
+        # the oracle is the CLEAN url — it never runs the normalizer,
+        # so messy-derivation + normalization must cancel exactly
+        "url_normalize": DUCKDB_PAGES_CTE
+        + "SELECT doc_id, url AS url_norm FROM pages",
         "text_fingerprint": """
             SELECT doc_id, md5(text) AS content_hash,
                    list_min(list_transform(

@@ -80,6 +80,77 @@ def lang_id(docs: DataFrame, threshold: float = 0.05) -> DataFrame:
     )
 
 
+#: char-trigram profiles for heuristic language scoring (the classic
+#: n-gram-profile method; tiny deliberately — extend per language)
+LANG_TRIGRAMS = {
+    "en": ("the", "and", "ing", "ion", "ent"),
+    "de": ("der", "ein", "ich", "sch", "und"),
+    "fr": ("les", "des", "que", "ait", "oir"),
+}
+
+
+def _substr_count(text: Column, s: str) -> Column:
+    """Non-overlapping occurrences of literal s — identical semantics
+    to the oracle's (len(text) - len(replace(text, s, ''))) / len(s)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(s), F.lit(""))))
+        / len(s)
+    ).cast("long")
+
+
+def lang_trigram(docs: DataFrame) -> DataFrame:
+    """Character-n-gram language ID: score each language profile by
+    summed trigram occurrence counts; argmax wins (ties broken by the
+    profile order en, de, fr), all-zero → 'unk'. Pure JVM expressions."""
+    text = F.col("text")
+    scores = {
+        lang: sum(
+            (_substr_count(text, t) for t in tris), F.lit(0).cast("long")
+        )
+        for lang, tris in LANG_TRIGRAMS.items()
+    }
+    best = F.lit("unk")
+    best_score = F.lit(0).cast("long")
+    # iterate in profile order; strict > keeps the earlier lang on ties
+    for lang, sc in scores.items():
+        take = sc > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, sc).otherwise(best_score)
+    return docs.select(
+        "doc_id",
+        best.alias("lang_pred"),
+        *[sc.alias(f"score_{lang}") for lang, sc in scores.items()],
+    )
+
+
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """Gopher-style (Rae et al. 2021) document-quality rules, the
+    subset meaningful on whitespace-tokenized text, in exact integer
+    arithmetic (bit-identical across engines):
+
+    - word count within [50, 100000]
+    - mean word length within [3, 10] chars (3n <= word_chars <= 10n,
+      word_chars = len(text) - (n-1) separator spaces)
+    - duplicate-token fraction <= 30% ((n - n_types)*10 <= n*3)
+
+    Returns the metrics plus the combined pass flag, so downstream
+    filtering composes (`where(passes_gopher)`)."""
+    toks = _toks()
+    n = F.size(toks).cast("long")
+    types = F.size(F.array_distinct(toks)).cast("long")
+    word_chars = (F.length("text") - (n - 1)).cast("long")
+    ok_count = (n >= 50) & (n <= 100000)
+    ok_wordlen = (word_chars >= 3 * n) & (word_chars <= 10 * n)
+    ok_dup = (n - types) * 10 <= n * 3
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        word_chars.alias("word_chars"),
+        (n - types).alias("n_dup_tokens"),
+        (ok_count & ok_wordlen & ok_dup).alias("passes_gopher"),
+    )
+
+
 def fingerprint(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
     """Document fingerprint: min md5 over token n-gram shingles (the
     winnowing-style 'min-of-rolling-hashes' reduced to its one-band

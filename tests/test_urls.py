@@ -1,0 +1,69 @@
+"""URL canonicalization: Spark pipeline vs the DuckDB mirror on edge
+cases, plus the groupBy dedup pass."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CASES = [
+    ("HTTPS://EX.Test/src/42", "https://ex.test/src/42"),
+    ("https://ex.test:443/src/42/", "https://ex.test/src/42"),
+    ("http://ex.test:80/a?utm_source=x&id=7&utm_campaign=y",
+     "http://ex.test/a?id=7"),
+    ("https://ex.test/a?utm_source=x", "https://ex.test/a"),
+    ("https://ex.test/a#frag", "https://ex.test/a"),
+    ("https://ex.test/", "https://ex.test"),
+    ("https://ex.test/a/b/?gclid=123#x", "https://ex.test/a/b"),
+    ("https://ex.test/a?id=7&fbclid=zz", "https://ex.test/a?id=7"),
+    # non-default port and path colons survive untouched
+    ("https://ex.test:8080/keep:port", "https://ex.test:8080/keep:port"),
+    ("https://ex.test/a?id=7", "https://ex.test/a?id=7"),
+]
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from hickoryspark.spark.session import get_spark
+
+    s = get_spark(2, app_name="hickoryspark-url-tests", shuffle_partitions=2)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_normalize_matches_expected_and_duckdb(spark):
+    import duckdb
+
+    from hickoryspark.ops.urls import duckdb_normalize_sql, normalize_url
+
+    df = spark.createDataFrame([(c,) for c, _ in CASES], "url string")
+    got = [r[0] for r in df.select(normalize_url("url")).collect()]
+    con = duckdb.connect()
+    sql = duckdb_normalize_sql("url")
+    for (case, expected), g in zip(CASES, got):
+        assert g == expected, case
+        o = con.execute(
+            f"SELECT {sql} FROM (SELECT ? AS url)", [case]
+        ).fetchone()[0]
+        assert o == expected, case
+
+
+def test_url_dedup_groups(spark):
+    from hickoryspark.ops.urls import url_dedup_groups
+
+    variants = [
+        "https://ex.test/a",
+        "HTTPS://EX.TEST/a",
+        "https://ex.test:443/a",
+        "https://ex.test/a#x",
+        "https://ex.test/b",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    groups = {r["url_norm"]: (r["n_variants"], r["first_url"])
+              for r in url_dedup_groups(df).collect()}
+    assert groups["https://ex.test/a"] == (4, "HTTPS://EX.TEST/a")
+    assert groups["https://ex.test/b"] == (1, "https://ex.test/b")
