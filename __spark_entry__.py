@@ -598,6 +598,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_documents(spark, sf)
         return ngram_jaccard_pairs(docs, consecutive_pairs(docs), 3)
 
+    def q_dedup_components(spark, sf):
+        # pairs → duplicate clusters: iterative min-label propagation
+        # (ops/components.py) over the LSH candidate graph; every doc
+        # labeled with its component rep (min reachable doc_id),
+        # isolated docs label themselves. The oracle computes the same
+        # transitive closure with a recursive CTE — a genuinely
+        # independent fixpoint computation.
+        from hickoryspark.ops.components import dedup_components
+        from hickoryspark.ops.dedup import lsh_candidate_pairs
+
+        docs = load_documents(spark, sf)
+        return dedup_components(docs, lsh_candidate_pairs(docs, 8, 4))
+
     def q_simhash(spark, sf):
         from hickoryspark.ops.dedup import simhash
 
@@ -883,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_lsh_pairs=q_lsh_pairs,
         dedup_lsh_capped=q_lsh_capped,
         dedup_ngram_jaccard=q_ngram_jaccard,
+        dedup_components=q_dedup_components,
         dedup_simhash=q_simhash,
         dedup_simhash_pairs=q_simhash_pairs,
         ann_topk=q_ann_topk,
@@ -1101,6 +1115,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""",
+        # transitive closure of the LSH candidate graph via recursive
+        # CTE; component = min reachable doc_id; isolated docs = self
+        "dedup_components": """
+            WITH RECURSIVE sig AS (
+              SELECT doc_id,
+                     """ + ", ".join(
+                         f"MIN(md5('{i}:' || tok)) AS mh{i}" for i in range(8)
+                     ) + """
+              FROM (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
+                    FROM documents)
+              GROUP BY doc_id
+            ), banded AS (
+              SELECT doc_id, b.band,
+                     CASE b.band
+                       WHEN 0 THEN mh0 || '|' || mh1
+                       WHEN 1 THEN mh2 || '|' || mh3
+                       WHEN 2 THEN mh4 || '|' || mh5
+                       ELSE mh6 || '|' || mh7 END AS sig
+              FROM sig, (SELECT unnest(range(4)) AS band) b
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            ), edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM cand
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM cand
+            ), reach(v, r) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              UNION
+              SELECT reach.v, e.v
+              FROM reach JOIN edges e ON e.u = reach.r
+            ), comp AS (
+              SELECT v AS doc_id, MIN(r) AS component
+              FROM reach GROUP BY v
+            )
+            SELECT d.doc_id,
+                   COALESCE(comp.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp USING (doc_id)""",
         # group_cap=16 semantics mirrored exactly: groups partition the
         # docs by full signature; >cap groups emit a star (rep = min
         # doc_id) and join cross-group via the rep only

@@ -1,0 +1,64 @@
+"""Connected components: multi-round convergence on path graphs,
+cluster correctness on disjoint cliques, isolated-doc labeling, and
+the explicit non-convergence guard."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from hickoryspark.spark.session import get_spark
+
+    s = get_spark(4, app_name="hickoryspark-cc-tests", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+
+def test_cliques_and_bridge(spark):
+    from hickoryspark.ops.components import connected_components
+
+    # two triangles bridged through 2-10, plus a separate edge
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (2, 10), (20, 21)]
+    comp = {r["doc_id"]: r["component"]
+            for r in connected_components(_pairs(spark, edges)).collect()}
+    assert {comp[v] for v in (0, 1, 2, 10, 11, 12)} == {0}
+    assert comp[20] == comp[21] == 20
+
+
+def test_path_graph_needs_multiple_rounds(spark):
+    from hickoryspark.ops.components import connected_components
+
+    # a 24-vertex path: min label must propagate end to end
+    edges = [(i, i + 1) for i in range(23)]
+    comp = {r["doc_id"]: r["component"]
+            for r in connected_components(_pairs(spark, edges)).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 24
+
+
+def test_non_convergence_raises(spark):
+    from hickoryspark.ops.components import connected_components
+
+    edges = [(i, i + 1) for i in range(30)]
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(_pairs(spark, edges), max_iter=3)
+
+
+def test_dedup_components_labels_isolated_docs(spark):
+    from hickoryspark.ops.components import dedup_components
+
+    docs = spark.createDataFrame([(i, "t") for i in range(6)],
+                                 "doc_id long, text string")
+    comp = {r["doc_id"]: r["component"]
+            for r in dedup_components(docs, _pairs(spark, [(1, 4)])).collect()}
+    assert comp == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1, 5: 5}
