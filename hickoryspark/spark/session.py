@@ -4,7 +4,7 @@ Design notes for the 100 TB target (SURVEY.md §4.3): all per-page work
 is row-independent, so throughput is gated by (a) Arrow batch exchange
 overhead — amortized with moderate batch sizes, (b) Python worker
 startup — amortized with ``spark.python.worker.reuse``, (c) partition
-balance — handled by the pipeline's size-bucketed salting, not here.
+balance — handled by the pipeline's two-level skew routing, not here.
 """
 
 from __future__ import annotations
