@@ -67,3 +67,30 @@ def test_url_dedup_groups(spark):
               for r in url_dedup_groups(df).collect()}
     assert groups["https://ex.test/a"] == (4, "HTTPS://EX.TEST/a")
     assert groups["https://ex.test/b"] == (1, "https://ex.test/b")
+
+
+def test_normalize_is_idempotent_on_fuzzed_urls(spark):
+    """normalize(normalize(u)) == normalize(u): canonical forms are
+    fixpoints, across random compositions of the mess the pipeline
+    claims to fold."""
+    import random
+
+    from hickoryspark.ops.urls import normalize_url
+    from pyspark.sql import functions as F
+
+    rng = random.Random(20260816)
+    urls = []
+    for i in range(200):
+        scheme = rng.choice(["http", "https", "HTTPS", "Http"])
+        host = rng.choice(["ex.test", "EX.Test", "a.b.test"])
+        port = rng.choice(["", ":443", ":80", ":8080"])
+        path = rng.choice(["", "/", f"/p{i}", f"/p{i}/", f"/a/b{i}"])
+        q = rng.choice(["", "?id=1", "?utm_source=x", "?utm_source=x&id=2",
+                        "?id=3&utm_campaign=y&z=4"])
+        frag = rng.choice(["", "#f", "#sec2"])
+        urls.append(f"{scheme}://{host}{port}{path}{q}{frag}")
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(normalize_url("url").alias("n1"))
+    twice = once.select(F.col("n1"), normalize_url("n1").alias("n2"))
+    bad = twice.where(F.col("n1") != F.col("n2")).collect()
+    assert not bad, bad[:5]
