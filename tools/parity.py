@@ -21,14 +21,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _norm_cell(v):
+    import numpy as np
+
     if v is None:
         return "\0"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return "1" if v else "0"
-    if isinstance(v, float):
+    if isinstance(v, float):  # np.float64 subclasses float
         if math.isnan(v):
             return "nan"
         return format(round(v, 6), ".6f")
+    if isinstance(v, np.integer):
+        return str(int(v))
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
     return str(v)
@@ -75,8 +79,12 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             cols = sorted(df.columns)
-            rows = [tuple(r) for r in df.collect()]
-            n_s, h_s = table_hash(df.columns, rows)
+            # Arrow-batched collection: plain .collect() deserializes
+            # row-by-row through py4j and takes tens of minutes on the
+            # multi-million-row pair queries at sf0.1
+            pdf = df.toPandas()
+            rows = list(pdf.itertuples(index=False, name=None))
+            n_s, h_s = table_hash(list(pdf.columns), rows)
         except Exception as e:
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             failures.append(name)
