@@ -1116,7 +1116,13 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""",
         # transitive closure of the LSH candidate graph via recursive
-        # CTE; component = min reachable doc_id; isolated docs = self
+        # CTE, computed on the SIGNATURE-GROUP quotient graph: docs
+        # with an identical signature form a clique (intra pairs) and
+        # band collisions connect whole groups, so doc components are
+        # exactly group components expanded through group membership —
+        # and the closure runs over ~#distinct-signatures vertices
+        # instead of #docs (the doc-level closure is quadratic in the
+        # giant component and explodes at larger sfs)
         "dedup_components": """
             WITH RECURSIVE sig AS (
               SELECT doc_id,
@@ -1126,34 +1132,35 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
                     FROM documents)
               GROUP BY doc_id
-            ), banded AS (
-              SELECT doc_id, b.band,
+            ), grp AS (
+              SELECT mh0,mh1,mh2,mh3,mh4,mh5,mh6,mh7,
+                     MIN(doc_id) AS gid
+              FROM sig GROUP BY ALL
+            ), gband AS (
+              SELECT gid, b.band,
                      CASE b.band
                        WHEN 0 THEN mh0 || '|' || mh1
                        WHEN 1 THEN mh2 || '|' || mh3
                        WHEN 2 THEN mh4 || '|' || mh5
                        ELSE mh6 || '|' || mh7 END AS sig
-              FROM sig, (SELECT unnest(range(4)) AS band) b
-            ), cand AS (
-              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM banded a JOIN banded b
-                ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-            ), edges AS (
-              SELECT doc_a AS u, doc_b AS v FROM cand
-              UNION
-              SELECT doc_b AS u, doc_a AS v FROM cand
+              FROM grp, (SELECT unnest(range(4)) AS band) b
+            ), gedge AS (
+              SELECT DISTINCT a.gid AS u, b.gid AS v
+              FROM gband a JOIN gband b
+                ON a.band = b.band AND a.sig = b.sig AND a.gid != b.gid
             ), reach(v, r) AS (
-              SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+              SELECT gid, gid FROM grp
               UNION
               SELECT reach.v, e.v
-              FROM reach JOIN edges e ON e.u = reach.r
+              FROM reach JOIN gedge e ON e.u = reach.r
             ), comp AS (
-              SELECT v AS doc_id, MIN(r) AS component
+              SELECT v AS gid, MIN(r) AS component
               FROM reach GROUP BY v
             )
-            SELECT d.doc_id,
-                   COALESCE(comp.component, d.doc_id) AS component
-            FROM documents d LEFT JOIN comp USING (doc_id)""",
+            SELECT s.doc_id, comp.component
+            FROM sig s
+            JOIN grp USING (mh0,mh1,mh2,mh3,mh4,mh5,mh6,mh7)
+            JOIN comp USING (gid)""",
         # group_cap=16 semantics mirrored exactly: groups partition the
         # docs by full signature; >cap groups emit a star (rep = min
         # doc_id) and join cross-group via the rep only
