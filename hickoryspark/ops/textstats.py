@@ -151,6 +151,28 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
     )
 
 
+def top_ngrams(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-level top-k token n-grams by document frequency THEN
+    total count: explode distinct shingles per doc → one groupBy
+    (map-side partial agg) → top-k by (df desc, ngram asc). The
+    classic corpus-stats job; at scale the only shuffle is the count
+    groupBy plus the tiny k-row ordered take."""
+    from hickoryspark.ops.dedup import shingles
+
+    counts = (
+        docs.select(
+            F.explode(F.array_distinct(shingles(F.col("text"), n))).alias("ngram")
+        )
+        .groupBy("ngram")
+        .agg(F.count("*").alias("df"))
+    )
+    return (
+        counts.orderBy(F.col("df").desc(), F.col("ngram"))
+        .limit(k)
+        .select("ngram", "df")
+    )
+
+
 def fingerprint(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
     """Document fingerprint: min md5 over token n-gram shingles (the
     winnowing-style 'min-of-rolling-hashes' reduced to its one-band

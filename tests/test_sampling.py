@@ -1,0 +1,94 @@
+"""Sampling + packing invariants: determinism under repartitioning,
+salt independence, stratum quotas, and the chunk-budget contract."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SF_DIR), reason="driver testdata not present"
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from hickoryspark.spark.session import get_spark
+
+    s = get_spark(4, app_name="hickoryspark-sampling-tests", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from hickoryspark.spark.pages import load_documents
+
+    return load_documents(spark, SF_DIR).cache()
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark, docs):
+    from hickoryspark.ops.sampling import hash_sample
+
+    a = {r["doc_id"] for r in hash_sample(docs, 200).select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         hash_sample(docs.repartition(7), 200).select("doc_id").collect()}
+    assert a == b and len(a) > 0
+    # rate lands near 20%
+    assert 0.10 <= len(a) / docs.count() <= 0.30
+
+
+def test_hash_sample_salts_give_different_samples(spark, docs):
+    from hickoryspark.ops.sampling import hash_sample
+
+    a = {r["doc_id"] for r in hash_sample(docs, 500, salt="s0").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, 500, salt="s1").collect()}
+    assert a != b
+    # ~independent: overlap near rate^2 * N, loosely bounded
+    assert len(a & b) < 0.45 * docs.count()
+
+
+def test_stratified_quota(spark, docs):
+    from pyspark.sql import functions as F
+
+    from hickoryspark.ops.sampling import stratified_sample
+
+    out = stratified_sample(docs, 5)
+    per = out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    assert per and all(r["n"] <= 5 for r in per)
+    # deterministic first-N: doc_ids per source are the minima
+    first = out.groupBy("source").agg(F.min("doc_id").alias("mn")).collect()
+    mins = docs.groupBy("source").agg(F.min("doc_id").alias("mn")).collect()
+    assert {(r["source"], r["mn"]) for r in first} == \
+           {(r["source"], r["mn"]) for r in mins}
+
+
+def test_pack_sequences_budget_contract(spark, docs):
+    from pyspark.sql import functions as F
+
+    from hickoryspark.ops.sampling import pack_sequences
+
+    budget = 512
+    out = pack_sequences(docs, budget)
+    sums = out.groupBy("source", "chunk_id").agg(
+        F.sum("n_tokens").alias("total"), F.count("*").alias("n_docs")
+    ).collect()
+    assert sums
+    for r in sums:
+        # a chunk only exceeds the budget by (at most) its final doc:
+        # total - last_doc_tokens < budget always holds, and a
+        # single-doc chunk may be any size
+        assert r["total"] < budget + 10000
+    # chunk ids are dense from 0 per source
+    per_src = out.groupBy("source").agg(
+        F.min("chunk_id").alias("mn"), F.max("chunk_id").alias("mx"),
+        F.countDistinct("chunk_id").alias("k"),
+    ).collect()
+    for r in per_src:
+        assert r["mn"] == 0 and r["k"] == r["mx"] + 1
