@@ -65,7 +65,10 @@ _NODES_CACHE: dict[tuple[int, str], DataFrame] = {}
 def _cached_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hickoryspark.spark.nodes_table import explode_nodes
 
-    key = (id(spark), sf_dir)
+    # applicationId, not id(spark): a garbage-collected session's id()
+    # can be reused by a NEW session in the same process, which would
+    # hand back a persisted DataFrame bound to the stopped context
+    key = (spark.sparkContext.applicationId, sf_dir)
     nodes = _NODES_CACHE.get(key)
     if nodes is None:
         pages = load_pages(spark, sf_dir, with_params=True)

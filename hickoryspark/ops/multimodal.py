@@ -141,6 +141,11 @@ def decode_audio(payload: bytes):
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        # truncated payload or a pre-PCM 14-byte WAVEFORMAT header:
+        # unpack_from would raise struct.error, breaking the documented
+        # ValueError contract that lets pipelines skip bad media
+        raise ValueError(f"fmt chunk too short: {len(fmt)} bytes")
     audio_format, channels, rate = struct.unpack_from("<HHI", fmt, 0)
     bits = struct.unpack_from("<H", fmt, 14)[0]
     if audio_format != 1:

@@ -63,8 +63,6 @@ def brute_topk(
     in-task partial selection uses the same key, which makes the
     partial/merge decomposition exact.
     """
-    from pyspark.sql.window import Window
-
     q_rows = (
         emb.where(F.col("vec_id") < n_queries)
         .select("vec_id", "embedding", "label")
@@ -111,14 +109,7 @@ def brute_topk(
     partial = emb.select("vec_id", "embedding", "label").mapInPandas(
         gen, "query_id long, neighbor_id long, sim double"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "sim")
-    )
+    return _merge_topk(partial, k)
 
 
 def _hyperplane_matrix(planes: int, dim: int):
@@ -152,6 +143,22 @@ def _seq_sum(arr):
     return np.cumsum(arr, axis=-1)[..., -1]
 
 
+def _merge_topk(partial: DataFrame, k: int) -> DataFrame:
+    """Exact merge of per-task partial top-k rows: the one shared
+    shuffle of every ANN variant (n_queries × n_partitions × k rows,
+    never the embeddings)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
 def _lsh_buckets(E, W):
     """Bucket ids for embedding rows E (n×dim) under hyperplanes W."""
     b = np.zeros(len(E), dtype=np.int64)
@@ -176,8 +183,6 @@ def lsh_bucket_topk(
     (_seq_sum), the same op order as the previous column-expression
     implementation and the oracle's literal `v[1]*w1+v[2]*w2+...`.
     """
-    from pyspark.sql.window import Window
-
     W = _hyperplane_matrix(planes, dim)
     q_rows = (
         emb.where(F.col("vec_id") < n_queries)
@@ -225,14 +230,7 @@ def lsh_bucket_topk(
     partial = emb.select("vec_id", "embedding").mapInPandas(
         gen, "query_id long, neighbor_id long, sim double"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "sim")
-    )
+    return _merge_topk(partial, k)
 
 
 def ivf_topk(
@@ -260,10 +258,12 @@ def ivf_topk(
     Determinism contract with the oracle: cell assignment is argmax of
     the 6-decimal-ROUNDED cosine with ties broken by smallest centroid
     id (rounding makes ties likely, so the tiebreak is part of the
-    contract on both sides).
+    contract on both sides); every dot and norm uses strict
+    left-to-right float64 summation (_seq_sum) so the pre-rounding
+    value reproduces a sequential-loop oracle — matmul's pairwise
+    summation could differ in the last ulp and flip an argmax at a
+    6th-decimal boundary.
     """
-    from pyspark.sql.window import Window
-
     cent_rows = (
         emb.where(F.col("vec_id") < n_cells)
         .select("vec_id", "embedding")
@@ -275,13 +275,14 @@ def ivf_topk(
     cent_rows.sort(key=lambda r: r["vec_id"])
     cids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
     Cm = np.array([list(r["embedding"]) for r in cent_rows], dtype=np.float64)
-    cm_norm = np.sqrt((Cm * Cm).sum(axis=1))
+    cm_norm = np.sqrt(_seq_sum(Cm * Cm))
 
     def assign(E):
         """Cell id per row of E: nearest centroid by rounded cosine,
         ties to the smallest centroid id."""
-        en = np.sqrt((E * E).sum(axis=1))
-        sims = np.round((E @ Cm.T) / (en[:, None] * cm_norm[None, :]), 6)
+        en = np.sqrt(_seq_sum(E * E))
+        dots = _seq_sum(E[:, None, :] * Cm[None, :, :])
+        sims = np.round(dots / (en[:, None] * cm_norm[None, :]), 6)
         return cids[np.argmax(sims, axis=1)], sims
 
     q_rows = (
@@ -292,7 +293,7 @@ def ivf_topk(
     qids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r["embedding"]) for r in q_rows], dtype=np.float64)
     if len(Q):
-        qnorm = np.sqrt((Q * Q).sum(axis=1))
+        qnorm = np.sqrt(_seq_sum(Q * Q))
         _, qsims = assign(Q)
         # np.argsort(kind="stable") on -sims: equal sims keep ascending
         # cid column order — same smallest-cid-first tiebreak
@@ -316,8 +317,9 @@ def ivf_topk(
                 continue
             C = np.array([np.asarray(e, dtype=np.float64) for e in b["embedding"]])
             nids = b["vec_id"].to_numpy()
-            cn = np.sqrt((C * C).sum(axis=1))
-            csims = np.round((C @ Cm.T) / (cn[:, None] * cm_norm[None, :]), 6)
+            cn = np.sqrt(_seq_sum(C * C))
+            cdots = _seq_sum(C[:, None, :] * Cm[None, :, :])
+            csims = np.round(cdots / (cn[:, None] * cm_norm[None, :]), 6)
             cells = cids[np.argmax(csims, axis=1)]
             out_q, out_n, out_s = [], [], []
             for qi in range(len(qids)):
@@ -325,7 +327,7 @@ def ivf_topk(
                 if not m.any():
                     continue
                 sims = np.round(
-                    (C[m] @ Q[qi]) / (qnorm[qi] * cn[m]), 6
+                    _seq_sum(C[m] * Q[qi]) / (qnorm[qi] * cn[m]), 6
                 )
                 cand = nids[m]
                 order = np.lexsort((cand, -sims))[: min(k, len(sims))]
@@ -339,14 +341,7 @@ def ivf_topk(
     partial = emb.select("vec_id", "embedding").mapInPandas(
         gen, "query_id long, neighbor_id long, sim double"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "sim")
-    )
+    return _merge_topk(partial, k)
 
 
 _PAIR_SCHEMA = "vec_a long, vec_b long, sim double"

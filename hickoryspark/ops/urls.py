@@ -31,7 +31,13 @@ _STEPS: list[tuple[str, str]] = [
     (r"^(https://[^/?#:]*):443($|[/?#].*)", "$1$2"),
     (r"^(http://[^/?#:]*):80($|[/?#].*)", "$1$2"),
     (r"#.*$", ""),
-    (r"(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?", ""),
+    # anchored at a real separator — an unanchored pattern would strip
+    # lookalike substrings out of legitimate params ('msgclid=5') and
+    # even path segments ('/utm_source=x/'), merging distinct pages
+    # into one dedup key. The ()+ repetition eats CONSECUTIVE tracking
+    # params in one match (scanning resumes after the replacement, so
+    # back-to-back params would otherwise leave every second one).
+    (r"([?&])((utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?)+", "$1"),
     (r"[?&]$", ""),
     (r"\?&", "?"),
     (r"^([^?#]*[^/?#])/(\?[^#]*)?$", "$1$2"),

@@ -1,9 +1,10 @@
 """The scale job: skew-aware, checkpoint-resumable extraction pipeline.
 
 Implements the north_rule operational requirements (BASELINE.json):
-- **Skew handling**: repartition on ``xxhash64(url) % S`` (salt) plus a
-  page-size bucket (``floor(log2(len(html)))``) so giant documents
-  spread across partitions instead of straggling one; per-page work is
+- **Skew handling**: two-level routing in ONE scan + ONE shuffle —
+  giant pages stripe round-robin to exact partition targets (via
+  murmur-preimage route values), the small-page bulk rides a
+  full-cardinality ``xxhash64(url)``; per-page work is
   row-independent, so this is the only shuffle in the job.
 - **Checkpoint/resume**: output is the checkpoint. On resume, already-
   processed urls are anti-joined away before any parse work happens
@@ -40,27 +41,110 @@ LINEAGE_SCHEMA = (
 #: pages larger than this are "giants" and get striped round-robin
 GIANT_CUTOFF_BYTES = 1 << 16  # 64 KiB
 
+#: (num_partitions, applicationId) -> murmur-preimage route values
+_PREIMAGE_CACHE: dict[tuple[int, str], list[int]] = {}
+
+
+def _hash_preimages(spark, n: int) -> list[int]:
+    """n integers r_0..r_{n-1} with ``pmod(hash(r_i), n) == i`` under
+    Spark's Murmur3 hash partitioning.
+
+    ``repartition(n, col)`` routes a row to ``murmur3(value) % n`` —
+    NOT to ``value % n`` — so "route = k" does not land in partition k
+    and n distinct route values land birthday-lumpy (some partitions
+    get 2-3 values, some none). Evaluating Spark's own ``hash()`` over
+    a small integer range and picking one preimage per bucket gives
+    route values with EXACT partition targets. One tiny driver-local
+    job, cached per (n, session); 4·n·ln(n) candidates make a missing
+    bucket vanishingly unlikely (asserted, not assumed).
+    """
+    key = (n, spark.sparkContext.applicationId)
+    pre = _PREIMAGE_CACHE.get(key)
+    if pre is None:
+        import math
+
+        n_cand = max(64, int(4 * n * max(1.0, math.log(n + 1))))
+        rows = (
+            spark.range(n_cand)
+            .select(
+                F.col("id").cast("long").alias("r"),
+                F.pmod(F.hash(F.col("id").cast("long")), F.lit(n)).alias("b"),
+            )
+            .collect()
+        )
+        by_bucket: dict[int, int] = {}
+        for row in rows:
+            by_bucket.setdefault(row["b"], row["r"])
+        assert len(by_bucket) == n, f"preimage search incomplete: {len(by_bucket)}/{n}"
+        pre = [by_bucket[i] for i in range(n)]
+        _PREIMAGE_CACHE[key] = pre
+    return pre
+
 
 def salt_repartition(pages: DataFrame, num_partitions: int) -> DataFrame:
-    """Skew-aware repartition (SURVEY.md §4.2 'skew handling').
+    """Skew-aware repartition (SURVEY.md §4.2 'skew handling') — one
+    scan, one shuffle.
 
     Two-level routing: documents above GIANT_CUTOFF_BYTES stripe
-    round-robin (exact count balance — hash-routing a handful of
-    giants is Poisson-lumpy at EVERY scale: some partition draws 2-3×
+    round-robin to EXACT partition targets (hash-routing a handful of
+    giants is Poisson-lumpy at EVERY scale — some partition draws 2-3×
     its share of 100 MB documents and straggles the stage), while the
-    small-page bulk hash-partitions on the full-cardinality
-    xxhash64(url) (uniform by the law of large numbers). The union
-    keeps the two classes in separate partitions, so parse tasks are
-    size-homogeneous — better straggler behavior than mixing one giant
-    into an otherwise-small task. Still one shuffle; 2×num_partitions
-    tasks, half of them typically near-empty.
+    small-page bulk routes on a full-cardinality url hash (uniform by
+    the law of large numbers).
+
+    Mechanics: an Arrow-batched route-assignment pass keeps a per-task
+    GIANT counter (a column-expression row counter like
+    monotonically_increasing_id would be periodic — giants spaced at a
+    multiple of n all collapse onto one route), and the giant routes
+    are murmur PREIMAGES of 0..n-1 (``repartition(n, col)`` sends a
+    row to ``murmur3(value) % n``, so raw 0..n-1 routes would land
+    birthday-lumpy). One pass — a where/union two-leg plan would read
+    the 100 TB input twice; the extra Arrow hop rides the same
+    exchange the parse UDF uses anyway.
     """
-    sz = F.length("html")
-    giants = pages.where(sz > GIANT_CUTOFF_BYTES).repartition(num_partitions)
-    smalls = pages.where(sz.isNull() | (sz <= GIANT_CUTOFF_BYTES)).repartition(
-        num_partitions, F.xxhash64("url")
+    import zlib
+
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = pages.sparkSession
+    pre = _hash_preimages(spark, num_partitions)
+    n = num_partitions
+    cutoff = GIANT_CUTOFF_BYTES
+    # fresh StructType: df.schema is CACHED on the DataFrame and
+    # StructType.add mutates in place — appending to it would corrupt
+    # pages.columns and break the mapInPandas input binding
+    out_schema = StructType(
+        list(pages.schema.fields) + [StructField("route", LongType())]
     )
-    return giants.unionAll(smalls)
+    cols = pages.columns
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        # stripe start offset = task id: every task striping from 0
+        # would pile each task's FIRST giant onto the same partition
+        ctx = TaskContext.get()
+        gi = ctx.partitionId() if ctx is not None else 0
+        for b in batches:
+            if not len(b):
+                continue
+            routes = np.empty(len(b), dtype=np.int64)
+            for i, (url, html) in enumerate(zip(b["url"], b["html"])):
+                if html is not None and len(html) > cutoff:
+                    routes[i] = pre[gi % n]
+                    gi += 1
+                else:
+                    # crc32: fast, deterministic, high-cardinality —
+                    # murmur spreads it uniformly at the shuffle
+                    routes[i] = zlib.crc32(str(url).encode())
+            out = b.copy()
+            out["route"] = routes
+            yield out
+
+    routed = pages.mapInPandas(assign, out_schema)
+    return routed.repartition(num_partitions, "route").select(*cols)
 
 
 def run_extract(
@@ -138,6 +222,12 @@ def run_extract(
             F.sum("main_text_len").alias("text_bytes"),
         )
     )
+    # NOTE layout versioning: lineage is run_id-PARTITIONED (dynamic
+    # overwrite replaces exactly this run's partition). A lineage table
+    # written by the pre-partitioned layout (flat files with run_id as
+    # a data column) cannot be mixed with this one — Spark rejects
+    # conflicting directory structures — so migrating an old
+    # deployment needs a one-time read+rewrite of <out>_lineage.
     (
         lineage.write.format(sink_format)
         .mode("overwrite")

@@ -118,9 +118,10 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 urls, tss, payloads = [], [], []
                 for url, date, payload in parse_warc_records(data):
                     urls.append(url)
-                    tss.append(pd.Timestamp(date).tz_localize(None)
-                               if pd.Timestamp(date).tzinfo is None
-                               else pd.Timestamp(date).tz_convert("UTC").tz_localize(None))
+                    ts = pd.Timestamp(date)  # parse once — ingest hot loop
+                    if ts.tzinfo is not None:
+                        ts = ts.tz_convert("UTC").tz_localize(None)
+                    tss.append(ts)
                     payloads.append(payload)
                 yield pd.DataFrame(
                     {"url": urls, "warc_ts": tss, "html": payloads}

@@ -27,6 +27,10 @@ def spark():
 
     s = get_spark(4, app_name="hickoryspark-plan-tests", shuffle_partitions=4)
     s.sparkContext.setLogLevel("ERROR")
+    # cached DataFrames from other test modules (getOrCreate shares the
+    # session) would substitute InMemoryRelations into matching plan
+    # fragments and hide the scan shapes these tests assert on
+    s.catalog.clearCache()
     yield s
 
 

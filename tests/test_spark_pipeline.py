@@ -175,18 +175,14 @@ def test_pipeline_reused_run_id_does_not_double_count(spark, pages, tmp_path):
 
 
 def test_salt_repartition_balances_pages(pages):
-    # two-level routing: 8 giant partitions (empty here — no page tops
-    # 64 KiB) + 8 hash-routed small partitions, counts balanced
     from hickoryspark.spark.pipeline import salt_repartition
 
     df = salt_repartition(pages.select("url", "html"), 8)
     sizes = [len(p) for p in df.rdd.glom().collect()]
-    # giants + smalls legs give up to 16 partitions; AQE may coalesce
-    # the empty giant leg, so only the balance contract is pinned
-    assert 8 <= len(sizes) <= 16
+    assert len(sizes) == 8
     total = sum(sizes)
     assert total == pages.count()
-    # no partition hoards more than 3x the 8-way fair share
+    # no partition hoards more than 3x the fair share
     assert max(sizes) <= 3 * (total / 8), sizes
 
 
@@ -219,9 +215,9 @@ def test_salt_repartition_balances_bytes_under_size_skew(spark):
     df = salt_repartition(pages, 8).select(F.length("html").alias("sz"))
     per_part = [sum(r["sz"] for r in part) for part in df.rdd.glom().collect()]
     total = sum(per_part)
-    assert 8 <= len(per_part) <= 16 and total > 6_000_000
-    # the 16 giants stripe round-robin: exactly 2 per giant partition,
-    # so no partition may exceed 2x the 8-way fair share
+    assert len(per_part) == 8 and total > 6_000_000
+    # giants stripe round-robin to exact targets: no partition may
+    # exceed 2x the fair share even with the hashed smalls on top
     assert max(per_part) <= 2 * (total / 8), per_part
 
 

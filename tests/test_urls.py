@@ -23,6 +23,15 @@ CASES = [
     # non-default port and path colons survive untouched
     ("https://ex.test:8080/keep:port", "https://ex.test:8080/keep:port"),
     ("https://ex.test/a?id=7", "https://ex.test/a?id=7"),
+    # LOOKALIKE params and path segments must survive: the tracking
+    # pattern is anchored at a ?/& separator
+    ("https://ex.test/a?msgclid=5&b=2", "https://ex.test/a?msgclid=5&b=2"),
+    ("https://ex.test/utm_source=x/page", "https://ex.test/utm_source=x/page"),
+    ("https://ex.test/a?xutm_b=1", "https://ex.test/a?xutm_b=1"),
+    # consecutive tracking params all drop in one pass
+    ("https://ex.test/a?utm_a=1&utm_b=2", "https://ex.test/a"),
+    ("https://ex.test/a?utm_a=1&utm_b=2&id=3", "https://ex.test/a?id=3"),
+    ("https://ex.test/a?id=1&utm_a=2&gclid=3", "https://ex.test/a?id=1"),
 ]
 
 

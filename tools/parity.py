@@ -22,8 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def _norm_cell(v):
     import numpy as np
+    import pandas as pd
 
-    if v is None:
+    if v is None or v is pd.NaT or v is getattr(pd, "NA", object()):
         return "\0"
     if isinstance(v, (bool, np.bool_)):
         return "1" if v else "0"
@@ -83,6 +84,27 @@ def main() -> int:
             # row-by-row through py4j and takes tens of minutes on the
             # multi-million-row pair queries at sf0.1
             pdf = df.toPandas()
+            # toPandas coerces a NULLABLE int/bool column to float64
+            # (NULL -> NaN, 5 -> 5.0), which would corrupt the value
+            # hash vs the oracle's int/None — restore nullable dtypes
+            from pyspark.sql import types as T
+
+            for f in df.schema.fields:
+                integral = isinstance(
+                    f.dataType,
+                    (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+                )
+                if integral and pdf[f.name].dtype.kind == "f":
+                    pdf[f.name] = pdf[f.name].astype("Int64")
+                elif isinstance(f.dataType, T.BooleanType) and \
+                        pdf[f.name].dtype.kind in ("f", "O"):
+                    pdf[f.name] = pdf[f.name].astype("boolean")
+                elif isinstance(f.dataType, (T.DoubleType, T.FloatType)) and \
+                        pdf[f.name].dtype.kind == "f":
+                    # SQL NULL arrived as NaN; nullable Float64 maps it
+                    # back to NA ("\0"), matching the oracle's None
+                    # (no query legitimately returns IEEE NaN)
+                    pdf[f.name] = pdf[f.name].astype("Float64")
             rows = list(pdf.itertuples(index=False, name=None))
             n_s, h_s = table_hash(list(pdf.columns), rows)
         except Exception as e:
