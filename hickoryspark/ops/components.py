@@ -52,37 +52,52 @@ def connected_components(
     )
     labels.count()
 
-    for it in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges["v"] == labels["doc_id"])
-            .groupBy("u")
-            .agg(F.min("component").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["u"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
+    # Long-lived drivers (the 77-query parity gate) call this many
+    # times; leaking persisted frames accumulates cached partitions, so
+    # every working frame is released before returning — edges in a
+    # finally (covers the no-fixpoint RuntimeError path too), and the
+    # result is cut loose from its cache via an eager localCheckpoint.
+    try:
+        for it in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges["v"] == labels["doc_id"])
+                .groupBy("u")
+                .agg(F.min("component").alias("nmin"))
             )
+            new_labels = (
+                labels.join(
+                    neighbor_min, labels["doc_id"] == neighbor_min["u"], "left"
+                )
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nmin"), F.col("component")),
+                    ).alias("component"),
+                )
+            )
+            if (it + 1) % checkpoint_every == 0:
+                new_labels = new_labels.localCheckpoint()
+            else:
+                new_labels = new_labels.persist()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .where(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                result = labels.localCheckpoint(eager=True)
+                labels.unpersist()
+                return result
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iter} rounds"
         )
-        if (it + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint()
-        else:
-            new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            edges.unpersist()
-            return labels
-    raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    finally:
+        edges.unpersist()
+        labels.unpersist()  # no-op when already released on success
 
 
 def dedup_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:

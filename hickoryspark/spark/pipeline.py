@@ -132,7 +132,17 @@ def salt_repartition(pages: DataFrame, num_partitions: int) -> DataFrame:
                 continue
             routes = np.empty(len(b), dtype=np.int64)
             for i, (url, html) in enumerate(zip(b["url"], b["html"])):
-                if html is not None and len(html) > cutoff:
+                # cutoff is in BYTES: str payloads measure characters.
+                # Encode only in the ambiguous zone (chars <= cutoff <
+                # 4*chars, the UTF-8 worst case) — hot loop, and most
+                # pages are decisively on one side.
+                size = 0 if html is None else len(html)
+                if (
+                    isinstance(html, str)
+                    and size <= cutoff < size * 4
+                ):
+                    size = len(html.encode())
+                if size > cutoff:
                     routes[i] = pre[gi % n]
                     gi += 1
                 else:

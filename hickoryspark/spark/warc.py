@@ -82,7 +82,16 @@ def parse_warc_records(data: bytes) -> Iterator[tuple[str, str, bytes]]:
         try:
             length = int(fields.get("content-length", ""))
         except ValueError:
-            return  # malformed record: stop rather than misalign
+            # Malformed/missing Content-Length: real Common-Crawl
+            # archives contain dirty records, and bailing out here
+            # would silently drop every record after the bad one.
+            # Resync at the next record boundary (blank line followed
+            # by a WARC version line) and keep going.
+            nxt = data.find(_CRLF + _CRLF + b"WARC/", hdr_end)
+            if nxt == -1:
+                return
+            pos = nxt + 4
+            continue
         body_start = hdr_end + 4
         body = data[body_start : body_start + length]
         pos = body_start + length
@@ -118,9 +127,15 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 urls, tss, payloads = [], [], []
                 for url, date, payload in parse_warc_records(data):
                     urls.append(url)
-                    ts = pd.Timestamp(date)  # parse once — ingest hot loop
-                    if ts.tzinfo is not None:
-                        ts = ts.tz_convert("UTC").tz_localize(None)
+                    try:
+                        ts = pd.Timestamp(date)  # parse once — ingest hot loop
+                        if ts.tzinfo is not None:
+                            ts = ts.tz_convert("UTC").tz_localize(None)
+                    except ValueError:
+                        # absent/garbled WARC-Date: keep the record
+                        # (payload is the point), NULL the timestamp —
+                        # matches the parser's documented tolerance
+                        ts = pd.NaT
                     tss.append(ts)
                     payloads.append(payload)
                 yield pd.DataFrame(

@@ -69,3 +69,49 @@ def test_read_warc_distributed(tmp_path):
         assert r["warc_ts"].strftime("%Y-%m-%dT%H:%M:%SZ") == iso
     # parallelism contract: one input task per archive file
     assert read_warc(spark, str(tmp_path)).rdd.getNumPartitions() >= 1
+
+
+def test_malformed_content_length_resyncs_not_truncates():
+    # round-2 advice: a record with a broken Content-Length must not
+    # silently drop every record after it — the parser resyncs at the
+    # next record boundary and continues
+    good1 = warc_bytes([("https://a.test/1", "2025-07-25T00:00:01Z", b"one")])
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://a.test/broken\r\n"
+        b"Content-Length: not-a-number\r\n\r\n"
+        b"garbage body with no reliable size\r\n\r\n"
+    )
+    good2 = warc_bytes([("https://a.test/2", "2025-07-25T00:00:02Z", b"two")])
+    parsed = list(parse_warc_records(good1 + bad + good2))
+    assert [u for u, _, _ in parsed] == ["https://a.test/1", "https://a.test/2"]
+    assert parsed[1][2] == b"two"
+    # trailing malformed record with no next boundary: clean stop
+    parsed = list(parse_warc_records(good1 + bad))
+    assert [u for u, _, _ in parsed] == ["https://a.test/1"]
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/testdata/sf0.001"), reason="driver testdata not present"
+)
+def test_missing_warc_date_yields_null_ts(tmp_path):
+    from hickoryspark.spark.session import get_spark
+    from hickoryspark.spark.warc import read_warc
+
+    spark = get_spark(4, app_name="hickoryspark-warc-tests", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    # hand-built record with NO WARC-Date header
+    http = b"HTTP/1.1 200 OK\r\n\r\npayload"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://a.test/nodate\r\n"
+        + f"Content-Length: {len(http)}".encode() + b"\r\n\r\n"
+        + http + b"\r\n\r\n"
+    )
+    (tmp_path / "nodate.warc").write_bytes(
+        rec + warc_bytes([("https://a.test/ok", "2025-07-25T00:00:09Z", b"x")])
+    )
+    got = {r["url"]: r for r in read_warc(spark, str(tmp_path)).collect()}
+    assert got["https://a.test/nodate"]["warc_ts"] is None
+    assert bytes(got["https://a.test/nodate"]["html"]) == b"payload"
+    assert got["https://a.test/ok"]["warc_ts"] is not None
