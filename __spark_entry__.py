@@ -637,11 +637,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash(load_documents(spark, sf), 16)
 
     def q_simhash_pairs(spark, sf):
+        # pigeonhole-banded near-pair join (64-bit signature, 4 bands)
+        # graded against a brute-force ALL-PAIRS hamming oracle — the
+        # oracle does no blocking, so a recall miss is a parity failure
         from hickoryspark.ops.dedup import simhash_near_pairs
 
-        return simhash_near_pairs(load_documents(spark, sf), 16, 3).select(
-            "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
-        )
+        return simhash_near_pairs(
+            load_documents(spark, sf), 64, _SIMHASH_PAIRS_MAXH
+        ).select("doc_a", "doc_b", "hamming")
 
     def q_ann_topk(spark, sf):
         from hickoryspark.ops.similarity import brute_topk
@@ -1014,26 +1017,38 @@ _GATE_PRIORITY = [
 ]
 
 
-#: shared SimHash derivation (ops.dedup.simhash semantics: per-bit
-#: majority vote of md5 token-hash bits, LSB=bit0), reused by the
-#: signature and the near-pairs oracles
-_SIMHASH_CTE = """
+def _simhash_cte(bits: int) -> str:
+    """SimHash derivation CTE (ops.dedup.simhash semantics: per-bit
+    majority vote of md5 token-hash bits, LSB=bit0), reused by the
+    signature and the near-pairs oracles. Bit 63 is the BIGINT sign
+    bit, added as -2^63 (two's complement) to match the Spark side."""
+    weights = " + ".join(
+        f"(CASE WHEN s{b} >= 0 THEN "
+        + (str(-(1 << 63)) if b == 63 else str(1 << b))
+        + " ELSE 0 END)"
+        for b in range(bits)
+    )
+    return """
     WITH tok AS (
       SELECT doc_id, md5(unnest(list_distinct(string_split(text,' ')))) AS h
       FROM documents
     ), votes AS (
       SELECT doc_id, """ + ", ".join(
-          f"SUM(((strpos('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1)"
-          f" >> {3 - (b % 4)} & 1) * 2 - 1) AS s{b}"
-          for b in range(16)
-      ) + """
+        f"SUM(((strpos('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1)"
+        f" >> {3 - (b % 4)} & 1) * 2 - 1) AS s{b}"
+        for b in range(bits)
+    ) + f"""
       FROM tok GROUP BY doc_id
     ), sh AS (
-      SELECT doc_id, CAST(""" + " + ".join(
-          f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
-      ) + """ AS BIGINT) AS simhash FROM votes
+      SELECT doc_id, CAST({weights} AS BIGINT) AS simhash FROM votes
     )
 """
+
+
+_SIMHASH_CTE = _simhash_cte(16)
+
+#: hamming radius for the dedup_simhash_pairs gate query
+_SIMHASH_PAIRS_MAXH = 3
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1312,16 +1327,18 @@ def oracle_sql() -> dict[str, str]:
                          / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""",
         "dedup_simhash": _SIMHASH_CTE + "SELECT doc_id, simhash FROM sh",
-        # blocked near-pairs: equal upper signature half (1-band LSH on
-        # simhash), hamming <= 3 — mirrors ops.dedup.simhash_near_pairs
-        "dedup_simhash_pairs": _SIMHASH_CTE + """
+        # BRUTE-FORCE all-pairs hamming ground truth over the 64-bit
+        # signature — deliberately NOT mirroring the Spark side's
+        # pigeonhole blocking, so the parity check proves the banded
+        # join has full recall (the round-2 oracle replicated the
+        # blocking and could not see dropped pairs)
+        "dedup_simhash_pairs": _simhash_cte(64) + """
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
                        AS hamming
-            FROM sh a JOIN sh b
-              ON (a.simhash >> 8) = (b.simhash >> 8)
-                 AND a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAXH}""".replace(
+                "{MAXH}", str(_SIMHASH_PAIRS_MAXH)),
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 10),

@@ -250,7 +250,13 @@ def _bit(h: Column, b: int) -> Column:
 
 def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash over distinct tokens: per bit, majority vote of token
-    hash bits (+1/-1), assembled LSB=bit0. Single explode + groupBy."""
+    hash bits (+1/-1), assembled LSB=bit0. Single explode + groupBy.
+
+    ``bits`` up to 64; bit 63 is the sign bit of the BIGINT signature
+    (two's complement: added as -2^63), so hamming via
+    ``bit_count(a XOR b)`` stays exact across the full width."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"simhash: bits must be 1..64, got {bits}")
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens())).alias("tok")
     ).select("doc_id", F.md5(F.col("tok")).alias("h"))
@@ -258,35 +264,153 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
         F.sum(_bit(F.col("h"), b) * 2 - 1).alias(f"s{b}") for b in range(bits)
     ]
     votes = toks.groupBy("doc_id").agg(*aggs)
-    val = F.lit(0)
+    val = F.lit(0).cast("long")
     for b in range(bits):
-        val = val + F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        weight = -(1 << 63) if b == 63 else (1 << b)
+        val = val + F.when(F.col(f"s{b}") >= 0, F.lit(weight)).otherwise(F.lit(0))
     return votes.select("doc_id", val.cast("long").alias("simhash"))
 
 
 def simhash_near_pairs(
-    docs: DataFrame, bits: int = 16, max_hamming: int = 3
+    docs: DataFrame,
+    bits: int = 64,
+    max_hamming: int = 3,
+    group_cap: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance over candidate
-    blocks. Blocking: equal upper half of the signature (a 1-band LSH
-    on simhash) keeps the join an equi-join at scale."""
-    sh = simhash(docs, bits)
-    half = bits // 2
-    blocked = sh.withColumn("blk", F.shiftright(F.col("simhash"), half))
-    a, b = blocked.alias("a"), blocked.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    """Near-dup pairs (doc_a, doc_b, hamming) with hamming distance
+    <= max_hamming between ``bits``-wide SimHash signatures.
+
+    Pigeonhole blocking (Manku et al., WWW'07 "Detecting Near-
+    Duplicates for Web Crawling" — public): the signature splits into
+    ``max_hamming + 1`` disjoint bands, and any pair within hamming
+    distance max_hamming must agree EXACTLY on at least one band, so
+    banded equi-joins have guaranteed recall — the output is the
+    complete near-pair set, not a sample (the round-2 single-band
+    blocking silently dropped pairs whose differing bits fell in the
+    blocked half).
+
+    Skew control mirrors ``lsh_candidate_pairs``: docs are first
+    quotiented by IDENTICAL full signature (duplication-heavy corpora
+    collapse into one group per distinct signature — hamming 0
+    all-pairs emitted by vectorized triu expansion, never a self-join
+    funnel), banding runs once per GROUP, and group-level band matches
+    are distinct'd before member expansion. ``group_cap`` bounds a
+    mega-group at O(m) star pairs + representative-only cross joins,
+    preserving connected components exactly as in LSH.
+    """
+    return simhash_pairs_from_sigs(
+        simhash(docs, bits), bits, max_hamming, group_cap
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+
+
+def simhash_pairs_from_sigs(
+    sigs: DataFrame,
+    bits: int,
+    max_hamming: int,
+    group_cap: int | None = None,
+) -> DataFrame:
+    """Pigeonhole-banded near-pair join over a precomputed
+    (doc_id, simhash) frame — see ``simhash_near_pairs``. Split out so
+    recall can be tested on handcrafted signatures."""
+    n_bands = max_hamming + 1
+    if n_bands > bits:
+        raise ValueError(f"need bits >= max_hamming+1 bands ({n_bands} > {bits})")
+
+    groups = (
+        sigs.groupBy("simhash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
+        .withColumn("gid", F.element_at("members", 1))
+        .persist()
+    )
+
+    def emit_intra(batches):
+        import numpy as np
+        import pandas as pd
+
+        for b in batches:
+            for members in b["members"]:
+                m = len(members)
+                if m < 2:
+                    continue
+                ids = np.asarray(members, dtype=np.int64)  # pre-sorted
+                if group_cap is not None and m > group_cap:
+                    yield pd.DataFrame(
+                        {"doc_a": np.repeat(ids[0], m - 1), "doc_b": ids[1:],
+                         "hamming": np.zeros(m - 1, dtype=np.int64)}
+                    )
+                    continue
+                ai, bi = np.triu_indices(m, k=1)
+                yield pd.DataFrame(
+                    {"doc_a": ids[ai], "doc_b": ids[bi],
+                     "hamming": np.zeros(len(ai), dtype=np.int64)}
+                )
+
+    intra = groups.select("members").mapInPandas(
+        emit_intra, "doc_a long, doc_b long, hamming long"
+    )
+
+    # bands cover the signature exactly: first (bits % n_bands) bands
+    # get an extra bit. shiftrightunsigned so the sign bit (bit 63)
+    # extracts cleanly into the top band.
+    base, extra = divmod(bits, n_bands)
+    band_cols, off = [], 0
+    for k in range(n_bands):
+        w = base + (1 if k < extra else 0)
+        val = F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
+            F.lit((1 << w) - 1)
         )
-        .where(ham <= max_hamming)
+        band_cols.append(F.struct(F.lit(k).alias("band"), val.alias("bv")))
+        off += w
+    gband = groups.select(
+        "gid", F.explode(F.array(*band_cols)).alias("b")
+    ).select("gid", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    group_pairs = (
+        gband.alias("a")
+        .join(
+            gband.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.gid") < F.col("b.gid")),
+        )
+        .select(F.col("a.gid").alias("ga"), F.col("b.gid").alias("gb"))
+        .distinct()  # a pair of groups can agree on several bands
+    )
+    # group-level hamming = member-level hamming (all members of a
+    # group share one signature); filter before any member expansion
+    gsig = groups.select("gid", "simhash")
+    gp = (
+        group_pairs.join(
+            F.broadcast(gsig).withColumnsRenamed(
+                {"gid": "ga", "simhash": "sig_a"}), "ga")
+        .join(
+            F.broadcast(gsig).withColumnsRenamed(
+                {"gid": "gb", "simhash": "sig_b"}), "gb")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("ga", "gb", "hamming")
+    )
+    gm = groups.select("gid", "members")
+    if group_cap is not None:
+        gm = gm.select(
+            "gid",
+            F.when(
+                F.size("members") > group_cap, F.array(F.element_at("members", 1))
+            ).otherwise(F.col("members")).alias("members"),
+        )
+    inter = (
+        gp.join(F.broadcast(gm).withColumnsRenamed(
+            {"gid": "ga", "members": "members_a"}), "ga")
+        .join(F.broadcast(gm).withColumnsRenamed(
+            {"gid": "gb", "members": "members_b"}), "gb")
+        .select(F.explode("members_a").alias("da"), "members_b", "hamming")
+        .select("da", F.explode("members_b").alias("db"), "hamming")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "hamming",
         )
     )
+    return intra.unionByName(inter)

@@ -92,3 +92,86 @@ def test_group_cap_preserves_connected_components(spark):
     ids = [r[0] for r in rows]
     assert _components(capped, ids) == _components(exact, ids)
     spark.catalog.clearCache()
+
+
+def _brute_pairs(sigs, maxh):
+    out = set()
+    for i, (da, sa) in enumerate(sigs):
+        for db, sb in sigs[i + 1:]:
+            h = bin((sa ^ sb) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if h <= maxh:
+                out.add((min(da, db), max(da, db), h))
+    return out
+
+
+def _sig_df(spark, sigs):
+    # signatures arrive as signed 64-bit (Spark long); map the unsigned
+    # test values through two's complement
+    rows = [(d, s - (1 << 64) if s >= (1 << 63) else s) for d, s in sigs]
+    return spark.createDataFrame(rows, "doc_id long, simhash long")
+
+
+def test_simhash_pigeonhole_finds_upper_half_difference(spark):
+    # regression for the round-2 single-band blocking: a pair whose
+    # differing bits ALL fall in the upper signature half was silently
+    # dropped. Pigeonhole banding must find it.
+    from hickoryspark.ops.dedup import simhash_pairs_from_sigs
+
+    base = 0x0123456789ABCDEF
+    sigs = [
+        (1, base),
+        (2, base ^ (1 << 63) ^ (1 << 40)),      # differs only in upper half
+        (3, base ^ (1 << 2)),                   # differs only in lower half
+        (4, base ^ (1 << 63) ^ (1 << 31) ^ (1 << 5) ^ (1 << 0)),  # h=4: out
+    ]
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs_from_sigs(_sig_df(spark, sigs), 64, 3).collect()
+    }
+    assert got == _brute_pairs(sigs, 3)
+    assert (1, 2, 2) in got  # the upper-half pair specifically
+
+
+def test_simhash_pigeonhole_full_recall_randomized(spark):
+    # 200 signatures clustered around 8 anchors (so near pairs exist):
+    # banded join output must equal brute force exactly — guaranteed
+    # recall is the point of max_hamming+1 pigeonhole bands
+    import random
+
+    from hickoryspark.ops.dedup import simhash_pairs_from_sigs
+
+    rng = random.Random(42)
+    anchors = [rng.getrandbits(64) for _ in range(8)]
+    sigs = []
+    for d in range(200):
+        s = anchors[d % 8]
+        for _ in range(rng.randrange(0, 5)):  # flip 0-4 random bits
+            s ^= 1 << rng.randrange(64)
+        sigs.append((d, s))
+    for maxh in (1, 3, 6):
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_pairs_from_sigs(
+                _sig_df(spark, sigs), 64, maxh
+            ).collect()
+        }
+        assert got == _brute_pairs(sigs, maxh), f"recall loss at maxh={maxh}"
+
+
+def test_simhash_group_cap_stars_mega_group(spark):
+    # one mega-group of identical signatures + a satellite group within
+    # hamming 1: capped output is linear and keeps the groups connected
+    from hickoryspark.ops.dedup import simhash_pairs_from_sigs
+
+    n = 5_000
+    sigs = [(d, 0x00FF00FF00FF00FF) for d in range(n)] + [
+        (n, 0x00FF00FF00FF00FE)
+    ]
+    pairs = simhash_pairs_from_sigs(
+        _sig_df(spark, sigs), 64, 3, group_cap=64
+    ).collect()
+    # star over the mega group (n-1) + rep-to-satellite cross pair (1)
+    assert len(pairs) == n
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs if r["hamming"] == 1} == {
+        (0, n)
+    }
