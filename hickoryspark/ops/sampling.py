@@ -8,12 +8,19 @@ the identical sample:
   the rate threshold. Uniform, stable under repartitioning, and
   different salts give independent samples (the standard trick for
   held-out splits).
-- ``stratified_sample``: per-stratum quota via window rank — caps any
-  one source's contribution to the mix (the "data mixture" op).
+- ``stratified_sample``: per-stratum quota, two-phase — partition-
+  local first-N prunes each input partition to at most N candidate
+  rows per stratum, then the global first-N runs over that bounded
+  candidate set. A plain per-stratum window would funnel a dominant
+  stratum (80% English is normal) through ONE task; here no task ever
+  sees more than max(partition size, N x num_partitions) rows.
 - ``pack_sequences``: assign docs to ~token-budget training chunks by
-  running token count, windowed PER SOURCE so the cumulative sums
-  parallelize (a single global window would funnel the corpus through
-  one task at scale).
+  running token count. Two-phase prefix sum: range-partition on
+  (stratum, doc_id) so a giant stratum spans MANY partitions, local
+  cumulative sums run per partition-stratum slice, and the tiny
+  per-slice totals frame (one row per slice) supplies broadcast
+  prefix offsets. Same deterministic output as a global per-stratum
+  cumsum, no single-task-per-stratum straggler.
 """
 
 from __future__ import annotations
@@ -43,33 +50,95 @@ def stratified_sample(
     stratum: str = "source",
     order: str = "doc_id",
 ) -> DataFrame:
-    """At most ``per_stratum`` rows per stratum, the deterministic
-    first-N by ``order`` — one window per stratum, no global sort."""
-    w = Window.partitionBy(stratum).orderBy(order)
-    return (
-        docs.withColumn("_rn", F.row_number().over(w))
+    """At most ``per_stratum`` rows per stratum: the deterministic
+    first-N by ``order`` (``order`` must be unique within a stratum
+    for the selection to be well-defined).
+
+    Two-phase so a skewed stratum never serializes through one task:
+
+    1. local prune — window over (input partition, stratum): each
+       input partition contributes at most N candidates per stratum.
+       The shuffle key includes the partition id, so a stratum's work
+       spreads over as many tasks as it has input partitions.
+    2. global pick — the same first-N window over only the candidate
+       set, whose size per stratum is bounded by N x num_partitions
+       regardless of corpus size.
+
+    The union of partition-local first-Ns is a superset of the global
+    first-N, so the output is exactly the single-window result.
+    """
+    w1 = Window.partitionBy("_pid", stratum).orderBy(order)
+    cand = (
+        docs.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(w1))
         .where(F.col("_rn") <= per_stratum)
         .drop("_rn")
+    )
+    w2 = Window.partitionBy(stratum).orderBy(order)
+    return (
+        cand.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= per_stratum)
+        .drop("_rn", "_pid")
     )
 
 
 def pack_sequences(
-    docs: DataFrame, token_budget: int, stratum: str = "source"
+    docs: DataFrame,
+    token_budget: int,
+    stratum: str = "source",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(doc_id, source, n_tokens, chunk_id): docs packed in doc_id
     order into chunks of ~token_budget tokens per stratum —
     chunk_id = tokens-before-this-doc // budget, so a chunk holds
-    consecutive docs until the budget spills. Per-stratum windows keep
-    the cumulative sum parallel; the chunk key is (stratum, chunk_id).
+    consecutive docs until the budget spills.
+
+    Two-phase distributed prefix sum (a single per-stratum running-sum
+    window would be one task per stratum — the dominant stratum of a
+    realistic mix becomes the stage straggler):
+
+    1. ``repartitionByRange(stratum, doc_id)`` gives each partition a
+       contiguous key slice, so a giant stratum spans many partitions
+       and within a stratum lower partition ids hold lower doc_ids.
+    2. local running sums per (partition, stratum) slice.
+    3. slice totals — ONE row per (partition, stratum) — get their
+       stratum-prefix offsets via a window over that tiny frame, then
+       broadcast-join back; chunk_id = (offset + local_before) // budget.
+
+    Output is byte-identical to the global per-stratum cumsum (range
+    boundaries only affect intermediate slicing, never the prefix
+    values), so the same oracle checks both shapes.
     """
     n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
-    w = (
-        Window.partitionBy(stratum)
+    base = docs.select("doc_id", stratum, n_tokens.alias("n_tokens"))
+    n_parts = num_partitions or base.sparkSession.sparkContext.defaultParallelism
+    part = base.repartitionByRange(
+        n_parts, F.col(stratum), F.col("doc_id")
+    ).withColumn("_pid", F.spark_partition_id())
+    w_loc = (
+        Window.partitionBy("_pid", stratum)
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    loc = part.withColumn(
+        "_before_loc", F.coalesce(F.sum("n_tokens").over(w_loc), F.lit(0))
+    )
+    totals = loc.groupBy("_pid", stratum).agg(F.sum("n_tokens").alias("_tot"))
+    w_off = (
+        Window.partitionBy(stratum)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
+    ).select("_pid", stratum, "_off")
     return (
-        docs.select("doc_id", stratum, n_tokens.alias("n_tokens"))
-        .withColumn("chunk_id", F.floor(cum_before / token_budget).cast("long"))
+        loc.join(F.broadcast(offsets), ["_pid", stratum])
+        .withColumn(
+            "chunk_id",
+            F.floor((F.col("_off") + F.col("_before_loc")) / token_budget).cast(
+                "long"
+            ),
+        )
+        .select("doc_id", stratum, "n_tokens", "chunk_id")
     )

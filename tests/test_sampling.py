@@ -92,3 +92,78 @@ def test_pack_sequences_budget_contract(spark, docs):
     ).collect()
     for r in per_src:
         assert r["mn"] == 0 and r["k"] == r["mx"] + 1
+
+
+def test_stratified_two_phase_skew_and_equivalence(spark):
+    # round-2 verdict: a stratum holding 80% of rows must not funnel
+    # through one task. The first window partitions by (input
+    # partition, stratum) — visible in the plan — and the output is
+    # exactly the single-window first-N.
+    from pyspark.sql import functions as F
+
+    from hickoryspark.ops.sampling import stratified_sample
+
+    n = 20_000
+    skewed = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 10 < 8 THEN 'en' ELSE concat('s', id % 10) END AS source",
+    ).repartition(8)
+    out = stratified_sample(skewed, 5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # phase-1 window keys include the partition id pseudo-column
+    assert "_pid" in plan
+    got = {(r["source"], r["doc_id"]) for r in out.collect()}
+    # reference: deterministic first-5 by doc_id per stratum
+    want = {
+        (r["source"], r["doc_id"])
+        for r in skewed.withColumn(
+            "_rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("source").orderBy("doc_id")
+            ),
+        ).where(F.col("_rn") <= 5).collect()
+    }
+    assert got == want
+    # invariant under input partitioning
+    got3 = {(r["source"], r["doc_id"])
+            for r in stratified_sample(skewed.repartition(3), 5).collect()}
+    assert got3 == got
+
+
+def test_pack_sequences_two_phase_matches_global_cumsum(spark):
+    # two-phase prefix sum must be byte-identical to the global
+    # per-stratum cumsum, on a skewed mix, at several partition counts
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from hickoryspark.ops.sampling import pack_sequences
+
+    n = 5_000
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 10 < 8 THEN 'en' ELSE concat('s', id % 10) END AS source",
+        # variable-length texts so chunk boundaries are irregular
+        "repeat('w ', cast(1 + id % 37 AS INT)) || 'w' AS text",
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    want = {
+        (r["doc_id"], r["chunk_id"])
+        for r in docs.select(
+            "doc_id",
+            F.floor(
+                F.coalesce(
+                    F.sum(F.size(F.split("text", " ")).cast("long")).over(w),
+                    F.lit(0),
+                ) / 64
+            ).cast("long").alias("chunk_id"),
+        ).collect()
+    }
+    for parts in (2, 7, 16):
+        got = {
+            (r["doc_id"], r["chunk_id"])
+            for r in pack_sequences(docs, 64, num_partitions=parts).collect()
+        }
+        assert got == want, f"two-phase packing diverged at {parts} partitions"
