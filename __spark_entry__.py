@@ -923,16 +923,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_multimodal(spark, sf):
-        from hickoryspark.ops.multimodal import featurize_media, synthetic_media
+        # the REAL featurize path (use_fake=False): PPM decode +
+        # luminance histogram for images and video first-frames, PCM
+        # WAV decode + amplitude histogram for audio. Payloads are
+        # deterministic md5-hex constructions, and the raster / sample
+        # counts are powers of two so every histogram fraction is an
+        # EXACT dyadic rational in float32 — the oracle recomputes the
+        # full per-bin histogram in closed form (same pattern
+        # multimodal_decode proved for the decode stage).
+        import hashlib
+        import struct
 
-        media = synthetic_media(spark, 64)
-        feats = featurize_media(media)
+        from hickoryspark.ops.multimodal import featurize_media
+
+        def hex96(prefix, i):
+            return "".join(
+                hashlib.md5(f"{prefix}:{i}:{k}".encode()).hexdigest()
+                for k in range(3)
+            ).encode("ascii")
+
+        rows = []
+        for i in range(64):
+            kind = ["image", "audio", "video"][i % 3]
+            if kind == "image":
+                payload = b"P6\n16 2\n255\n" + hex96("px", i)
+            elif kind == "audio":
+                data = (
+                    hashlib.md5(f"au:{i}:0".encode()).hexdigest()
+                    + hashlib.md5(f"au:{i}:1".encode()).hexdigest()
+                ).encode("ascii")  # 64 bytes = 32 LE int16 samples
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                payload = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+            else:  # video: two concatenated P6 frames, frame 0 featurized
+                payload = (
+                    b"P6\n16 2\n255\n" + hex96("vx", i)
+                    + b"P6\n16 2\n255\n" + hex96("vy", i)
+                )
+            rows.append((i, kind, payload))
+        media = spark.createDataFrame(
+            rows, "media_id long, kind string, payload binary"
+        )
+        feats = featurize_media(media, use_fake=False)
         return feats.select(
+            "media_id", F.posexplode("feature").alias("bin", "frac"), "n_bytes"
+        ).select(
             "media_id",
-            F.round(F.aggregate(
-                F.transform("feature", lambda x: x.cast("double")),
-                F.lit(0.0), lambda a, x: a + x,
-            ), 6).alias("feat_sum"),
+            F.col("bin").cast("int").alias("bin"),
+            F.round(F.col("frac").cast("double"), 6).alias("frac"),
             "n_bytes",
         )
 
@@ -1668,18 +1711,6 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, sim
         FROM ranked WHERE rank <= 3"""
 
-    # multimodal_features: synthetic media is closed-form over range(64)
-    # (payload = repeat(md5('media:'||i), 1+i%4) as ASCII; feature byte b
-    # of md5(payload) quantized to float32 — CAST(.. AS REAL) mirrors the
-    # engine's array<float> storage, outer DOUBLE cast mirrors the
-    # double-accumulating sum).
-    feat_terms = []
-    for b in range(8):
-        nib_hi = f"(strpos('0123456789abcdef', substr(h, {2 * b + 1}, 1)) - 1)"
-        nib_lo = f"(strpos('0123456789abcdef', substr(h, {2 * b + 2}, 1)) - 1)"
-        feat_terms.append(
-            f"CAST(CAST(({nib_hi}*16 + {nib_lo})/255.0 AS REAL) AS DOUBLE)"
-        )
     # multimodal_decode: P6 maxval-255 decode is exactly a header strip,
     # so decoded bytes == the ASCII raster; md5 + byte-sum recompute in SQL
     oracles["multimodal_decode"] = """
@@ -1695,13 +1726,58 @@ def oracle_sql() -> dict[str, str]:
                     j -> ascii(substr(raster, j, 1)))) AS BIGINT) AS lum_sum
         FROM m"""
 
-    oracles["multimodal_features"] = f"""
-        WITH m AS (
-          SELECT i AS media_id,
-                 md5(repeat(md5('media:' || i), 1 + i % 4)) AS h,
-                 CAST(32 * (1 + i % 4) AS INT) AS n_bytes
-          FROM range(64) t(i)
-        )
-        SELECT media_id, ROUND({"+".join(feat_terms)}, 6) AS feat_sum, n_bytes
-        FROM m"""
+    # multimodal_features — REAL codec path, recomputed in closed form:
+    # image/video payloads are P6 16x2 rasters of md5-hex ASCII (32
+    # pixels), audio is PCM WAV whose 64-byte data chunk is md5-hex
+    # ASCII (32 LE int16 samples). Luminance = mean of 3 consecutive
+    # ASCII codes (float32 rounding cannot cross a 32-wide bin edge:
+    # values are >= 1/3 away from any multiple of 32 except the exact
+    # 64.0 case, identical in both engines); fractions are count/32 —
+    # exact dyadic rationals in float32. Video featurizes frame 0 only.
+    oracles["multimodal_features"] = """
+        WITH m AS (SELECT i AS media_id, i % 3 AS kindi FROM range(64) t(i)),
+        img AS (
+          SELECT media_id,
+                 md5('px:'||media_id||':0') || md5('px:'||media_id||':1')
+                 || md5('px:'||media_id||':2') AS raster
+          FROM m WHERE kindi = 0
+          UNION ALL
+          SELECT media_id,
+                 md5('vx:'||media_id||':0') || md5('vx:'||media_id||':1')
+                 || md5('vx:'||media_id||':2')
+          FROM m WHERE kindi = 2
+        ),
+        imgbins AS (
+          SELECT media_id,
+                 CAST(floor(((ascii(substr(raster, 3*p+1, 1))
+                            + ascii(substr(raster, 3*p+2, 1))
+                            + ascii(substr(raster, 3*p+3, 1))) / 3.0) / 32)
+                      AS INT) AS bin
+          FROM img, range(32) t(p)
+        ),
+        aud AS (
+          SELECT media_id,
+                 md5('au:'||media_id||':0') || md5('au:'||media_id||':1') AS d
+          FROM m WHERE kindi = 1
+        ),
+        audbins AS (
+          SELECT media_id,
+                 CAST(floor((ascii(substr(d, 2*s+1, 1))
+                           + 256 * ascii(substr(d, 2*s+2, 1))
+                           + 32768) / 8192) AS INT) AS bin
+          FROM aud, range(32) t(s)
+        ),
+        counts AS (
+          SELECT media_id, bin, count(*) AS c
+          FROM (SELECT * FROM imgbins UNION ALL SELECT * FROM audbins)
+          GROUP BY 1, 2
+        ),
+        grid AS (SELECT media_id, kindi, CAST(b AS INT) AS bin
+                 FROM m, range(8) t(b))
+        SELECT g.media_id, g.bin,
+               ROUND(COALESCE(c.c, 0) / 32.0, 6) AS frac,
+               CAST(CASE WHEN g.kindi = 2 THEN 216 ELSE 108 END AS INT)
+                   AS n_bytes
+        FROM grid g LEFT JOIN counts c
+          ON c.media_id = g.media_id AND c.bin = g.bin"""
     return oracles
