@@ -12,21 +12,27 @@ Mirrors /root/reference/src/clj/hickory/core.clj:
 
 from __future__ import annotations
 
+from hickoryspark.html.charset import decode_html
 from hickoryspark.html.render import UNESCAPABLE_CONTENT, html_escape, render_doctype
 from hickoryspark.html.treebuilder import build_document, build_fragment
 
 
 def parse(html: str | bytes) -> dict:
-    """Parse an entire HTML document into a hickory document tree."""
+    """Parse an entire HTML document into a hickory document tree.
+
+    Byte input goes through charset sniffing (BOM > meta prescan >
+    UTF-8 > windows-1252 — html/charset.py), matching what the
+    reference inherits from Jsoup's stream parsing (core.clj:150-154).
+    """
     if isinstance(html, (bytes, bytearray)):
-        html = html.decode("utf-8", errors="replace")
+        html = decode_html(html)
     return build_document(html)
 
 
 def parse_fragment(html: str | bytes) -> list:
     """Parse an HTML fragment (body context) into a list of root nodes."""
     if isinstance(html, (bytes, bytearray)):
-        html = html.decode("utf-8", errors="replace")
+        html = decode_html(html)
     return build_fragment(html)
 
 

@@ -30,6 +30,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
+from hickoryspark.html.charset import decode_html
 from hickoryspark.html.core import parse, as_hickory
 from hickoryspark.html.render import hickory_to_html
 from hickoryspark.nodes import Doc, flatten, TYPE_ELEMENT, TYPE_TEXT
@@ -146,7 +147,7 @@ def extract_batch(batch: pd.DataFrame) -> pd.DataFrame:
             if html is None:
                 html = ""  # same policy as nodes_table: empty document
             elif isinstance(html, (bytes, bytearray, memoryview)):
-                html = bytes(html).decode("utf-8", "replace")
+                html = decode_html(html)  # BOM/meta sniff + cp1252 fallback
             doc = flatten(as_hickory(parse(html)))
             mt, mh, nc = extract_doc(doc)
             texts.append(mt)

@@ -21,6 +21,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
+from hickoryspark.html.charset import decode_html
 from hickoryspark.html.core import parse, as_hickory
 from hickoryspark.nodes import Doc, flatten, TYPE_ELEMENT
 
@@ -72,7 +73,7 @@ def _parse_batch(batch: pd.DataFrame) -> pd.DataFrame:
             if html is None:
                 html = ""
             elif isinstance(html, (bytes, bytearray, memoryview)):
-                html = bytes(html).decode("utf-8", "replace")
+                html = decode_html(html)  # BOM/meta sniff + cp1252 fallback
             doc = flatten(as_hickory(parse(html)))
         except Exception:
             # keep the job alive (mirror extract_batch): a failed page
