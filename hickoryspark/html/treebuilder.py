@@ -80,6 +80,21 @@ _TABLE_INTERNAL = frozenset(
 )
 # Tags allowed directly inside table context without fostering.
 _TABLE_ALLOWED = frozenset({"script", "style", "template", "form"})
+
+# WHATWG 13.2.6.5 foreign-content breakout list: these start tags pop
+# the open SVG/MathML subtree and reprocess as HTML. (<font> joins
+# only when it carries a color/face/size attribute.)
+_BREAKOUT = frozenset(
+    "b big blockquote body br center code dd div dl dt em embed h1 h2 h3 "
+    "h4 h5 h6 head hr i img li listing menu meta nobr ol p pre ruby s "
+    "small span strong strike sub sup table tt u ul var".split()
+)
+# MathML text integration points: children parse as HTML (except
+# mglyph/malignmark start tags).
+_MATHML_TEXT_IP = frozenset({"mi", "mo", "mn", "ms", "mtext"})
+# SVG HTML integration points: children parse fully as HTML.
+_SVG_HTML_IP = frozenset({"foreignobject", "desc", "title"})
+_ANNOTATION_XML_HTML = frozenset({"text/html", "application/xhtml+xml"})
 # "Has a <table> in table scope" barriers (WHATWG 13.2.4.2): a cell or
 # caption (or the classic scope barriers) between here and the nearest
 # open table means that table is NOT in scope.
@@ -131,6 +146,15 @@ class _Builder:
         # id(child dict) -> parent dict, for foster parenting (nodes have
         # no parent pointers; the hickory shape must stay 4 keys).
         self.parents: dict[int, dict] = {}
+        # id(node) -> "svg" | "math" for foreign-namespace elements.
+        # Namespace is builder-internal only: hickory output keeps the
+        # 4-key shape, and the reference lowercases BOTH tag and attr
+        # names in as-hickory (core.clj:111,140 via lower-case-keyword),
+        # so the WHATWG camelCase/xlink adjustments Jsoup performs are
+        # invisible in hickory form — what IS visible, and implemented
+        # here, is the TREE SHAPE: breakout, integration points, and
+        # foreign self-closing.
+        self.ns: dict[int, str] = {}
 
     # -- insertion helpers ------------------------------------------------
 
@@ -175,12 +199,24 @@ class _Builder:
 
     def _find_open(self, tags, boundary) -> int:
         """Index in stack of nearest open element with tag in ``tags``,
-        scanning from the top, stopping at ``boundary`` tags. -1 if none."""
+        scanning from the top, stopping at ``boundary`` tags. -1 if
+        none. Foreign integration points (WHATWG default scope list:
+        SVG foreignObject/desc/title, MathML text IPs and
+        annotation-xml) are universal barriers — an open <p> outside
+        ``<svg><desc>`` must not be closable from inside it."""
         for i in range(len(self.stack) - 1, -1, -1):
-            t = self.stack[i]["tag"]
-            if t in tags:
-                return i
-            if t in boundary:
+            node = self.stack[i]
+            t = node["tag"]
+            ns = self.ns.get(id(node))
+            if ns is None:
+                if t in tags:
+                    return i
+                if t in boundary:
+                    return -1
+            elif (ns == "svg" and t in _SVG_HTML_IP) or (
+                ns == "math"
+                and (t in _MATHML_TEXT_IP or t == "annotation-xml")
+            ):
                 return -1
         return -1
 
@@ -189,17 +225,113 @@ class _Builder:
 
     def _honor_self_closing(self, self_closing: bool, tag: str = "") -> bool:
         """WHATWG ignores the self-closing flag on non-void HTML
-        elements ('<div/>' stays open); it is honored in foreign
-        content (an open <svg>/<math> ancestor) and on the foreign
-        roots themselves ('<svg/>' inserts-and-pops per 'in body')."""
-        if not self_closing:
-            return False
-        if tag in ("svg", "math"):
-            return True
-        for s in reversed(self.stack):
-            if s.get("tag") in ("svg", "math"):
-                return True
+        elements ('<div/>' stays open); it is honored on the foreign
+        roots themselves ('<svg/>' inserts-and-pops per 'in body').
+        Elements INSIDE foreign content go through _foreign_token,
+        which always honors the flag."""
+        return self_closing and tag in ("svg", "math")
+
+    # -- foreign content (WHATWG 13.2.6.5) ---------------------------------
+
+    def _is_html_ip(self, node: dict) -> bool:
+        """HTML integration point: children parse fully as HTML."""
+        ns = self.ns.get(id(node))
+        if ns == "svg":
+            return node["tag"] in _SVG_HTML_IP
+        if ns == "math" and node["tag"] == "annotation-xml":
+            enc = (node["attrs"] or {}).get("encoding", "")
+            return enc.lower() in _ANNOTATION_XML_HTML
         return False
+
+    def _foreign_rules_apply(self, tok) -> bool:
+        """The tree-construction dispatcher (WHATWG 13.2.6): foreign
+        rules apply unless the adjusted current node is an HTML
+        element or an integration point receiving a start/text token."""
+        if not self.stack:
+            return False
+        cur = self.stack[-1]
+        ns = self.ns.get(id(cur))
+        if ns is None:
+            return False
+        kind = tok[0]
+        if ns == "math" and cur["tag"] in _MATHML_TEXT_IP:
+            if kind == "start" and tok[1] not in ("mglyph", "malignmark"):
+                return False
+            if kind in ("text", "rawtext"):
+                return False
+        if (
+            ns == "math"
+            and cur["tag"] == "annotation-xml"
+            and kind == "start"
+            and tok[1] == "svg"
+        ):
+            return False
+        if self._is_html_ip(cur) and kind in ("start", "text", "rawtext"):
+            return False
+        return True
+
+    def _foreign_token(self, tok) -> bool:
+        kind = tok[0]
+        if kind == "text":
+            self._append(self.stack[-1], tok[1])
+            return True
+        if kind == "rawtext":
+            # The tokenizer's RAWTEXT switch (script/style/...) does
+            # not exist in foreign content — an svg <script>'s children
+            # are markup, not script data. Re-tokenize the swallowed
+            # span and process the tokens (the matching end tag was
+            # already emitted separately, so nesting stays balanced).
+            from hickoryspark.html.tokenizer import tokenize
+
+            for t in tokenize(tok[1]):
+                self._process(t)
+            return True
+        if kind == "comment":
+            self._append(
+                self.stack[-1], {"type": "comment", "content": [tok[1]]}
+            )
+            return True
+        if kind == "doctype":
+            return True
+        if kind == "start":
+            _, tag, attrs, self_closing = tok
+            attrs = attrs or None
+            if tag in _BREAKOUT or (
+                tag == "font"
+                and attrs
+                and ({"color", "face", "size"} & set(attrs))
+            ):
+                # pop until an integration point or HTML element, then
+                # reprocess the token by the HTML rules
+                while self.stack:
+                    cur = self.stack[-1]
+                    cns = self.ns.get(id(cur))
+                    if (
+                        cns is None
+                        or self._is_html_ip(cur)
+                        or (cns == "math" and cur["tag"] in _MATHML_TEXT_IP)
+                    ):
+                        break
+                    self.stack.pop()
+                return False  # same mode; dispatcher now picks HTML rules
+            node = _elem(tag, attrs)
+            self._append(self.stack[-1], node)
+            self.ns[id(node)] = self.ns[id(self.stack[-1])]
+            if not self_closing:
+                self.stack.append(node)
+            return True
+        if kind == "end":
+            tag = tok[1]
+            for i in range(len(self.stack) - 1, -1, -1):
+                node = self.stack[i]
+                if self.ns.get(id(node)) is None:
+                    # reached an HTML element: HTML rules take the token
+                    return self._in_body_end(tok)
+                if node["tag"] == tag:
+                    del self.stack[i:]
+                    return True
+            return True
+        return True
 
     def _close_p(self) -> None:
         i = self._find_open(("p",), _P_SCOPE_BOUNDARY)
@@ -555,14 +687,34 @@ class _Builder:
                 return True
             if tag in _IN_HEAD_CONTAINERS:
                 self._insert_element(tag, tok[2] or None, push=True)
+                if tag == "template":
+                    self.afe.append("marker")
                 return True
             if tag == "head":
+                return True
+            if self._find_open(("template",), ("html",)) != -1:
+                # inside a head <template>: elements insert in place
+                # (simplified "in template") instead of force-closing
+                # the head and leaking into body
+                if tag in _TABLE_INTERNAL:
+                    return self._table_internal_start(
+                        tag, tok[2] or None, tok[3]
+                    )
+                self._insert_element(
+                    tag, tok[2] or None, push=tag not in VOID_ELEMENTS
+                )
                 return True
             self._pop_head()
             self.mode = _AFTER_HEAD
             return False
         if kind == "end":
             tag = tok[1]
+            if tag == "template":
+                i = self._find_open(("template",), ("html",))
+                if i != -1:
+                    del self.stack[i:]
+                    self._clear_afe_to_marker()
+                return True
             if self.stack[-1] is not self.head and tag == self.stack[-1]["tag"]:
                 node = self.stack.pop()
                 if not node["content"]:
@@ -624,6 +776,8 @@ class _Builder:
         return False
 
     def _in_body(self, tok) -> bool:
+        if self._foreign_rules_apply(tok):
+            return self._foreign_token(tok)
         kind = tok[0]
         skip_lf, self._skip_lf = getattr(self, "_skip_lf", False), False
         if kind in ("text", "rawtext"):
@@ -741,6 +895,9 @@ class _Builder:
                 self.stack.append(node)
         else:
             node = self._insert_element(tag, attrs, push=not sc)
+        if tag in ("svg", "math"):
+            # foreign root: subsequent tokens dispatch to foreign rules
+            self.ns[id(node)] = "svg" if tag == "svg" else "math"
         if not sc:
             if tag in _FORMATTING:
                 self._push_afe(node)
@@ -763,10 +920,11 @@ class _Builder:
                 self._clear_afe_to_marker()
 
     #: the table-structure vocabulary — "clear the stack back to a
-    #: table context" stops here (WHATWG 13.2.6.4.9-13)
+    #: table context" stops here (WHATWG 13.2.6.4.9-13; template is a
+    #: spec-listed stop in every "clear back to ... context" list)
     _TABLE_STRUCTURE = frozenset(
         {"table", "tbody", "thead", "tfoot", "tr", "td", "th",
-         "caption", "colgroup", "html"}
+         "caption", "colgroup", "template", "html"}
     )
 
     def _clear_to_table_context(self) -> None:
@@ -792,9 +950,52 @@ class _Builder:
     def _table_internal_start(self, tag, attrs, self_closing) -> bool:
         """Table-structure start tags: implied tbody/tr (WHATWG "in
         table"/"in table body" modes), orphans outside a table ignored
-        (parse error per the "in body" rules — jsoup does the same)."""
-        if self._find_open(("table",), ("html",)) == -1:
-            return True  # no open table: ignore the token
+        (parse error per the "in body" rules — jsoup does the same).
+
+        Inside a <template> with no table below it, the spec's "in
+        template" mode routes these tokens through the table modes
+        whose clear-back stops at the template boundary — so
+        ``<template><tr><td>`` keeps its rows (previously dropped as
+        orphans) and ``<table><template><td>`` puts the cell inside
+        the template, not the outer table. Contents stay children of
+        the template element, matching the reference's parser (Jsoup
+        keeps template children in the element — it has no separate
+        content fragment — and hickory reads ``.childNodes``)."""
+        ti = self._find_open(("table",), ("html",))
+        tmpl = self._find_open(("template",), ("html",))
+        if ti == -1 or tmpl > ti:
+            if tmpl == -1:
+                return True  # no open table or template: ignore
+            # in-template: emulate the table modes with the template
+            # as the clear-back boundary
+            if tag in ("td", "th"):
+                i = self._find_open(
+                    ("td", "th"), ("tr", "template", "html")
+                )
+                if i != -1:
+                    self._pop_table_scope(i)
+            elif tag == "tr":
+                while True:
+                    i = self._find_open(
+                        ("tr", "td", "th"), ("template", "html")
+                    )
+                    if i == -1:
+                        break
+                    self._pop_table_scope(i)
+            elif tag != "col":
+                while True:
+                    i = self._find_open(
+                        ("tbody", "thead", "tfoot", "caption", "colgroup",
+                         "tr", "td", "th"),
+                        ("template", "html"),
+                    )
+                    if i == -1:
+                        break
+                    self._pop_table_scope(i)
+            self._insert_element(tag, attrs, push=tag != "col")
+            if tag in ("td", "th", "caption"):
+                self.afe.append("marker")
+            return True
         self._clear_to_table_context()
         if tag in ("tbody", "thead", "tfoot", "caption", "colgroup"):
             # pop EVERY open row-group/row/cell back to the table: a

@@ -45,6 +45,41 @@ def gen_table(rng: random.Random) -> str:
     return "".join(parts)
 
 
+def gen_foreign(rng: random.Random) -> str:
+    """svg/math subtrees exercising the foreign-content tree shapes:
+    plain foreign children, breakout tags, integration points holding
+    HTML, self-closing foreign elements, and template blocks."""
+    kind = rng.random()
+    if kind < 0.25:
+        body = "".join(
+            rng.choice(["<circle/>", "<rect width='3'/>", "<g><path/></g>"])
+            for _ in range(rng.randint(1, 3))
+        )
+        return f"<svg>{body}</svg>"
+    if kind < 0.45:
+        inner = rng.choice(
+            ['<div class="c1">html</div>', "<p>para</p>",
+             '<b id="main">x</b>', "words"]
+        )
+        return f"<svg><desc>{inner}</desc><circle/></svg>"
+    if kind < 0.6:
+        inner = rng.choice(['<ul><li class="c2">i</li></ul>', "<p>f</p>"])
+        return f"<svg><foreignObject>{inner}</foreignObject></svg>"
+    if kind < 0.75:
+        # breakout: the div pops the svg
+        return "<svg><metadata>m</metadata><div>broke out</div>"
+    if kind < 0.9:
+        return (
+            "<math><mi>x</mi><mo>+</mo><mtext><b>bold</b></mtext>"
+            "<annotation-xml encoding='text/html'><span>h</span>"
+            "</annotation-xml></math>"
+        )
+    return rng.choice(
+        ["<template><tr><td>t</td></tr></template>",
+         "<template><p class='c1'>tp</p></template>"]
+    )
+
+
 def gen_html(rng: random.Random, max_depth: int = 4) -> str:
     def gen_node(depth: int) -> str:
         r = rng.random()
@@ -54,6 +89,8 @@ def gen_html(rng: random.Random, max_depth: int = 4) -> str:
             return "<!--note-->"
         if r < 0.40:
             return gen_table(rng)
+        if r < 0.46:
+            return gen_foreign(rng)
         tag = rng.choice(TAGS)
         attrs = ""
         if rng.random() < 0.4:
@@ -79,7 +116,11 @@ def gen_selector_pairs(rng: random.Random):
     def atom():
         kind = rng.choice(["tag", "cls", "id", "type", "nth", "first", "any"])
         if kind == "tag":
-            t = rng.choice(TAGS + ["table", "tr", "td", "tbody"])
+            t = rng.choice(
+                TAGS + ["table", "tr", "td", "tbody",
+                        "svg", "circle", "desc", "foreignobject",
+                        "mi", "template"]
+            )
             return w(R.p_tag(t)), S.tag(t)
         if kind == "cls":
             c = rng.choice(CLASSES)

@@ -307,3 +307,107 @@ def test_self_closing_ignored_on_html_elements():
     assert roundtrip("<svg><circle/><rect/></svg>") == (
         "<svg><circle></circle><rect></rect></svg>"
     )
+
+
+@pytest.mark.parametrize(
+    "html,expected",
+    [
+        # breakout: HTML-vocabulary start tags pop the foreign subtree
+        ("<svg><div>break</div></svg>", "<svg></svg><div>break</div>"),
+        ("<svg><metadata>m</metadata><p>out", "<svg><metadata>m</metadata></svg><p>out</p>"),
+        # font breaks out only with color/face/size
+        ("<svg><font color='red'>b</font></svg>", '<svg></svg><font color="red">b</font>'),
+        ("<svg><font>stays</font></svg>", "<svg><font>stays</font></svg>"),
+        # HTML integration points: children parse as HTML, no breakout
+        (
+            "<svg><foreignObject><div>h</div></foreignObject><circle/></svg>",
+            "<svg><foreignobject><div>h</div></foreignobject><circle></circle></svg>",
+        ),
+        (
+            "<svg><desc><table><tr><td>t</td></tr></table></desc></svg>",
+            "<svg><desc><table><tbody><tr><td>t</td></tr></tbody></table></desc></svg>",
+        ),
+        # open <p> outside the IP is not closable from inside it
+        (
+            "<p><svg><desc><p>in</p></desc></svg>after",
+            "<p><svg><desc><p>in</p></desc></svg>after</p>",
+        ),
+        # MathML text integration points
+        (
+            "<math><mi>x</mi><mtext><b>bold</b></mtext></math>",
+            "<math><mi>x</mi><mtext><b>bold</b></mtext></math>",
+        ),
+        # annotation-xml html encoding holds HTML; svg child allowed
+        (
+            "<math><annotation-xml encoding='text/HTML'><p>h</p></annotation-xml></math>",
+            '<math><annotation-xml encoding="text/HTML"><p>h</p></annotation-xml></math>',
+        ),
+        # foreign script children are markup, not RAWTEXT — and <b>
+        # inside it breaks out of the svg entirely (WHATWG dispatch)
+        (
+            "<svg><script><b>m</b></script></svg>",
+            "<svg><script></script></svg><b>m</b>",
+        ),
+        # table context: a stray svg is fostered before the table
+        (
+            "<table><svg><circle/></svg><tr><td>x</td></tr></table>",
+            "<svg><circle></circle></svg><table><tbody><tr><td>x</td></tr></tbody></table>",
+        ),
+        # nested g/path structure survives with attributes
+        (
+            '<svg viewBox="0 0 4 4"><g><path d="M0"/></g></svg>',
+            '<svg viewbox="0 0 4 4"><g><path d="M0"></path></g></svg>',
+        ),
+    ],
+)
+def test_foreign_content(html, expected):
+    # tags/attrs appear lowercased: the reference applies
+    # lower-case-keyword to BOTH in as-hickory (core.clj:111,140), so
+    # Jsoup's camelCase adjustments are invisible in hickory form
+    assert roundtrip(html) == expected
+
+
+@pytest.mark.parametrize(
+    "html,expected",
+    [
+        # template contents stay children of the element (Jsoup has no
+        # separate content fragment; hickory reads .childNodes) but
+        # parse with template-bounded table rules: rows survive
+        (
+            "<body><template><tr><td>cell</td></tr></template>",
+            "<template><tr><td>cell</td></tr></template>",
+        ),
+        ("<body><template><td>c</td><td>d</td></template>",
+         "<template><td>c</td><td>d</td></template>"),
+        ("<body><template><col></template>",
+         "<template><col></template>"),
+        # a template inside a table captures cells; the outer table
+        # structure is unaffected
+        (
+            "<table><template><td>in</td></template><tr><td>real</td></tr></table>",
+            "<table><template><td>in</td></template><tbody><tr><td>real</td></tr></tbody></table>",
+        ),
+        # clear-to-table-context must NOT pop through a template
+        (
+            "<table><template><table><tr><td>n</td></tr></table></template></table>",
+            "<table><template><table><tbody><tr><td>n</td></tr></tbody></table></template></table>",
+        ),
+        # formatting inside a template does not leak (marker semantics)
+        (
+            "<body><template><b>x</template>plain",
+            "<template><b>x</b></template>plain",
+        ),
+    ],
+)
+def test_template_contents(html, expected):
+    assert roundtrip(html) == expected
+
+
+def test_template_in_head_keeps_elements():
+    out = hickory_to_html(as_hickory(parse(
+        "<head><template><div>d</div></template></head><body>x</body>"
+    )))
+    assert out == (
+        "<html><head><template><div>d</div></template></head>"
+        "<body>x</body></html>"
+    )
