@@ -1036,8 +1036,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("url").cast("long").alias("doc_id"), "main_text"
         )
 
+    def q_pdf_extract(spark, sf):
+        # the north rule's "PDF/layout parse" leg (ops/pdf.py): PDFs
+        # are built distributed from the documents table (two pages
+        # each; odd doc_ids FlateDecoded), then the from-scratch
+        # object-scan + content-stream text interpreter recovers the
+        # page texts. The oracle is the clean text — it never parses
+        # PDF bytes.
+        import pandas as pd
+
+        from hickoryspark.ops.pdf import extract_pdf_text_df, pdf_bytes
+
+        docs = load_documents(spark, sf).select("doc_id", "source")
+
+        def gen(batches):
+            for b in batches:
+                if not len(b):
+                    continue
+                ids, payloads = [], []
+                for did, src in zip(b["doc_id"], b["source"]):
+                    ids.append(int(did))
+                    payloads.append(
+                        pdf_bytes(
+                            [f"Doc {did} from {src}", f"Page 2 #{did}"],
+                            compress=bool(did % 2),
+                        )
+                    )
+                yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+        media = docs.mapInPandas(gen, "doc_id long, payload binary")
+        return extract_pdf_text_df(media).select("doc_id", "text")
+
     out.update(
         charset_extract=q_charset_extract,
+        pdf_extract=q_pdf_extract,
         dedup_exact=q_dedup_exact,
         dedup_minhash=q_minhash,
         dedup_lsh_pairs=q_lsh_pairs,
@@ -1089,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: verdict item 1), plus round-3 additions — kept first in queries().
 _GATE_PRIORITY = [
     "charset_extract",
+    "pdf_extract",
     "streaming_dedup",
     "warc_roundtrip",
     "multimodal_decode",
@@ -1776,6 +1809,12 @@ def oracle_sql() -> dict[str, str]:
     oracles["charset_extract"] = """
         SELECT doc_id,
                'café ñ€ö — ' || source || ' ' || doc_id AS main_text
+        FROM documents"""
+    # pdf_extract: clean-text oracle, never parses PDF bytes
+    oracles["pdf_extract"] = """
+        SELECT doc_id,
+               'Doc ' || doc_id || ' from ' || source || chr(10)
+               || 'Page 2 #' || doc_id AS text
         FROM documents"""
     # multimodal_decode: P6 maxval-255 decode is exactly a header strip,
     # so decoded bytes == the ASCII raster; md5 + byte-sum recompute in SQL
