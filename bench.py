@@ -28,6 +28,14 @@ Scaling evidence (north_rule: >=0.8 efficiency N -> 4N executors):
 run `python bench.py --scaling` to execute the extract_main job at
 local[8] and local[32] on the same input and report pages/sec at both
 plus efficiency; results land in BENCH/BASELINE.md via tools/bench_scaling.py.
+
+PINNED PROTOCOL (round-2 verdict item 9): the 8-query headline list
+above and the 4-variant adversarial page corpus (spark/pages.py
+template, frozen at its round-2 revision) are FROZEN so BENCH_rN.json
+files compare line-for-line across rounds. New operators get parity
+coverage in __spark_entry__.queries(), NOT new headline entries; a
+corpus/template change requires bumping BENCH_PROTOCOL below and
+noting the break in BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -36,6 +44,9 @@ import json
 import os
 import sys
 import time
+
+#: bumped only when the headline list or corpus template changes
+BENCH_PROTOCOL = "r02-8q-corpus4v"
 
 
 def _queries(sf_dir: str):
@@ -198,6 +209,7 @@ def main() -> None:
         "n_pages": n_pages,
         "pages_per_sec": round(n_pages / t_extract, 2) if t_extract else None,
         "cpus": cpus,
+        "protocol": BENCH_PROTOCOL,
     }))
     spark.stop()
 
