@@ -118,3 +118,31 @@ def test_pages_filter_pushed_to_parquet_scan(spark):
     plan = _plan(df)
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed and "doc_id" in pushed[0], plan
+
+
+def test_simhash_pairs_broadcasts_group_frames(spark):
+    """simhash_pairs_from_sigs: the group signature/member lookups on
+    the banded pair frame must be BROADCAST joins (the group tables
+    are one row per distinct signature), and the band self-join must
+    be an equi-join — no BroadcastNestedLoopJoin anywhere."""
+    from hickoryspark.ops.dedup import simhash_near_pairs
+    from hickoryspark.spark.pages import load_documents
+
+    plan = _plan(simhash_near_pairs(load_documents(spark, SF_DIR), 64, 3))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan  # 2 sig + 2 member
+
+
+def test_pack_sequences_offsets_join_is_broadcast(spark):
+    """pack_sequences: the per-slice prefix-offset frame (one row per
+    partition-stratum slice) joins back by BROADCAST, and the bulk
+    window partitions by (_pid, stratum) — never stratum alone."""
+    from hickoryspark.ops.sampling import pack_sequences
+    from hickoryspark.spark.pages import load_documents
+
+    plan = _plan(pack_sequences(load_documents(spark, SF_DIR), 512))
+    assert "BroadcastHashJoin" in plan, plan
+    # bulk-data windows must include the slice id in their keys
+    for ln in plan.splitlines():
+        if "Window" in ln and "_before_loc" in ln:
+            assert "_pid" in ln, ln
