@@ -118,7 +118,22 @@ def sniff_charset(raw: bytes) -> tuple[str, int]:
 def decode_html(raw: bytes | bytearray | memoryview) -> str:
     """Decode HTML bytes with charset sniffing (BOM > meta prescan >
     UTF-8 attempt > windows-1252). Never raises: residual errors (a
-    lying meta, say) replace to U+FFFD."""
+    lying meta, say) replace to U+FFFD.
+
+    Inlined rather than sniff+decode so the dominant path (no BOM, no
+    meta, valid UTF-8 — the vast majority of a modern crawl) decodes
+    exactly ONCE; this runs per page in the parse hot loop."""
     raw = bytes(raw)
-    codec, bom = sniff_charset(raw)
-    return raw[bom:].decode(codec, "replace")
+    if raw[:3] == b"\xef\xbb\xbf":
+        return raw[3:].decode("utf-8", "replace")
+    if raw[:2] == b"\xff\xfe":
+        return raw[2:].decode("utf-16-le", "replace")
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", "replace")
+    codec = _prescan_meta(raw[:1024])
+    if codec:
+        return raw.decode(codec, "replace")
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("windows-1252", "replace")
