@@ -247,8 +247,8 @@ class _Builder:
         """The tree-construction dispatcher (WHATWG 13.2.6): foreign
         rules apply unless the adjusted current node is an HTML
         element or an integration point receiving a start/text token."""
-        if not self.stack:
-            return False
+        if not self.ns or not self.stack:
+            return False  # fast path: page has no foreign elements
         cur = self.stack[-1]
         ns = self.ns.get(id(cur))
         if ns is None:
@@ -287,8 +287,21 @@ class _Builder:
                 self._process(t)
             return True
         if kind == "comment":
+            data = tok[1]
+            if data.startswith("[CDATA["):
+                # CDATA sections are TEXT in foreign content (the
+                # tokenizer's bogus-comment path is the HTML-content
+                # behavior); recover the span. Content containing a
+                # bare '>' tokenized short — acceptable approximation
+                # without tokenizer/tree feedback.
+                text = data[7:]
+                if text.endswith("]]"):
+                    text = text[:-2]
+                if text:
+                    self._append(self.stack[-1], text)
+                return True
             self._append(
-                self.stack[-1], {"type": "comment", "content": [tok[1]]}
+                self.stack[-1], {"type": "comment", "content": [data]}
             )
             return True
         if kind == "doctype":

@@ -411,3 +411,12 @@ def test_template_in_head_keeps_elements():
         "<html><head><template><div>d</div></template></head>"
         "<body>x</body></html>"
     )
+
+
+def test_cdata_foreign_vs_html():
+    # HTML content: CDATA is a bogus comment (WHATWG); foreign
+    # content: CDATA is text
+    assert roundtrip("<div><![CDATA[x]]></div>") == "<div><!--[CDATA[x]]--></div>"
+    assert roundtrip("<svg><![CDATA[text here]]></svg>") == "<svg>text here</svg>"
+    assert roundtrip("<svg><![CDATA[a]]b]]></svg>") == "<svg>a]]b</svg>"
+    assert roundtrip("<svg><![CDATA[]]></svg>") == "<svg></svg>"
