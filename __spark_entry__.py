@@ -39,12 +39,16 @@ def _gate_scratch(kind: str, sf_dir: str) -> str:
     import shutil
     import tempfile
 
+    # pid-scoped so concurrent gate processes against the same sf never
+    # race each other's in-flight stream sources/checkpoints; within a
+    # process the dir is wiped and reused, so disk stays bounded
     path = os.path.join(
         tempfile.gettempdir(),
-        f"hs_gate_{kind}_{os.path.basename(os.path.normpath(sf_dir))}",
+        f"hs_gate_{kind}_{os.path.basename(os.path.normpath(sf_dir))}"
+        f"_{os.getpid()}",
     )
     shutil.rmtree(path, ignore_errors=True)
-    os.makedirs(path)
+    os.makedirs(path, exist_ok=True)
     return path
 
 

@@ -72,6 +72,12 @@ def _prescan_meta(head: bytes) -> str | None:
     charset: comments stripped, attributes parsed, ``charset`` attr
     preferred, ``http-equiv=content-type``'s content= parsed too."""
     head = _COMMENT_RE.sub(b"", head)
+    # an UNTERMINATED comment swallows the rest of the prescan window
+    # (the WHATWG prescan skips from <!-- to the next --> and aborts at
+    # EOF): a meta mentioned inside an open comment must not win
+    cut = head.find(b"<!--")
+    if cut != -1:
+        head = head[:cut]
     for m in _META_RE.finditer(head):
         end = head.find(b">", m.end())
         tag = head[m.end() - 1 : end if end != -1 else len(head)]

@@ -165,6 +165,18 @@ def tokenize(s: str):
     n = len(s)
     pos = 0
     rawtext: tuple[str, bool] | None = None  # (tag, decode_entities?)
+    # open svg/math depth: the RCDATA tokenizer switch does not exist
+    # in foreign content (an svg <title>'s children are markup — the
+    # WHATWG switch happens via tree-construction feedback for
+    # HTML-namespace elements only). The counter is the feedback
+    # approximation a pure tokenizer can carry. RAWTEXT (script/style)
+    # is NOT suppressed here: those spans stay swallowed and the tree
+    # builder re-tokenizes them only when the element really is
+    # foreign — the builder knows the true tree state (breakout
+    # subtrees like <svg><div><script> have left foreign content even
+    # though svg is still open), the tokenizer does not. RCDATA can't
+    # use that trick because its text is entity-decoded already.
+    foreign = 0
     while pos < n:
         if rawtext is not None:
             tag, decode = rawtext
@@ -204,12 +216,15 @@ def tokenize(s: str):
                 break  # EOF in tag: discard rest (eof-in-tag)
             attrs, self_closing, pos = parsed
             yield ("start", name, attrs, self_closing)
+            if name in ("svg", "math"):
+                if not self_closing:
+                    foreign += 1
             # self-closing flag does NOT suppress RAWTEXT/RCDATA: the
             # tree builder ignores '/' on non-void HTML elements
             # (WHATWG), so '<script/>' still swallows to '</script>'
-            if name in RAWTEXT_ELEMENTS:
+            elif name in RAWTEXT_ELEMENTS:
                 rawtext = (name, False)
-            elif name in RCDATA_ELEMENTS:
+            elif name in RCDATA_ELEMENTS and foreign == 0:
                 rawtext = (name, True)
         elif nxt == "/":
             i = pos + 2
@@ -229,6 +244,8 @@ def tokenize(s: str):
                     break  # EOF in end tag: discard (e.g. trailing '</body')
                 _attrs, _sc, pos = parsed
                 yield ("end", name)
+                if name in ("svg", "math") and foreign > 0:
+                    foreign -= 1
             else:
                 # Bogus comment: '</' followed by non-letter.
                 gt = s.find(">", i)

@@ -673,6 +673,11 @@ class _Builder:
         return False
 
     def _in_head(self, tok) -> bool:
+        if self._foreign_rules_apply(tok):
+            # svg/math opened inside a head <template>: same foreign
+            # dispatch as in body (breakout, integration points,
+            # honored self-closing)
+            return self._foreign_token(tok)
         kind = tok[0]
         if kind in ("text", "rawtext"):
             if _is_ws(tok[1]):
@@ -713,9 +718,14 @@ class _Builder:
                     return self._table_internal_start(
                         tag, tok[2] or None, tok[3]
                     )
-                self._insert_element(
-                    tag, tok[2] or None, push=tag not in VOID_ELEMENTS
+                sc = self._honor_self_closing(tok[3], tag)
+                node = self._insert_element(
+                    tag, tok[2] or None,
+                    push=tag not in VOID_ELEMENTS and not sc,
                 )
+                if tag in ("svg", "math"):
+                    # foreign root: later tokens hit the dispatch above
+                    self.ns[id(node)] = "svg" if tag == "svg" else "math"
                 return True
             self._pop_head()
             self.mode = _AFTER_HEAD

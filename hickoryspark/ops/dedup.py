@@ -316,6 +316,13 @@ def simhash_pairs_from_sigs(
     if n_bands > bits:
         raise ValueError(f"need bits >= max_hamming+1 bands ({n_bands} > {bits})")
 
+    # NOTE: persisted because it feeds three branches of the returned
+    # lazy plan (intra expansion, band join, member lookup); like
+    # lsh_candidate_pairs' groups frame, the blocks live until LRU
+    # eviction or session end — long-lived drivers calling this in a
+    # loop should clearCache() between runs or materialize the result.
+    # (An eager localCheckpoint of the RESULT would be worse here: the
+    # pair set can be orders of magnitude larger than the group table.)
     groups = (
         sigs.groupBy("simhash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("members"))
@@ -356,9 +363,9 @@ def simhash_pairs_from_sigs(
     band_cols, off = [], 0
     for k in range(n_bands):
         w = base + (1 if k < extra else 0)
-        val = F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
-            F.lit((1 << w) - 1)
-        )
+        val = F.shiftrightunsigned(F.col("simhash"), off)
+        if w < 64:  # a 64-bit band needs no mask (and 2^64-1 overflows long)
+            val = val.bitwiseAND(F.lit((1 << w) - 1))
         band_cols.append(F.struct(F.lit(k).alias("band"), val.alias("bv")))
         off += w
     gband = groups.select(

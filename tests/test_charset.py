@@ -84,3 +84,10 @@ def test_meta_beyond_1024_bytes_ignored():
     pad = "<!-- " + "x" * 1100 + " -->"
     raw = (pad + PAGE.format(meta='<meta charset="utf-16">')).encode("utf-8")
     assert sniff_charset(raw)[0] == "utf-8"
+
+
+def test_meta_inside_unterminated_comment_ignored():
+    # review regression: an open <!-- swallows the rest of the prescan
+    # window, so a charset mentioned inside it must not win
+    raw = b'<!-- example: <meta charset="shift_jis"> and more ' + b"a" * 2000
+    assert sniff_charset(raw)[0] == "utf-8"

@@ -175,3 +175,15 @@ def test_simhash_group_cap_stars_mega_group(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in pairs if r["hamming"] == 1} == {
         (0, n)
     }
+
+
+def test_simhash_max_hamming_zero_single_64bit_band(spark):
+    # review regression: one 64-bit band needs no mask (2^64-1
+    # overflows LongType) — max_hamming=0 = exact-duplicate pairs
+    from hickoryspark.ops.dedup import simhash_pairs_from_sigs
+
+    sigs = [(1, 7), (2, 7), (3, -5), (4, -5), (5, 9)]
+    df = spark.createDataFrame(sigs, "doc_id long, simhash long")
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           simhash_pairs_from_sigs(df, 64, 0).collect()}
+    assert got == {(1, 2), (3, 4)}

@@ -420,3 +420,34 @@ def test_cdata_foreign_vs_html():
     assert roundtrip("<svg><![CDATA[text here]]></svg>") == "<svg>text here</svg>"
     assert roundtrip("<svg><![CDATA[a]]b]]></svg>") == "<svg>a]]b</svg>"
     assert roundtrip("<svg><![CDATA[]]></svg>") == "<svg></svg>"
+
+
+def test_head_template_foreign_self_closing():
+    # review regression: head-template svg children must go through
+    # foreign dispatch (self-closing honored), same as body templates
+    out = hickory_to_html(as_hickory(parse(
+        "<head><template><svg><circle/><rect/></svg></template></head><body>x"
+    )))
+    assert out == (
+        "<html><head><template><svg><circle></circle><rect></rect></svg>"
+        "</template></head><body>x</body></html>"
+    )
+
+
+def test_svg_title_children_are_markup():
+    # review regression: the RCDATA switch does not exist in foreign
+    # content — svg <title> children parse as elements
+    assert roundtrip("<svg><title><b>x</b></title></svg>") == (
+        "<svg><title><b>x</b></title></svg>"
+    )
+    assert roundtrip("<svg><textarea>t</textarea></svg>") == (
+        "<svg><textarea>t</textarea></svg>"
+    )
+
+
+def test_script_after_breakout_stays_rawtext():
+    # breakout leaves foreign content even though svg is still open:
+    # the html script must keep its RAWTEXT body verbatim
+    assert roundtrip("<svg><div><script>if(a<b){}</script></div>") == (
+        "<svg></svg><div><script>if(a<b){}</script></div>"
+    )
