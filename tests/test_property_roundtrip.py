@@ -78,3 +78,42 @@ def test_parse_arbitrary_bytes(b):
     s = b.decode("utf-8", "replace")
     out = hickory_to_html(as_hickory(parse(s)))
     assert out.startswith("<") or out == ""
+
+
+FOREIGN_SNIPPETS = st.sampled_from([
+    "<svg><circle/><rect width='3'/></svg>",
+    "<svg><g><path d='M0'/></g></svg>",
+    "<svg><desc><b>h</b></desc><circle/></svg>",
+    "<svg><foreignObject><p>f</p></foreignObject></svg>",
+    "<svg><metadata>m</metadata><div>broke</div>",
+    "<svg><title><b>t</b></title></svg>",
+    "<svg><![CDATA[cd]]></svg>",
+    "<math><mi>x</mi><mtext><b>y</b></mtext></math>",
+    "<math><annotation-xml encoding='text/html'><span>a</span>"
+    "</annotation-xml></math>",
+    "<template><tr><td>c</td></tr></template>",
+    "<template><p>t</p></template>",
+])
+
+
+@given(st.lists(FOREIGN_SNIPPETS, min_size=1, max_size=4), st.text(
+    alphabet=st.sampled_from(list("ab <>&x")), max_size=10))
+@settings(max_examples=150, deadline=None)
+def test_foreign_content_roundtrip_idempotent(snips, filler):
+    """Foreign-content/template documents: render∘parse stays a
+    canonicalization (idempotent after one application)."""
+    src = filler.join(snips)
+    once = hickory_to_html(as_hickory(parse(src)))
+    twice = hickory_to_html(as_hickory(parse(once)))
+    assert hickory_to_html(as_hickory(parse(twice))) == twice
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=150, deadline=None)
+def test_decode_html_never_raises(b):
+    """Arbitrary bytes through the charset-sniffed boundary: decode
+    and parse never raise."""
+    from hickoryspark.html.charset import decode_html
+
+    out = hickory_to_html(as_hickory(parse(decode_html(b))))
+    assert out.startswith("<") or out == ""
