@@ -946,6 +946,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", "frame_idx", F.md5("frame").alias("frame_md5")
         )
 
+    def q_streaming_extract(spark, sf):
+        # the NORTH-STAR contract through the STREAMING path: the real
+        # pages corpus feeds start_extract_stream (file source →
+        # extract_pages mapInPandas → parquet sink, availableNow), and
+        # the committed sink must hold byte-identical extracted text —
+        # the same source||' '||text oracle the batch extract_main uses.
+        from hickoryspark.spark.streaming import start_extract_stream
+
+        pages = load_pages(spark, sf)
+        tmp = _gate_scratch("streamext", sf)
+        src, out, ckpt = tmp + "/pages", tmp + "/out", tmp + "/ckpt"
+        pages.repartition(4).write.parquet(src)
+        q = start_extract_stream(
+            spark, src, out, ckpt,
+            max_files_per_trigger=2, trigger_once=True,
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(out)
+            .select("url", "main_text", "parse_error")
+        )
+
     def q_warc_roundtrip(spark, sf):
         # the WARC source (hickoryspark/spark/warc.py): pages
         # serialized into 8 archive files (incl. one gzip member),
@@ -1207,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal_frames=q_multimodal_frames,
         streaming_dedup=q_streaming_dedup,
         streaming_windowed=q_streaming_windowed,
+        streaming_extract=q_streaming_extract,
         warc_roundtrip=q_warc_roundtrip,
     )
     # The driver's correctness gate records only the FIRST 50 entries in
@@ -1228,6 +1251,7 @@ _GATE_PRIORITY = [
     "pdf_extract",
     "streaming_dedup",
     "streaming_windowed",
+    "streaming_extract",
     "warc_roundtrip",
     "multimodal_decode",
     "multimodal_features",
@@ -1917,6 +1941,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                'café ñ€ö — ' || source || ' ' || doc_id AS main_text
         FROM documents"""
+    # streaming_extract: the committed streaming sink must hold the
+    # same byte-identical text the batch contract demands
+    oracles["streaming_extract"] = DUCKDB_PAGES_CTE + """
+        SELECT url, source || ' ' || text AS main_text,
+               CAST(NULL AS VARCHAR) AS parse_error
+        FROM pages"""
     # streaming_windowed: hour buckets recomputed arithmetically from
     # doc_id (ts = BASE + doc_id*60), never through a stream
     oracles["streaming_windowed"] = f"""
