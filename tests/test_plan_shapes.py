@@ -146,3 +146,87 @@ def test_pack_sequences_offsets_join_is_broadcast(spark):
     for ln in plan.splitlines():
         if "Window" in ln and "_before_loc" in ln:
             assert "_pid" in ln, ln
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
+    """Two tables bucketed on the same key/count join WITHOUT any
+    shuffle: the executed plan must contain no Exchange operator on
+    either side (the 100 TB co-location contract of spark/bucketing)."""
+    from pyspark.sql import functions as F
+
+    from hickoryspark.spark.bucketing import bucketed_join, write_bucketed
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # broadcast thresholds off so a lost bucket spec would show up as
+    # an Exchange+SortMergeJoin, not get masked by a broadcast
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(
+            docs.select("doc_id", "source"), "hs_bkt_a", "doc_id", 8
+        )
+        write_bucketed(
+            docs.select("doc_id", F.length("text").alias("n")),
+            "hs_bkt_b", "doc_id", 8,
+        )
+        joined = bucketed_join(spark, "hs_bkt_a", "hs_bkt_b", "doc_id")
+        assert joined.count() == docs.count()
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # bucket-pruned scan: the scan nodes report the bucket spec
+        assert "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS hs_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS hs_bkt_b")
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """Runtime skew evidence: a join whose hot key dwarfs the median
+    partition must come out of AQE as SortMergeJoin(skew=true) with a
+    skewed AQEShuffleRead — the mechanism that protects the url-keyed
+    joins from crawl hot-spots at design scale."""
+    from pyspark.sql import functions as F
+
+    keep = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "65536",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        pad = "x" * 200
+        fact = spark.range(300_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 97).alias("k"),
+            F.concat(F.lit(pad), F.col("id")).alias("payload"),
+        )
+        dim = spark.range(97).select(
+            F.col("id").alias("k"), F.lit("d").alias("d")
+        )
+        j = fact.join(dim, "k")
+        assert len(j.collect()) == 300_000
+        plan = _plan(j)  # final adaptive plan (post-execution)
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead" in plan and "skewed" in plan, plan
+    finally:
+        for k, v in keep.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
