@@ -73,6 +73,21 @@ def _doc_ids(pages: DataFrame) -> DataFrame:
     return pages.select("url", "doc_id")
 
 
+def _stream_feed(docs: DataFrame, url_col, ts_step: int) -> DataFrame:
+    """Shared pages-shaped feed for the streaming gate queries (one
+    builder so the feed shape cannot silently diverge between them):
+    warc_ts = WARC_TS_BASE + doc_id * ts_step, html = source bytes."""
+    return docs.select(
+        url_col.alias("url"),
+        F.timestamp_seconds(
+            F.lit(WARC_TS_BASE) + F.col("doc_id") * ts_step
+        ).alias("warc_ts"),
+        F.encode("source", "UTF-8").alias("html"),
+        F.lit("").alias("text"),
+        F.col("lang"),
+    )
+
+
 # One cached node table per (session, sf_dir): composite relational
 # selectors (and/child/descendant/sibling chains) reference the node
 # table 2-4 times each, and 31 selector queries run per gate — without
@@ -810,23 +825,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-batch state restore is pinned by tests/test_streaming.py.
         import uuid
 
-        from hickoryspark.spark.pages import WARC_TS_BASE
         from hickoryspark.spark.streaming import (
             dedup_first_seen_stream,
             read_pages_stream,
         )
 
-        docs = load_documents(spark, sf)
-        feed = docs.select(
+        feed = _stream_feed(
+            load_documents(spark, sf),
             F.concat(
                 F.lit("https://ex.test/"), "source", F.lit("/"), "doc_id"
-            ).alias("url"),
-            F.timestamp_seconds(F.lit(WARC_TS_BASE) + F.col("doc_id")).alias(
-                "warc_ts"
             ),
-            F.encode("source", "UTF-8").alias("html"),
-            F.lit("").alias("text"),
-            F.col("lang"),
+            ts_step=1,
         )
         # deterministic per-sf scratch dir, wiped each invocation —
         # mkdtemp accumulated unbounded temp disk across gate runs, and
@@ -857,24 +866,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recomputes the hour buckets arithmetically from doc_id.
         import uuid
 
-        from hickoryspark.spark.pages import WARC_TS_BASE
         from hickoryspark.spark.streaming import (
             host_throughput_stream,
             read_pages_stream,
         )
 
-        docs = load_documents(spark, sf)
-        feed = docs.select(
+        feed = _stream_feed(
+            load_documents(spark, sf),
             F.concat(
                 F.lit("https://h"), F.col("doc_id") % 7, F.lit(".test/"),
                 "doc_id",
-            ).alias("url"),
-            F.timestamp_seconds(
-                F.lit(WARC_TS_BASE) + F.col("doc_id") * 60
-            ).alias("warc_ts"),
-            F.encode("source", "UTF-8").alias("html"),
-            F.lit("").alias("text"),
-            F.col("lang"),
+            ),
+            ts_step=60,
         )
         tmp = _gate_scratch("streamwin", sf)
         src, ckpt = tmp + "/pages", tmp + "/ckpt"
@@ -1957,7 +1960,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(ts // 3600 * 3600 AS BIGINT) AS w_start,
                'h' || (doc_id % 7) || '.test' AS host,
                COUNT(*) AS pages,
-               CAST(SUM(length(source)) AS BIGINT) AS bytes
+               CAST(SUM(octet_length(encode(source))) AS BIGINT) AS bytes
         FROM t GROUP BY 1, 2"""
     # multimodal_resize: the resampled raster reassembled with the
     # same nearest-neighbor index arithmetic, then hashed

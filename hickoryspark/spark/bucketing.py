@@ -46,10 +46,35 @@ def write_bucketed(
     writer.format("parquet").saveAsTable(table)
 
 
+def _bucket_spec(spark: SparkSession, table: str) -> tuple[int, tuple]:
+    """(num_buckets, bucket_columns) from the catalog, (0, ()) when
+    the table is not bucketed."""
+    n, cols = 0, ()
+    for row in spark.sql(f"DESCRIBE EXTENDED {table}").collect():
+        if row["col_name"] == "Num Buckets":
+            n = int(row["data_type"])
+        elif row["col_name"] == "Bucket Columns":
+            cols = tuple(
+                c.strip(" `") for c in row["data_type"].strip("[]").split(",")
+            )
+    return n, cols
+
+
 def bucketed_join(
     spark: SparkSession, left: str, right: str, on: list[str] | str
 ) -> DataFrame:
     """Equi-join two same-bucketed catalog tables; with matching
-    bucket specs the plan contains no Exchange on either side."""
+    bucket specs the plan contains no Exchange on either side.
+
+    Raises ValueError when the specs do NOT match — a mismatch (or a
+    forgotten bucketBy) silently reintroduces the full fact-table
+    shuffle this module exists to avoid, so it must be an error, not
+    a quiet plan change."""
     on = [on] if isinstance(on, str) else list(on)
+    ls, rs = _bucket_spec(spark, left), _bucket_spec(spark, right)
+    if ls != rs or ls[0] == 0 or tuple(on) != ls[1]:
+        raise ValueError(
+            f"bucketed_join: specs must match the join key — "
+            f"{left}={ls}, {right}={rs}, on={on}"
+        )
     return spark.table(left).join(spark.table(right), on)

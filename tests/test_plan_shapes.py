@@ -148,7 +148,7 @@ def test_pack_sequences_offsets_join_is_broadcast(spark):
             assert "_pid" in ln, ln
 
 
-def test_bucketed_join_has_no_exchange(spark, tmp_path_factory):
+def test_bucketed_join_has_no_exchange(spark):
     """Two tables bucketed on the same key/count join WITHOUT any
     shuffle: the executed plan must contain no Exchange operator on
     either side (the 100 TB co-location contract of spark/bucketing)."""
@@ -230,3 +230,23 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_join_rejects_mismatched_specs(spark):
+    """A bucket-count mismatch must raise, not silently replan the
+    full shuffle the module exists to avoid."""
+    import pytest as _pytest
+
+    from hickoryspark.spark.bucketing import bucketed_join, write_bucketed
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    try:
+        write_bucketed(docs.select("doc_id"), "hs_bkt_m4", "doc_id", 4)
+        write_bucketed(docs.select("doc_id"), "hs_bkt_m8", "doc_id", 8)
+        with _pytest.raises(ValueError, match="specs must match"):
+            bucketed_join(spark, "hs_bkt_m4", "hs_bkt_m8", "doc_id")
+        with _pytest.raises(ValueError, match="specs must match"):
+            bucketed_join(spark, "hs_bkt_m4", "hs_bkt_m4", "source")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS hs_bkt_m4")
+        spark.sql("DROP TABLE IF EXISTS hs_bkt_m8")
