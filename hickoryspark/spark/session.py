@@ -30,6 +30,9 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
+        # runtime skew splitting for the url-keyed joins (crawl hot
+        # spots): tested end-to-end in tests/test_plan_shapes.py
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # ~128 pages per Arrow batch: large enough to amortize IPC,
