@@ -12,10 +12,12 @@ from-scratch, Spark-first pipeline over tables of web pages:
   (reference: src/cljc/hickory/select.cljc).
 - ``hickoryspark.spark``  : Arrow-batched Spark pipeline (mapInArrow),
   node-table relational layer, skew-aware partitioning, lineage.
-- ``hickoryspark.datasets``: large-scale training-data ops (dedup,
-  similarity search, text analysis) over document/embedding tables.
+- ``hickoryspark.ops``    : large-scale training-data ops (dedup,
+  similarity search, text analysis, sampling, URL canon, multimodal,
+  PDF text) over document/embedding/media tables.
 """
 
+from hickoryspark.html.charset import decode_html, sniff_charset
 from hickoryspark.html.core import parse, parse_fragment, as_hickory, as_hiccup
 from hickoryspark.html.render import (
     HickoryRenderError,
@@ -26,6 +28,8 @@ from hickoryspark.html.render import (
 )
 
 __all__ = [
+    "decode_html",
+    "sniff_charset",
     "parse",
     "parse_fragment",
     "as_hickory",
