@@ -22,7 +22,29 @@ encoding", html spec "prescan a byte stream"):
 
 from __future__ import annotations
 
+import codecs
 import re
+
+#: Python's cp1252 codec leaves 5 bytes undefined (0x81 0x8D 0x8F
+#: 0x90 0x9D) and errors='replace' would turn them into U+FFFD; the
+#: WHATWG windows-1252 single-byte index maps each to the C1 control
+#: of the same value, which is what browsers (and Jsoup) produce.
+_CP1252_UNDEFINED = {0x81, 0x8D, 0x8F, 0x90, 0x9D}
+
+
+def _whatwg_cp1252_errors(exc: UnicodeError) -> tuple[str, int]:
+    if isinstance(exc, UnicodeDecodeError):
+        b = exc.object[exc.start]
+        ch = chr(b) if b in _CP1252_UNDEFINED else "�"
+        return ch, exc.start + 1
+    raise exc
+
+
+codecs.register_error("whatwg-cp1252", _whatwg_cp1252_errors)
+
+
+def _errors_for(codec: str) -> str:
+    return "whatwg-cp1252" if codec == "windows-1252" else "replace"
 
 #: WHATWG encoding label -> Python codec, for the labels that matter
 #: on the web (encoding.spec.whatwg.org "names and labels" table;
@@ -138,8 +160,8 @@ def decode_html(raw: bytes | bytearray | memoryview) -> str:
         return raw[2:].decode("utf-16-be", "replace")
     codec = _prescan_meta(raw[:1024])
     if codec:
-        return raw.decode(codec, "replace")
+        return raw.decode(codec, _errors_for(codec))
     try:
         return raw.decode("utf-8")
     except UnicodeDecodeError:
-        return raw.decode("windows-1252", "replace")
+        return raw.decode("windows-1252", "whatwg-cp1252")

@@ -42,6 +42,21 @@ RAWTEXT_ELEMENTS = frozenset(
 # Elements whose content is RCDATA (entity decode, no tags).
 RCDATA_ELEMENTS = frozenset({"title", "textarea"})
 
+# WHATWG 13.2.6.5 foreign-content breakout list (minus <font>, which
+# joins only with a color/face/size attribute) and the integration-
+# point elements. Canonical copies live here because the tree builder
+# imports the tokenizer; treebuilder.py aliases them.
+_FC_BREAKOUT = frozenset(
+    "b big blockquote body br center code dd div dl dt em embed h1 h2 h3 "
+    "h4 h5 h6 head hr i img li listing menu meta nobr ol p pre ruby s "
+    "small span strong strike sub sup table tt u ul var".split()
+)
+_FC_IP = frozenset(
+    {"foreignobject", "desc", "title",  # SVG HTML integration points
+     "mi", "mo", "mn", "ms", "mtext",   # MathML text IPs
+     "annotation-xml"}
+)
+
 
 def preprocess(s: str) -> str:
     """WHATWG input-stream preprocessing: newline normalization."""
@@ -176,7 +191,17 @@ def tokenize(s: str):
     # subtrees like <svg><div><script> have left foreign content even
     # though svg is still open), the tokenizer does not. RCDATA can't
     # use that trick because its text is entity-decoded already.
+    #
+    # The counter mirrors the tree builder's BREAKOUT rule so an
+    # unclosed <svg> cannot suppress RCDATA for the document's whole
+    # tail: an HTML breakout start tag outside an integration point
+    # pops every open foreign element in the builder, so it resets
+    # `foreign` here too. `ip` approximates integration-point depth
+    # (breakout does not apply inside foreignObject/desc/title or
+    # MathML text IPs; annotation-xml is counted unconditionally —
+    # the builder's encoding-attr check is invisible at this layer).
     foreign = 0
+    ip = 0
     while pos < n:
         if rawtext is not None:
             tag, decode = rawtext
@@ -216,9 +241,17 @@ def tokenize(s: str):
                 break  # EOF in tag: discard rest (eof-in-tag)
             attrs, self_closing, pos = parsed
             yield ("start", name, attrs, self_closing)
+            if foreign > 0 and ip == 0 and (
+                name in _FC_BREAKOUT
+                or (name == "font"
+                    and any(a in attrs for a in ("color", "face", "size")))
+            ):
+                foreign = 0  # builder pops the whole foreign subtree
             if name in ("svg", "math"):
                 if not self_closing:
                     foreign += 1
+            elif foreign > 0 and name in _FC_IP and not self_closing:
+                ip += 1
             # self-closing flag does NOT suppress RAWTEXT/RCDATA: the
             # tree builder ignores '/' on non-void HTML elements
             # (WHATWG), so '<script/>' still swallows to '</script>'
@@ -246,6 +279,10 @@ def tokenize(s: str):
                 yield ("end", name)
                 if name in ("svg", "math") and foreign > 0:
                     foreign -= 1
+                    if foreign == 0:
+                        ip = 0
+                elif foreign > 0 and name in _FC_IP and ip > 0:
+                    ip -= 1
             else:
                 # Bogus comment: '</' followed by non-letter.
                 gt = s.find(">", i)

@@ -22,7 +22,7 @@ must parse (test/cljc/hickory/test/core.cljc:129-148).
 
 from __future__ import annotations
 
-from hickoryspark.html.tokenizer import tokenize
+from hickoryspark.html.tokenizer import _FC_BREAKOUT, tokenize
 
 _WS_CHARS = set(" \t\n\f\r")
 
@@ -83,12 +83,9 @@ _TABLE_ALLOWED = frozenset({"script", "style", "template", "form"})
 
 # WHATWG 13.2.6.5 foreign-content breakout list: these start tags pop
 # the open SVG/MathML subtree and reprocess as HTML. (<font> joins
-# only when it carries a color/face/size attribute.)
-_BREAKOUT = frozenset(
-    "b big blockquote body br center code dd div dl dt em embed h1 h2 h3 "
-    "h4 h5 h6 head hr i img li listing menu meta nobr ol p pre ruby s "
-    "small span strong strike sub sup table tt u ul var".split()
-)
+# only when it carries a color/face/size attribute.) Canonical copy
+# lives in tokenizer.py, whose RCDATA suppression mirrors this rule.
+_BREAKOUT = _FC_BREAKOUT
 # MathML text integration points: children parse as HTML (except
 # mglyph/malignmark start tags).
 _MATHML_TEXT_IP = frozenset({"mi", "mo", "mn", "ms", "mtext"})

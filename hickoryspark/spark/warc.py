@@ -56,13 +56,55 @@ def warc_bytes(records: list[tuple[str, str, bytes]]) -> bytes:
     return b"".join(out)
 
 
+def _find_record_boundary(data: bytes, start: int) -> int:
+    """First offset after ``start`` that plausibly begins a WARC
+    record: preceded by CRLFCRLF, version line is ``WARC/<d>.<d>``,
+    and the candidate's own header block (bounded, within 64 KiB)
+    contains a numeric Content-Length. Returns -1 if none. Used only
+    on the malformed-record resync path."""
+    search = start
+    while True:
+        nxt = data.find(_CRLF + _CRLF + b"WARC/", search)
+        if nxt == -1:
+            return -1
+        cand = nxt + 4
+        ver_end = data.find(_CRLF, cand)
+        ver = data[cand:ver_end] if ver_end != -1 else b""
+        # b'WARC/1.0' / b'WARC/1.1' — reject prose like 'WARC/ files'
+        ok_ver = (
+            len(ver) == 8
+            and ver[:5] == b"WARC/"
+            and ver[5:6].isdigit()
+            and ver[6:7] == b"."
+            and ver[7:8].isdigit()
+        )
+        if ok_ver:
+            hdr_end = data.find(_CRLF + _CRLF, cand, cand + 65536)
+            if hdr_end != -1:
+                for line in data[cand:hdr_end].split(_CRLF)[1:]:
+                    k, _, v = line.partition(b":")
+                    if k.strip().lower() == b"content-length" and \
+                            v.strip().isdigit():
+                        return cand
+        search = nxt + 4
+        if search >= len(data):
+            return -1
+
+
 def parse_warc_records(data: bytes) -> Iterator[tuple[str, str, bytes]]:
     """Yield (url, iso_date, html_payload) from raw WARC bytes.
 
     Tolerant, offset-driven parse: records are located by their
     ``WARC/`` version line and sized by the mandatory Content-Length
-    header, so a payload containing 'WARC/1.0' text cannot confuse the
-    scan. Non-response records are skipped.
+    header, so on well-formed archives a payload containing 'WARC/1.0'
+    text cannot confuse the scan (it is skipped over by length, never
+    scanned). Only after a MALFORMED Content-Length does the parser
+    fall back to scanning for the next record boundary — and every
+    candidate is validated (version line parses, its header block
+    carries a numeric Content-Length) before being committed, so
+    boundary-shaped payload text inside the damaged region is stepped
+    over rather than yielding pseudo-records. Non-response records are
+    skipped.
     """
     pos, n = 0, len(data)
     while pos < n:
@@ -85,12 +127,15 @@ def parse_warc_records(data: bytes) -> Iterator[tuple[str, str, bytes]]:
             # Malformed/missing Content-Length: real Common-Crawl
             # archives contain dirty records, and bailing out here
             # would silently drop every record after the bad one.
-            # Resync at the next record boundary (blank line followed
-            # by a WARC version line) and keep going.
-            nxt = data.find(_CRLF + _CRLF + b"WARC/", hdr_end)
+            # Resync at the next VALIDATED record boundary (blank line
+            # + a version line whose header block parses with a
+            # numeric Content-Length) — an unvalidated scan can lock
+            # onto 'WARC/' text inside the damaged record's payload
+            # (e.g. an archived page discussing WARC).
+            nxt = _find_record_boundary(data, hdr_end)
             if nxt == -1:
                 return
-            pos = nxt + 4
+            pos = nxt
             continue
         body_start = hdr_end + 4
         body = data[body_start : body_start + length]

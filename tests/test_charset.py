@@ -91,3 +91,18 @@ def test_meta_inside_unterminated_comment_ignored():
     # window, so a charset mentioned inside it must not win
     raw = b'<!-- example: <meta charset="shift_jis"> and more ' + b"a" * 2000
     assert sniff_charset(raw)[0] == "utf-8"
+
+
+def test_cp1252_undefined_bytes_map_to_c1_controls():
+    # WHATWG windows-1252 index: the 5 bytes Python's cp1252 leaves
+    # undefined decode to the same-valued C1 controls, not U+FFFD
+    raw = b"<p>a\x81b\x8dc\x8fd\x90e\x9df\x93g</p>\xff"
+    out = decode_html(raw)  # invalid UTF-8 -> windows-1252 fallback
+    assert "a\x81b\x8dc\x8fd\x90e\x9df" in out
+    assert "“g" in out  # 0x93 still maps via cp1252 proper
+    assert "�" not in out  # 0xff is defined in cp1252 (U+00FF)
+
+
+def test_cp1252_undefined_bytes_via_declared_meta():
+    raw = b'<meta charset="iso-8859-1"><p>x\x90y</p>'
+    assert decode_html(raw) == '<meta charset="iso-8859-1"><p>x\x90y</p>'

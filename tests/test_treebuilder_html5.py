@@ -370,6 +370,44 @@ def test_foreign_content(html, expected):
 @pytest.mark.parametrize(
     "html,expected",
     [
+        # ADVICE r3: an unclosed <svg> whose subtree was popped by a
+        # breakout tag must not suppress RCDATA for the document tail —
+        # the tokenizer's foreign counter resets on breakout like the
+        # tree builder does
+        (
+            "<svg><div>x</div><textarea><i>t</i></textarea>after",
+            "<svg></svg><div>x</div><textarea>&lt;i&gt;t&lt;/i&gt;</textarea>after",
+        ),
+        (
+            "<svg><p>out</p><title><b>raw</b></title>",
+            # breakout <p>; the later HTML <title> is RCDATA again
+            # (head-less body context keeps it where it lands)
+            "<svg></svg><p>out</p><title>&lt;b&gt;raw&lt;/b&gt;</title>",
+        ),
+        # but inside an integration point, breakout tags do NOT pop the
+        # foreign subtree, so RCDATA stays suppressed for svg <title>
+        (
+            "<svg><foreignobject><div>h</div></foreignobject>"
+            "<title><circle/></title></svg>",
+            "<svg><foreignobject><div>h</div></foreignobject>"
+            "<title><circle></circle></title></svg>",
+        ),
+        # closed foreign root resets the integration-point depth
+        (
+            "<svg><desc>d</desc></svg><svg><em>b</em></svg>"
+            "<textarea><p>t</p></textarea>",
+            "<svg><desc>d</desc></svg><svg></svg><em>b</em>"
+            "<textarea>&lt;p&gt;t&lt;/p&gt;</textarea>",
+        ),
+    ],
+)
+def test_foreign_breakout_rcdata_resync(html, expected):
+    assert roundtrip(html) == expected
+
+
+@pytest.mark.parametrize(
+    "html,expected",
+    [
         # template contents stay children of the element (Jsoup has no
         # separate content fragment; hickory reads .childNodes) but
         # parse with template-bounded table rules: rows survive

@@ -91,6 +91,31 @@ def test_malformed_content_length_resyncs_not_truncates():
     assert [u for u, _, _ in parsed] == ["https://a.test/1"]
 
 
+def test_resync_skips_boundary_shaped_payload_text():
+    # round-3 advice: the resync scan must not lock onto CRLFCRLF +
+    # 'WARC/' INSIDE the damaged record's payload (an archived page
+    # discussing WARC) — candidates are validated (version line +
+    # numeric Content-Length) before being committed
+    good1 = warc_bytes([("https://a.test/1", "2025-07-25T00:00:01Z", b"one")])
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://a.test/broken\r\n"
+        b"Content-Length: not-a-number\r\n\r\n"
+        # payload contains two decoys: bare prose, and a fake version
+        # line whose header block has no numeric Content-Length
+        b"about the\r\n\r\nWARC/ file format...\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: also-bad\r\n\r\nnested decoy\r\n\r\n"
+    )
+    good2 = warc_bytes([("https://a.test/2", "2025-07-25T00:00:02Z", b"two")])
+    parsed = list(parse_warc_records(good1 + bad + good2))
+    assert [u for u, _, _ in parsed] == ["https://a.test/1", "https://a.test/2"]
+    assert parsed[1][2] == b"two"
+    # decoys only, no real record after: clean stop, no pseudo-records
+    parsed = list(parse_warc_records(good1 + bad))
+    assert [u for u, _, _ in parsed] == ["https://a.test/1"]
+
+
 @pytest.mark.skipif(
     not os.path.exists("/root/testdata/sf0.001"), reason="driver testdata not present"
 )
