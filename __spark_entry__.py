@@ -656,7 +656,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_lsh_pairs(spark, sf):
         from hickoryspark.ops.dedup import lsh_candidate_pairs
 
-        return lsh_candidate_pairs(load_documents(spark, sf), 8, 4)
+        # exact all-pairs parity vs the oracle: opt out of the finite
+        # default group_cap
+        return lsh_candidate_pairs(load_documents(spark, sf), 8, 4,
+                                   group_cap=None)
 
     def q_lsh_capped(spark, sf):
         # the mega-bucket control path (group_cap): signature groups
@@ -696,8 +699,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle does no blocking, so a recall miss is a parity failure
         from hickoryspark.ops.dedup import simhash_near_pairs
 
+        # recall graded vs a brute-force ALL-PAIRS oracle: opt out of
+        # the finite default group_cap (a star would drop in-group
+        # non-representative pairs from the exact set)
         return simhash_near_pairs(
-            load_documents(spark, sf), 64, _SIMHASH_PAIRS_MAXH
+            load_documents(spark, sf), 64, _SIMHASH_PAIRS_MAXH,
+            group_cap=None,
         ).select("doc_a", "doc_b", "hamming")
 
     def q_ann_topk(spark, sf):

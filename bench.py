@@ -125,7 +125,9 @@ def _queries(sf_dir: str):
         from hickoryspark.ops.dedup import lsh_candidate_pairs
 
         docs = load_documents(spark, sf_dir)
-        return lsh_candidate_pairs(docs, 8, 4).count()
+        # group_cap=None pins the r02 protocol's exact all-pairs
+        # semantics (the library default became a finite cap in r4)
+        return lsh_candidate_pairs(docs, 8, 4, group_cap=None).count()
 
     def ann_topk(spark):
         from hickoryspark.ops.similarity import brute_topk

@@ -177,6 +177,61 @@ def test_simhash_group_cap_stars_mega_group(spark):
     }
 
 
+def test_group_member_arrays_bounded_at_aggregation(spark):
+    # round-3 verdict #4: with a cap, no task may materialize the full
+    # member array of a mega-group (10^7 ids ~ 80 MB in ONE row). The
+    # group builder ranks + filters BEFORE collect_list, so every
+    # members array it aggregates is <= group_cap elements — asserted
+    # directly on the internal group frame.
+    from pyspark.sql import functions as F
+
+    from hickoryspark.ops.dedup import _signature_groups
+
+    n, cap = 5_000, 64
+    sigs = spark.range(n).selectExpr("id AS doc_id", "42 AS simhash").union(
+        spark.range(n, n + 10).selectExpr("id AS doc_id", "7 AS simhash")
+    )
+    groups, star = _signature_groups(sigs, ["simhash"], cap)
+    sizes = {r["simhash"]: r["sz"] for r in
+             groups.select("simhash", F.size("members").alias("sz")).collect()}
+    assert sizes == {42: 1, 7: 10}  # mega group carries ONLY its rep
+    st = star.collect()
+    assert len(st) == n - 1 and all(r["doc_a"] == 0 for r in st)
+
+    # and end-to-end: the capped pair graph has the same connected
+    # components as the star + triangle construction implies
+    from hickoryspark.ops.dedup import simhash_pairs_from_sigs
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs_from_sigs(sigs, 64, 0, group_cap=cap).collect()
+    ]
+    ids = list(range(n + 10))
+    assert _components(pairs, ids) == frozenset(
+        {frozenset(range(n)), frozenset(range(n, n + 10))}
+    )
+    spark.catalog.clearCache()
+
+
+def test_default_group_cap_is_finite(spark):
+    # the library default must be the SAFE mode (round-3 advice):
+    # uncapped all-pairs is opt-in via group_cap=None
+    import inspect
+
+    from hickoryspark.ops.dedup import (
+        DEFAULT_GROUP_CAP,
+        lsh_candidate_pairs,
+        simhash_near_pairs,
+        simhash_pairs_from_sigs,
+    )
+
+    for fn in (lsh_candidate_pairs, simhash_near_pairs,
+               simhash_pairs_from_sigs):
+        assert inspect.signature(fn).parameters["group_cap"].default \
+            == DEFAULT_GROUP_CAP
+    assert isinstance(DEFAULT_GROUP_CAP, int) and DEFAULT_GROUP_CAP > 0
+
+
 def test_simhash_max_hamming_zero_single_64bit_band(spark):
     # review regression: one 64-bit band needs no mask (2^64-1
     # overflows LongType) — max_hamming=0 = exact-duplicate pairs

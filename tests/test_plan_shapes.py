@@ -120,17 +120,25 @@ def test_pages_filter_pushed_to_parquet_scan(spark):
     assert pushed and "doc_id" in pushed[0], plan
 
 
-def test_simhash_pairs_broadcasts_group_frames(spark):
-    """simhash_pairs_from_sigs: the group signature/member lookups on
-    the banded pair frame must be BROADCAST joins (the group tables
-    are one row per distinct signature), and the band self-join must
-    be an equi-join — no BroadcastNestedLoopJoin anywhere."""
+def test_simhash_pairs_group_joins_broadcast_at_runtime(spark):
+    """simhash_pairs_from_sigs: the group signature/member lookups are
+    UNHINTED equi-joins (round-3 advice: a forced broadcast of the
+    one-row-per-distinct-signature table is a driver OOM at design
+    scale) — AQE must still promote them to broadcast at runtime when
+    the group table is small, and no BroadcastNestedLoopJoin may
+    appear anywhere."""
     from hickoryspark.ops.dedup import simhash_near_pairs
     from hickoryspark.spark.pages import load_documents
 
-    plan = _plan(simhash_near_pairs(load_documents(spark, SF_DIR), 64, 3))
+    df = simhash_near_pairs(load_documents(spark, SF_DIR), 64, 3)
+    df.count()  # materialize so AQE finalizes the adaptive plan
+    plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    # static plan must NOT force broadcast; the finalized adaptive plan
+    # should have promoted the tiny group lookups at runtime
+    assert "isFinalPlan=true" in plan, plan
     assert plan.count("BroadcastHashJoin") >= 4, plan  # 2 sig + 2 member
+    spark.catalog.clearCache()
 
 
 def test_pack_sequences_offsets_join_is_broadcast(spark):
