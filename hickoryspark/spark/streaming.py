@@ -74,6 +74,7 @@ def start_extract_stream(
 
 def dedup_first_seen_stream(
     pages_stream: DataFrame,
+    state_ttl_seconds: float | None = None,
 ) -> DataFrame:
     """Cross-micro-batch EXACT dedup: emit only the first-ever
     occurrence of each content hash, keyed state via
@@ -82,10 +83,24 @@ def dedup_first_seen_stream(
     State is one boolean per distinct content hash, persisted in the
     streaming state store and restored from the checkpoint on restart —
     a page whose content was seen in ANY earlier micro-batch (or before
-    a restart) is dropped. At design scale bound the state with a
-    timeout (GroupStateTimeout.ProcessingTimeTimeout + a TTL matched to
-    the crawl revisit horizon) or periodically compact to a bloom
-    filter; NoTimeout here keeps the sandbox behavior exact.
+    a restart) is dropped.
+
+    ``state_ttl_seconds`` bounds the state store at design scale
+    (round-3 verdict: NoTimeout state grows without bound on an
+    endless crawl): with a TTL, each hash's state entry expires
+    ``state_ttl_seconds`` of processing time after its last arrival
+    (sliding — every arrival re-arms the timer), so a hash re-arriving
+    AFTER expiry is treated as first-seen and re-emitted. Set it to
+    the crawl revisit horizon. ``None`` (default) keeps exact
+    unbounded first-seen semantics — the sandbox/gate mode. Timeout
+    delivery is micro-batch granular: an expired key is physically
+    removed the next time any batch runs after its deadline, and
+    Spark does not fire a timeout for a key in the same batch where
+    that key receives data. TTL mode is for continuously-running
+    streams (``trigger(processingTime=...)`` — the engine keeps
+    triggering batches to deliver pending timeouts); do NOT combine
+    it with ``availableNow``, whose run-to-completion contract never
+    completes while timeouts are being re-armed.
 
     Representative contract: when several urls with the same content
     hash arrive in the SAME micro-batch, the emitted row is the one
@@ -95,13 +110,25 @@ def dedup_first_seen_stream(
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    ttl_ms = None if state_ttl_seconds is None else max(
+        1, int(state_ttl_seconds * 1000)
+    )
+
     def emit_first(key, pdfs, state):
         import pandas as pd
 
-        if state.exists:
-            return  # hash already emitted in an earlier batch
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # expired: next arrival is first-seen again
+            return
+        already = state.exists
+        if not already:
+            state.update((True,))
+        if ttl_ms is not None:
+            # re-arm on every arrival: TTL counts from last activity
+            state.setTimeoutDuration(ttl_ms)
+        if already:
+            return  # hash already emitted within the live TTL window
         frames = [pdf for pdf in pdfs if len(pdf)]
-        state.update((True,))
         if frames:
             allrows = pd.concat(frames, ignore_index=True)
             first = allrows.sort_values(["warc_ts", "url"]).iloc[[0]]
@@ -115,7 +142,11 @@ def dedup_first_seen_stream(
         outputStructType="url string, content_hash string",
         stateStructType="seen boolean",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 

@@ -122,6 +122,86 @@ def test_stateful_dedup_first_seen(spark, tmp_path):
     assert "u4" not in urls  # duplicate content dropped across restart
 
 
+def test_stateful_dedup_state_ttl_expires_and_reemits(spark, tmp_path):
+    """round-3 verdict #5: with state_ttl_seconds, a hash's state entry
+    expires after the TTL (bounding the store on an endless crawl) and
+    a hash re-arriving AFTER expiry is re-emitted as first-seen. TTL
+    mode runs on a continuous processingTime trigger (the engine keeps
+    triggering batches to deliver pending timeouts — availableNow
+    would never terminate)."""
+    import datetime
+    import time
+
+    from hickoryspark.spark.streaming import dedup_first_seen_stream
+
+    src = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    schema = ("url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    t = datetime.datetime(2025, 7, 25)
+
+    def feed(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+    def urls_out(expect, timeout=60):
+        deadline = time.time() + timeout
+        got = set()
+        while time.time() < deadline:
+            try:
+                got = {r["url"] for r in spark.read.parquet(out).collect()}
+            except Exception:
+                got = set()
+            if got >= expect:
+                return got
+            time.sleep(0.5)
+        return got
+
+    feed([("u1", t, b"<p>A</p>", "", "en")])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_first_seen_stream(stream, state_ttl_seconds=15.0)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        assert urls_out({"u1"}) == {"u1"}
+
+        # within the TTL: duplicate content dropped (and its arrival
+        # re-arms A's timer)
+        feed([("u2", t, b"<p>A</p>", "", "en"),
+              ("u2b", t, b"<p>C</p>", "", "en")])
+        assert urls_out({"u2b"}) == {"u1", "u2b"}  # u2 dropped
+
+        # sleep past the TTL; the continuously-triggering engine fires
+        # the timeout and removes A's expired state, then a re-arrival
+        # is first-seen again and re-emitted. (The wide TTL/sleep
+        # margins absorb this VM's documented multi-second stalls —
+        # a tight TTL flaked when the duplicate arrived after expiry.)
+        time.sleep(30.0)
+        feed([("u4", t, b"<p>A</p>", "", "en")])
+        got = urls_out({"u4"})
+        assert got == {"u1", "u2b", "u4"}
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(out).collect()
+    # u1 and u4 carry the same content hash — the re-emit is real
+    hashes = {}
+    for r in rows:
+        hashes.setdefault(r["content_hash"], set()).add(r["url"])
+    assert {"u1", "u4"} in hashes.values()
+
+
 def test_host_throughput_window(spark):
     from hickoryspark.spark.pages import load_pages
     from hickoryspark.spark.streaming import host_throughput_stream
