@@ -143,6 +143,22 @@ def _seq_sum(arr):
     return np.cumsum(arr, axis=-1)[..., -1]
 
 
+def _seq_dots(E, M, row_chunk: int = 256):
+    """All-pairs sequential-sum dot products dots[i, j] =
+    seq_sum(E[i] * M[j]), computed in row chunks of E so the
+    (rows x len(M) x dim) broadcast intermediate never materializes
+    whole (round-3 verdict #7: at production batch x cells sizes the
+    one-shot product is a per-task memory cliff). Chunking over rows
+    is bit-identical — each row's left-to-right addition chain is
+    untouched — so the oracle contract survives unchanged."""
+    E = np.asarray(E, dtype=np.float64)
+    out = np.empty((len(E), len(M)), dtype=np.float64)
+    for s in range(0, len(E), row_chunk):
+        e = E[s : s + row_chunk]
+        out[s : s + row_chunk] = _seq_sum(e[:, None, :] * M[None, :, :])
+    return out
+
+
 def _merge_topk(partial: DataFrame, k: int) -> DataFrame:
     """Exact merge of per-task partial top-k rows: the one shared
     shuffle of every ANN variant (n_queries × n_partitions × k rows,
@@ -279,9 +295,10 @@ def ivf_topk(
 
     def assign(E):
         """Cell id per row of E: nearest centroid by rounded cosine,
-        ties to the smallest centroid id."""
+        ties to the smallest centroid id. Row-chunked (_seq_dots) so
+        the rows x cells x dim intermediate stays bounded."""
         en = np.sqrt(_seq_sum(E * E))
-        dots = _seq_sum(E[:, None, :] * Cm[None, :, :])
+        dots = _seq_dots(E, Cm)
         sims = np.round(dots / (en[:, None] * cm_norm[None, :]), 6)
         return cids[np.argmax(sims, axis=1)], sims
 
@@ -318,7 +335,7 @@ def ivf_topk(
             C = np.array([np.asarray(e, dtype=np.float64) for e in b["embedding"]])
             nids = b["vec_id"].to_numpy()
             cn = np.sqrt(_seq_sum(C * C))
-            cdots = _seq_sum(C[:, None, :] * Cm[None, :, :])
+            cdots = _seq_dots(C, Cm)  # row-chunked: bounded memory
             csims = np.round(cdots / (cn[:, None] * cm_norm[None, :]), 6)
             cells = cids[np.argmax(csims, axis=1)]
             out_q, out_n, out_s = [], [], []

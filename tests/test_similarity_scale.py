@@ -125,3 +125,33 @@ def test_ivf_topk_deterministic_across_runs(spark, skewed_emb):
     a = sorted(map(tuple, ivf_topk(skewed_emb, 6, 4).collect()))
     b = sorted(map(tuple, ivf_topk(skewed_emb.repartition(7), 6, 4).collect()))
     assert a == b and len(a) > 0
+
+
+def test_seq_dots_chunked_is_bitwise_identical_and_bounded():
+    """round-3 verdict #7: the IVF cell-assign product is row-chunked —
+    results bit-identical to the one-shot broadcast product, peak
+    allocation bounded by the chunk (not batch x cells x dim)."""
+    import tracemalloc
+
+    import numpy as np
+
+    from hickoryspark.ops.similarity import _seq_dots, _seq_sum
+
+    rng = np.random.default_rng(7)
+    E = rng.standard_normal((1000, 48))
+    M = rng.standard_normal((16, 48))
+    one_shot = _seq_sum(E[:, None, :] * M[None, :, :])
+    chunked = _seq_dots(E, M, row_chunk=64)
+    assert chunked.shape == one_shot.shape
+    assert np.array_equal(chunked, one_shot)  # bitwise, not allclose
+
+    # big batch: unchunked intermediate would be 20000*64*64*8 = 655 MB
+    E = rng.standard_normal((20000, 64))
+    M = rng.standard_normal((64, 64))
+    tracemalloc.start()
+    out = _seq_dots(E, M, row_chunk=256)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert out.shape == (20000, 64)
+    # output (10 MB) + chunk intermediates (~17 MB) + slack
+    assert peak < 120 * 1024 * 1024, f"peak {peak / 1e6:.0f} MB"
