@@ -89,8 +89,14 @@ _gate_scratch._created = set()
 
 def _dv(deltas: list[int]) -> str:
     """Per-variant constant delta (variant = doc_id % 4) — the counts
-    each adversarial boilerplate block adds, derived empirically from
-    the interpreter engine across (np, has_link) combos."""
+    each adversarial boilerplate block adds. Originally derived
+    empirically from the interpreter engine; since round 4 every
+    closed-form oracle using these deltas is INDEPENDENTLY validated
+    by tools/independent_oracle_check.py (fresh strict parser + fresh
+    reference-semantics selector evaluator, no engine imports) across
+    all (variant, has_link, np) combos — enforced by
+    tests/test_oracle_independent.py, so the driver's sel_* rows no
+    longer check the engine against numbers the engine produced."""
     return f"([{','.join(map(str, deltas))}])[variant + 1]"
 
 

@@ -1,0 +1,27 @@
+"""The closed-form sel_* / node-stat / zip oracles must match an
+INDEPENDENT mini-DOM evaluator (round-3 verdict #3): the per-variant
+`_dv` deltas were originally derived from the engine itself, which made
+the driver's sel_* green partially self-referential. The checker in
+tools/independent_oracle_check.py re-derives every count with a fresh
+strict parser + fresh reference-semantics selector evaluator (no
+hickoryspark parser/selector imports) across every
+(variant, has_link, np) combination and compares the real oracle SQL
+output against it."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "tools"),
+)
+
+
+def test_closed_form_oracles_match_independent_evaluator():
+    import independent_oracle_check as I
+
+    assert I.main() == 0

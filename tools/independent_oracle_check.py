@@ -1,0 +1,603 @@
+"""Independent validation of the closed-form sel_* / node-stat / zip
+oracles (round-3 verdict #3: de-circularize the per-variant deltas).
+
+The gate's sel_* oracles are closed-form expressions over the page
+generation parameters whose per-variant `_dv` deltas were originally
+derived BY RUNNING THE ENGINE — making the driver's sel_* green
+partially self-referential. This tool re-derives every count from
+first principles:
+
+- a fresh ~60-line STRICT parser (the template is parser-canonical —
+  well-formed, no error recovery needed) builds a hickory-shaped tree
+  (document / doctype / comment-with-data-child / element / text,
+  matching reference core.clj:107-145 — note a comment's data is a
+  STRING CHILD in `content`, so it walks as a text node);
+- a fresh selector evaluator implements the reference semantics
+  straight from /root/reference/src/cljc/hickory/select.cljc
+  (nth-child counts ELEMENT siblings and requires an element parent,
+  select walks every zipper loc including the document root, `not`
+  matches non-element locs, ordered/ordered-adjacent chain walking);
+- pages for every (variant, has_link, np) combination are generated
+  through DUCKDB_PAGES_CTE (the shared DATA generator — input, not
+  engine) and the real `oracle_sql()` formulas are evaluated in
+  DuckDB, then compared against the independent evaluator's counts.
+
+NOTHING from hickoryspark's parser/selector engine is imported — the
+only repo imports are the page-template constants and the oracle SQL
+strings under test.
+
+Usage: python tools/independent_oracle_check.py   (exit 0 = all match)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hickoryspark.spark.pages import DUCKDB_PAGES_CTE  # data, not engine
+
+VOID = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+_TOKEN = re.compile(
+    r"<!DOCTYPE[^>]*>"
+    r"|<!--(.*?)-->"
+    r"|</([a-zA-Z0-9]+)>"
+    r"|<([a-zA-Z0-9]+)((?:\s+[a-zA-Z-]+=\"[^\"]*\")*)\s*>"
+    r"|([^<]+)",
+    re.S,
+)
+_ATTR = re.compile(r'([a-zA-Z-]+)="([^"]*)"')
+
+
+def parse_strict(html: str) -> dict:
+    """Strict parse of the parser-canonical page template into a
+    hickory-shaped dict tree. Raises on anything unexpected — this is
+    a validator for a fixed template, not a browser."""
+    doc = {"type": "document", "tag": None, "attrs": {}, "children": []}
+    stack = [doc]
+    pos = 0
+    for m in _TOKEN.finditer(html):
+        if m.start() != pos:
+            raise ValueError(f"unparsed gap at {pos}: {html[pos:pos+40]!r}")
+        pos = m.end()
+        tok = m.group(0)
+        if tok.startswith("<!DOCTYPE"):
+            stack[-1]["children"].append(
+                {"type": "document-type", "tag": None, "attrs": {},
+                 "children": []}
+            )
+        elif m.group(1) is not None:  # comment: data is a string CHILD
+            stack[-1]["children"].append(
+                {"type": "comment", "tag": None, "attrs": {},
+                 "children": [m.group(1)]}
+            )
+        elif m.group(2) is not None:  # end tag
+            if stack[-1].get("tag") != m.group(2).lower():
+                raise ValueError(f"mismatched </{m.group(2)}>")
+            stack.pop()
+        elif m.group(3) is not None:  # start tag
+            tag = m.group(3).lower()
+            attrs = {k.lower(): v for k, v in _ATTR.findall(m.group(4) or "")}
+            el = {"type": "element", "tag": tag, "attrs": attrs, "children": []}
+            stack[-1]["children"].append(el)
+            if tag not in VOID:
+                stack.append(el)
+        else:  # text
+            stack[-1]["children"].append(m.group(5))
+    if len(stack) != 1:
+        raise ValueError(f"unclosed elements: {[n['tag'] for n in stack[1:]]}")
+    return doc
+
+
+class NodeView:
+    """One zipper loc: a node (dict or text string) + its parent view +
+    index among the parent's children."""
+
+    __slots__ = ("node", "parent", "idx")
+
+    def __init__(self, node, parent, idx):
+        self.node, self.parent, self.idx = node, parent, idx
+
+    @property
+    def is_element(self):
+        return isinstance(self.node, dict) and self.node["type"] == "element"
+
+    @property
+    def tag(self):
+        return self.node["tag"] if isinstance(self.node, dict) else None
+
+    @property
+    def attrs(self):
+        return self.node["attrs"] if isinstance(self.node, dict) else {}
+
+    def siblings(self):
+        return self.parent.node["children"] if self.parent else []
+
+    def elem_pos_left(self):
+        """1-based position among ELEMENT siblings (nth-child metric)."""
+        sibs = self.siblings()
+        return 1 + sum(
+            1 for s in sibs[: self.idx]
+            if isinstance(s, dict) and s["type"] == "element"
+        )
+
+    def elem_pos_right(self):
+        sibs = self.siblings()
+        return 1 + sum(
+            1 for s in sibs[self.idx + 1:]
+            if isinstance(s, dict) and s["type"] == "element"
+        )
+
+    def type_pos_left(self, tag):
+        sibs = self.siblings()
+        return 1 + sum(
+            1 for s in sibs[: self.idx]
+            if isinstance(s, dict) and s.get("tag") == tag
+        )
+
+    def type_pos_right(self, tag):
+        sibs = self.siblings()
+        return 1 + sum(
+            1 for s in sibs[self.idx + 1:]
+            if isinstance(s, dict) and s.get("tag") == tag
+        )
+
+    def left_elements(self):
+        """Element siblings strictly left, nearest first (the
+        left-of-node-type :element movement chain)."""
+        sibs = self.siblings()
+        out = [s for s in sibs[: self.idx]
+               if isinstance(s, dict) and s["type"] == "element"]
+        out.reverse()
+        return out
+
+    def right_elements(self):
+        sibs = self.siblings()
+        return [s for s in sibs[self.idx + 1:]
+                if isinstance(s, dict) and s["type"] == "element"]
+
+    def ancestors(self):
+        """Parent chain, nearest first (zip/up movement), up to and
+        including the document node."""
+        p = self.parent
+        while p is not None:
+            yield p
+            p = p.parent
+
+    def direct_strings(self):
+        if isinstance(self.node, dict):
+            return [c for c in self.node["children"] if isinstance(c, str)]
+        return []
+
+    def descendants(self):
+        """All nodes strictly below, pre-order (zip/next bounded to the
+        subtree)."""
+        if not isinstance(self.node, dict):
+            return
+        stack = list(reversed(self.node["children"]))
+        while stack:
+            n = stack.pop()
+            yield n
+            if isinstance(n, dict):
+                stack.extend(reversed(n["children"]))
+
+
+def walk(doc: dict):
+    """Every zipper loc in pre-order (document root included; comment
+    data strings included — zip/next descends into comment content)."""
+    root = NodeView(doc, None, 0)
+    out = []
+
+    def rec(nv):
+        out.append(nv)
+        if isinstance(nv.node, dict):
+            for i, c in enumerate(nv.node["children"]):
+                rec(NodeView(c, nv, i))
+
+    rec(root)
+    return out
+
+
+# -- selector predicates (reference select.cljc semantics) -----------------
+
+def p_tag(t):
+    return lambda nv: nv.tag == t
+
+
+def p_class(c):
+    def f(nv):
+        cls = nv.attrs.get("class")
+        return cls is not None and c.lower() in [
+            x.lower() for x in re.split(r"\s+", cls) if x
+        ]
+    return f
+
+
+def p_id(i):
+    return lambda nv: nv.attrs.get("id", "").lower() == i.lower() \
+        and "id" in nv.attrs
+
+
+def p_attr(name, pred=None):
+    def f(nv):
+        if name not in nv.attrs:
+            return False
+        return pred(nv.attrs[name]) if pred else True
+    return f
+
+
+def p_element(nv):
+    return nv.is_element
+
+
+def p_element_child(nv):
+    return nv.is_element and nv.parent is not None and nv.parent.is_element
+
+
+def p_root(nv):
+    return nv.tag == "html"
+
+
+def p_node_type(t):
+    return lambda nv: isinstance(nv.node, dict) and nv.node["type"] == t
+
+
+def p_find_in_text(pattern):
+    rx = re.compile(pattern)
+    return lambda nv: any(rx.search(s) for s in nv.direct_strings())
+
+
+def nth_stride(distance, n, c):
+    if n == 0:
+        return distance == c
+    return (distance - c) % n == 0
+
+
+def p_nth_child(n, c):
+    return lambda nv: p_element_child(nv) and \
+        nth_stride(nv.elem_pos_left(), n, c)
+
+
+def p_nth_last_child(n, c):
+    return lambda nv: p_element_child(nv) and \
+        nth_stride(nv.elem_pos_right(), n, c)
+
+
+def p_nth_of_type(n, c, tag):
+    return lambda nv: p_element_child(nv) and nv.tag == tag and \
+        nth_stride(nv.type_pos_left(tag), n, c)
+
+
+def p_nth_last_of_type(n, c, tag):
+    return lambda nv: p_element_child(nv) and nv.tag == tag and \
+        nth_stride(nv.type_pos_right(tag), n, c)
+
+
+def p_and(*sels):
+    return lambda nv: all(s(nv) for s in sels)
+
+
+def p_or(*sels):
+    return lambda nv: any(s(nv) for s in sels)
+
+
+def p_not(sel):
+    return lambda nv: not sel(nv)
+
+
+def p_el_not(sel):
+    return lambda nv: nv.is_element and not sel(nv)
+
+
+def p_child(*sels):
+    """ordered-adjacent with zip/up over reversed selectors: the loc
+    matches the LAST selector, its parent the previous, etc."""
+    rev = list(reversed(sels))
+
+    def f(nv):
+        cur = nv
+        for s in rev:
+            if cur is None or not s(cur):
+                return False
+            cur = cur.parent
+        return True
+    return f
+
+
+def p_has_child(sel):
+    def f(nv):
+        if not isinstance(nv.node, dict):
+            return False
+        return any(
+            sel(NodeView(c, nv, i))
+            for i, c in enumerate(nv.node["children"])
+        )
+    return f
+
+
+def p_parent(*sels):
+    """compose-unary has-child: and(s1, has-child(and(s2, ...)))."""
+    if len(sels) == 1:
+        return sels[0]
+    return p_and(sels[0], p_has_child(p_parent(*sels[1:])))
+
+
+def p_descendant(*sels):
+    """ordered with zip/up over reversed selectors: loc matches last
+    selector; remaining selectors match somewhere up the ancestry, in
+    order."""
+    rev = list(reversed(sels))
+
+    def f(nv):
+        if not rev[0](nv):
+            return False
+        idx = 1
+        for anc in nv.ancestors():
+            if idx >= len(rev):
+                break
+            if rev[idx](anc):
+                idx += 1
+        return idx >= len(rev)
+    return f
+
+
+def p_has_descendant(sel):
+    def f(nv):
+        if not isinstance(nv.node, dict):
+            return False
+        stack = [
+            NodeView(c, nv, i) for i, c in enumerate(nv.node["children"])
+        ]
+        while stack:
+            d = stack.pop()
+            if sel(d):
+                return True
+            if isinstance(d.node, dict):
+                stack.extend(
+                    NodeView(c, d, i)
+                    for i, c in enumerate(d.node["children"])
+                )
+        return False
+    return f
+
+
+def p_ancestor(*sels):
+    if len(sels) == 1:
+        return sels[0]
+    return p_and(sels[0], p_has_descendant(p_ancestor(*sels[1:])))
+
+
+def _sib_views(nv, before):
+    """Element-sibling NodeViews left (nearest first) or right of nv."""
+    sibs = nv.siblings()
+    idx = [
+        (i, s) for i, s in enumerate(sibs)
+        if isinstance(s, dict) and s["type"] == "element"
+        and ((i < nv.idx) if before else (i > nv.idx))
+    ]
+    views = [NodeView(s, nv.parent, i) for i, s in idx]
+    if before:
+        views.reverse()
+    return views
+
+
+def p_follow_adjacent(*sels):
+    """ordered-adjacent over left-of-node-type :element, reversed."""
+    rev = list(reversed(sels))
+
+    def f(nv):
+        chain = [nv] + _sib_views(nv, before=True)
+        if len(chain) < len(rev):
+            return False
+        return all(s(c) for s, c in zip(rev, chain))
+    return f
+
+
+def p_precede_adjacent(*sels):
+    def f(nv):
+        chain = [nv] + _sib_views(nv, before=False)
+        if len(chain) < len(sels):
+            return False
+        return all(s(c) for s, c in zip(sels, chain))
+    return f
+
+
+def _ordered_chain(first_ok, rest, chain):
+    if not first_ok:
+        return False
+    idx = 0
+    for c in chain:
+        if idx >= len(rest):
+            break
+        if rest[idx](c):
+            idx += 1
+    return idx >= len(rest)
+
+
+def p_follow(*sels):
+    rev = list(reversed(sels))
+    return lambda nv: _ordered_chain(
+        rev[0](nv), rev[1:], _sib_views(nv, before=True)
+    )
+
+
+def p_precede(*sels):
+    return lambda nv: _ordered_chain(
+        sels[0](nv), list(sels[1:]), _sib_views(nv, before=False)
+    )
+
+
+# -- the gate's sel_* queries, re-expressed independently ------------------
+
+SEL_PREDICATES = {
+    "sel_tag": p_tag("p"),
+    "sel_class": p_class("para"),
+    "sel_id": p_id("MAIN"),
+    "sel_attr": p_attr("href"),
+    "sel_attr_pred": p_attr("href", lambda v: v.startswith("https")),
+    "sel_any": p_element,
+    "sel_element_child": p_element_child,
+    "sel_root": p_root,
+    "sel_node_type": p_node_type("comment"),
+    "sel_find_in_text": p_find_in_text(r"\bspark\b"),
+    "sel_nth_child": p_nth_child(2, 1),        # :odd
+    "sel_nth_last_child": p_nth_last_child(2, 0),  # :even
+    "sel_first_child": p_nth_child(0, 1),
+    "sel_last_child": p_nth_last_child(0, 1),
+    "sel_nth_of_type": p_nth_of_type(2, 1, "p"),
+    "sel_nth_last_of_type": p_nth_last_of_type(2, 1, "p"),
+    "sel_and": p_and(p_tag("p"), p_class("para")),
+    "sel_or": p_or(p_tag("h1"), p_tag("a")),
+    "sel_not": p_not(p_element),
+    "sel_el_not": p_el_not(p_class("para")),
+    "sel_child": p_child(p_tag("body"), p_tag("div"), p_tag("p")),
+    "sel_has_child": p_has_child(p_tag("a")),
+    "sel_parent": p_parent(p_tag("div"), p_tag("p")),
+    "sel_descendant": p_descendant(p_tag("html"), p_tag("a")),
+    "sel_has_descendant": p_has_descendant(p_tag("a")),
+    "sel_ancestor": p_ancestor(p_tag("div"), p_tag("a")),
+    "sel_follow_adjacent": p_follow_adjacent(p_tag("h1"), p_tag("p")),
+    "sel_precede_adjacent": p_precede_adjacent(p_tag("h1"), p_tag("p")),
+    "sel_follow": p_follow(p_tag("h1"), p_tag("a")),
+    "sel_precede": p_precede(p_tag("p"), p_tag("a")),
+    "sel_interp_combo": p_and(p_tag("p"), p_nth_child(2, 0)),
+    "sel_interp_descendant": p_descendant(p_class("content"), p_tag("a")),
+}
+
+
+def node_stats(doc):
+    locs = walk(doc)
+    n_nodes = len(locs)
+    n_elements = sum(1 for nv in locs if nv.is_element)
+    n_text = sum(1 for nv in locs if isinstance(nv.node, str))
+    depth = {id(doc): 0}
+    max_depth = 0
+    for nv in locs[1:]:
+        d = depth[id(nv.parent.node)] + 1
+        if isinstance(nv.node, dict):
+            depth[id(nv.node)] = d
+        max_depth = max(max_depth, d)
+    return {"n_nodes": n_nodes, "n_elements": n_elements,
+            "n_text": n_text, "max_depth": max_depth}
+
+
+def zip_stats(doc):
+    locs = walk(doc)
+    main = next(nv for nv in locs if nv.attrs.get("id") == "main")
+    # subtree incl. main itself
+    subtree = 1 + sum(1 for _ in main.descendants())
+    n_paras = sum(
+        1 for n in main.descendants()
+        if isinstance(n, dict) and n.get("tag") == "p"
+    )
+    first_p = next(nv for nv in locs if nv.tag == "p")
+    n_right = len(_sib_views(first_p, before=False)) + 1  # + move-to-None
+    n_left = len(_sib_views(first_p, before=True)) + 1
+    n_up = sum(1 for _ in first_p.ancestors()) + 1
+    comment_pos = next(
+        i for i, nv in enumerate(locs)
+        if isinstance(nv.node, dict) and nv.node["type"] == "comment"
+    )
+    first_a = next(i for i, nv in enumerate(locs) if nv.tag == "a")
+    return {
+        "n_paras": n_paras, "subtree_nodes": subtree,
+        "n_right": n_right, "n_left": n_left, "n_up": n_up,
+        "comment_pos": comment_pos, "first_a_steps": first_a,
+    }
+
+
+def synth_documents(con):
+    """Synthetic documents covering every (variant, has_link, np) combo
+    plus 'spark'-token and source='spark' cases."""
+    rows = []
+    for doc_id in range(40):
+        np_ = (doc_id // 8) + 2  # 2..6
+        n_chars = np_ - 2  # np = n_chars % 5 + 2
+        ntok = 2 * np_ + doc_id % 3
+        toks = [f"w{doc_id}x{k}" for k in range(ntok)]
+        if doc_id % 5 == 0:
+            toks[ntok // 2] = "spark"  # word inside one chunk
+        source = "spark" if doc_id % 7 == 0 else f"src{doc_id}"
+        rows.append((doc_id, " ".join(toks), "en", source, n_chars))
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+        " source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?,?,?,?,?)", rows)
+
+
+def main() -> int:
+    import __spark_entry__ as E
+
+    con = duckdb.connect()
+    synth_documents(con)
+    pages = con.execute(
+        DUCKDB_PAGES_CTE + "SELECT doc_id, html FROM pages ORDER BY doc_id"
+    ).fetchall()
+    trees = {d: parse_strict(h) for d, h in pages}
+
+    oracles = E.oracle_sql()
+    failures = []
+
+    for name, pred in SEL_PREDICATES.items():
+        mine = {d: sum(1 for nv in walk(t) if pred(nv))
+                for d, t in trees.items()}
+        theirs = dict(con.execute(oracles[name]).fetchall())
+        if mine != theirs:
+            diff = {d: (mine[d], theirs.get(d)) for d in mine
+                    if mine[d] != theirs.get(d)}
+            print(f"FAIL {name}: (independent, oracle) diffs {diff}")
+            failures.append(name)
+        else:
+            print(f"ok   {name}: {sum(mine.values())} total matches")
+
+    stats = {d: node_stats(t) for d, t in trees.items()}
+    rows = con.execute(oracles["parse_node_stats"]).fetchall()
+    cols = [c[0] for c in con.execute(oracles["parse_node_stats"]).description]
+    bad = []
+    for r in rows:
+        rec = dict(zip(cols, r))
+        m = stats[rec["doc_id"]]
+        for k in ("n_nodes", "n_elements", "n_text", "max_depth"):
+            if m[k] != rec[k]:
+                bad.append((rec["doc_id"], k, m[k], rec[k]))
+    if bad:
+        print(f"FAIL parse_node_stats: {bad[:8]}")
+        failures.append("parse_node_stats")
+    else:
+        print("ok   parse_node_stats")
+
+    zs = {d: zip_stats(t) for d, t in trees.items()}
+    for name, keys in [
+        ("zip_subtree_scan", ("n_paras", "subtree_nodes")),
+        ("zip_pred_walk", ("n_right", "n_left", "n_up", "comment_pos")),
+        ("zip_first_anchor", ("first_a_steps",)),
+    ]:
+        rows = con.execute(oracles[name]).fetchall()
+        cols = [c[0] for c in con.execute(oracles[name]).description]
+        bad = []
+        for r in rows:
+            rec = dict(zip(cols, r))
+            for k in keys:
+                if zs[rec["doc_id"]][k] != rec[k]:
+                    bad.append((rec["doc_id"], k, zs[rec["doc_id"]][k], rec[k]))
+        if bad:
+            print(f"FAIL {name}: {bad[:8]}")
+            failures.append(name)
+        else:
+            print(f"ok   {name}")
+
+    print(f"\n{len(failures)} failures"
+          + (f": {failures}" if failures else " — all oracles independently derived"))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
