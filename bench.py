@@ -2,8 +2,14 @@
 
 Prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {...per-query sec...}, "sf": <sf>,
-     "pages_per_sec": ..., "n_pages": ...}
+     "queries": {...per-query MEDIAN sec over n_trials...}, "sf": <sf>,
+     "pages_per_sec": ..., "n_pages": ..., "trials": [per-trial raw]}
+
+Per-query numbers are the MEDIAN of $SPARK_GRAFT_TRIALS runs
+(default 3) of the full headline loop: this host's speed swings 2-5x
+for minutes at a time, so a single trial reads as a regression when
+nothing changed (round-3 verdict #6). Raw trials ship in the JSON so
+the spread stays visible.
 
 Headline set (the queries a user of the engine actually runs hot):
   extract_main      — the north-star job: parse → boilerplate strip →
@@ -185,15 +191,31 @@ def main() -> None:
         pages.select("url", "html").limit(cpus * 32).repartition(cpus)
     ).agg(F.count("*")).collect()
 
-    timings: dict[str, float] = {}
-    t_extract = None
-    for name, fn in _queries(sf_dir).items():
-        t0 = time.perf_counter()
-        fn(spark)
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 4)
-        if name == "extract_main":
-            t_extract = dt
+    # round-3 verdict #6: the host VM's speed swings 2-5x for minutes,
+    # so a best-of-1 reading is noise — run the pinned headline N times
+    # (default 3) and report the per-query MEDIAN, plus the raw trials
+    # so the spread is visible. Protocol tag unchanged: trials, not
+    # queries, changed.
+    n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
+    trials: list[dict[str, float]] = []
+    for _ in range(n_trials):
+        t: dict[str, float] = {}
+        for name, fn in _queries(sf_dir).items():
+            t0 = time.perf_counter()
+            fn(spark)
+            t[name] = round(time.perf_counter() - t0, 4)
+        trials.append(t)
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    timings = {
+        name: round(median([t[name] for t in trials]), 4)
+        for name in trials[0]
+    }
+    t_extract = timings["extract_main"]
 
     total = round(sum(timings.values()), 4)
     base = os.path.basename(sf_dir.rstrip("/"))
@@ -212,6 +234,8 @@ def main() -> None:
         "pages_per_sec": round(n_pages / t_extract, 2) if t_extract else None,
         "cpus": cpus,
         "protocol": BENCH_PROTOCOL,
+        "n_trials": n_trials,
+        "trials": trials,
     }))
     spark.stop()
 
