@@ -829,6 +829,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return top_ngrams(load_documents(spark, sf), 2, 20)
 
+    def q_link_graph(spark, sf):
+        # link-graph extraction (ops/links.py): every <a href> as an
+        # edge row with document-order position, resolved target, and
+        # direct anchor text — all template-derived, so the oracle
+        # reconstructs the exact ordered edge list per variant
+        from hickoryspark.ops.links import extract_links
+
+        pages = load_pages(spark, sf, with_params=True)
+        links = extract_links(_cached_nodes(spark, sf))
+        return (
+            _doc_ids(pages)
+            .join(links, "url")
+            .select("doc_id", "link_pos", "href", "resolved", "anchor_text")
+        )
+
     def q_events_windowed(spark, sf):
         from hickoryspark.ops.events import windowed_counts
 
@@ -1268,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sample_hash=q_sample_hash,
         sample_stratified=q_sample_stratified,
         pack_chunks=q_pack_chunks,
+        link_graph=q_link_graph,
         events_windowed=q_events_windowed,
         events_sessionize=q_events_sessionize,
         events_props=q_events_props,
@@ -1295,9 +1311,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
-#: queries the driver's 50-row gate has never value-checked (round-2
-#: verdict item 1), plus round-3 additions — kept first in queries().
+#: gate-priority order (the driver records only the FIRST 50 queries).
+#: Round-4 head: the 5 queries that hash-failed CORRECTNESS_r03 (types
+#: made hash-stable this round — the driver must re-confirm, verdict
+#: item 1) and the new link_graph query; then the round-2/3 additions.
 _GATE_PRIORITY = [
+    "events_windowed",
+    "events_sessionize",
+    "rel_revenue_by_nation",
+    "rel_top_customers",
+    "rel_pricing_summary",
+    "link_graph",
     "charset_extract",
     "pdf_extract",
     "streaming_dedup",
@@ -1325,12 +1349,7 @@ _GATE_PRIORITY = [
     "sample_hash",
     "sample_stratified",
     "pack_chunks",
-    "events_windowed",
-    "events_sessionize",
     "events_props",
-    "rel_revenue_by_nation",
-    "rel_top_customers",
-    "rel_pricing_summary",
 ]
 
 
@@ -1870,6 +1889,39 @@ def oracle_sql() -> dict[str, str]:
                        i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' ')
                      ), s -> md5(s))) AS fp_min
             FROM documents""",
+        # link-graph: the ordered <a href> edge list is fully template-
+        # determined per (variant, has_link) — the oracle reconstructs
+        # it literally, resolution mirrored (absolute kept, relative
+        # prefixed with the page origin)
+        "link_graph": DUCKDB_PAGES_CTE + """
+            , l AS (
+              SELECT doc_id,
+                (CASE variant WHEN 1 THEN ['/t1','/t2']
+                              WHEN 2 THEN ['/m1','/m2','/m3']
+                              ELSE []::VARCHAR[] END
+                 || CASE WHEN has_link
+                         THEN ['https://ex.test/' || doc_id]
+                         ELSE []::VARCHAR[] END
+                 || ['/about']
+                 || CASE WHEN variant = 3
+                         THEN ['/l1','/l2','/l3','/l4','/l5']
+                         ELSE []::VARCHAR[] END) AS hrefs,
+                (CASE variant WHEN 1 THEN ['t1','t2']
+                              WHEN 2 THEN ['m1','m2','m3']
+                              ELSE []::VARCHAR[] END
+                 || CASE WHEN has_link THEN ['more'] ELSE []::VARCHAR[] END
+                 || ['about']
+                 || CASE WHEN variant = 3
+                         THEN ['l1','l2','l3','l4','l5']
+                         ELSE []::VARCHAR[] END) AS texts
+              FROM pages
+            )
+            SELECT doc_id, CAST(i AS BIGINT) AS link_pos,
+                   hrefs[i] AS href,
+                   CASE WHEN hrefs[i] LIKE '%://%' THEN hrefs[i]
+                        ELSE 'https://ex.test' || hrefs[i] END AS resolved,
+                   texts[i] AS anchor_text
+            FROM l, unnest(range(1, len(hrefs) + 1)) AS t(i)""",
         # hash-stable output types (string win_start + ROUND(double,6),
         # the exact decimal sum only internal): pandas-path gate
         # collection renders DECIMAL/TIMESTAMP differently than

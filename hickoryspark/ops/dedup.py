@@ -56,13 +56,18 @@ def _signature_groups(
         )
         return groups, None
     wp = Window.partitionBy(*keys)
+    # persisted: both returned frames derive from it (groups via a
+    # partitioning-compatible groupBy, star via a filter) — without the
+    # persist the star branch would recompute the signature job + this
+    # window pass from scratch. One narrow row per doc; callers'
+    # clearCache() discipline (see lsh_candidate_pairs note) applies.
     ranked = sig.select(
         *keys,
         "doc_id",
         F.row_number().over(wp.orderBy("doc_id")).alias("rn"),
         F.count("*").over(wp).alias("m"),
         F.min("doc_id").over(wp).alias("gid"),
-    )
+    ).persist()
     star = (
         ranked.where((F.col("m") > group_cap) & (F.col("rn") > 1))
         .select(F.col("gid").alias("doc_a"), F.col("doc_id").alias("doc_b"))

@@ -1,0 +1,108 @@
+"""Link-graph extraction over the exploded node table.
+
+The crawl-side consumer of the selector engine: every ``<a href>``
+becomes an edge row (doc url -> resolved target) with its anchor text
+and document-order position — the input to PageRank-style host graphs,
+frontier scheduling, and anchor-text training corpora.
+
+Pure JVM-side DataFrame program (no Python in the path): anchors are a
+filter on the node table, anchor text is a url-local equi-join of the
+anchors' DIRECT text children (same (url, parent_id) pattern as
+sel_find_in_text in selectors_rel.py), resolution is string expressions
+over the page url. At 100 TB the node table is bucketed by url
+(spark/nodes_table.py materialize_nodes), which makes the text join
+co-partitioned and shuffle-free; the only remaining shuffle is the
+per-url window for link_pos, which shares the same url partitioning.
+
+URL resolution (the template + common-crawl dominant cases):
+- absolute (``scheme://...``): kept as-is;
+- host-relative (``/path``): page origin + href;
+- path-relative (anything else): page url truncated to its last ``/``
+  + href. (No ``..`` folding — compose with ops.urls.normalize for
+  full canonicalization.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hickoryspark.nodes import TYPE_ELEMENT, TYPE_TEXT
+
+_ORIGIN_RE = r"^([a-z][a-z0-9+.-]*://[^/]+)"
+# RFC 3986: a relative reference cannot contain ':' before its first
+# '/' — any scheme-qualified href (https://, mailto:, tel:) is kept
+_ABS_RE = r"^[a-z][a-z0-9+.-]*:"
+
+
+def resolve_href(url, href):
+    """Absolute target URL for ``href`` found on page ``url``
+    (column expressions)."""
+    origin = F.regexp_extract(url, _ORIGIN_RE, 1)
+    base = F.regexp_replace(url, r"/[^/]*$", "/")
+    return (
+        F.when(href.rlike(_ABS_RE), href)
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(F.concat(base, href))
+    )
+
+
+def extract_links(nodes: DataFrame) -> DataFrame:
+    """Node table -> one row per ``<a href>``:
+    (url, link_pos, href, resolved, anchor_text).
+
+    ``link_pos`` is the anchor's 1-based document-order position within
+    its page; ``anchor_text`` concatenates the anchor's DIRECT text
+    children in document order ('' when none — matches the reference's
+    find-in-text notion of direct content, select.cljc:283-295, not a
+    subtree text flatten).
+    """
+    anchors = (
+        nodes.where(
+            (F.col("type") == TYPE_ELEMENT)
+            & (F.col("tag") == "a")
+            & F.col("attrs")["href"].isNotNull()
+        )
+        .select(
+            "url",
+            F.col("node_id").alias("a_id"),
+            F.col("pre_ord").alias("a_ord"),
+            F.col("attrs")["href"].alias("href"),
+        )
+    )
+    texts = nodes.where(F.col("type") == TYPE_TEXT).select(
+        F.col("url").alias("t_url"),
+        F.col("parent_id").alias("t_parent"),
+        F.col("pre_ord").alias("t_ord"),
+        F.col("text").alias("t_text"),
+    )
+    atext = (
+        anchors.join(
+            texts,
+            (anchors["url"] == texts["t_url"])
+            & (anchors["a_id"] == texts["t_parent"]),
+            "left",
+        )
+        .groupBy("url", "a_id", "a_ord", "href")
+        .agg(
+            F.array_join(
+                # struct sort orders by the first field: document order
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("t_ord", "t_text"))
+                    ),
+                    lambda s: s["t_text"],
+                ),
+                "",
+            ).alias("anchor_text")
+        )
+    )
+    w = Window.partitionBy("url").orderBy("a_ord")
+    return atext.select(
+        "url",
+        F.row_number().over(w).cast("long").alias("link_pos"),
+        "href",
+        resolve_href(F.col("url"), F.col("href")).alias("resolved"),
+        "anchor_text",
+    )

@@ -1,0 +1,62 @@
+"""Link-graph extraction (ops/links.py): resolution cases, document
+order, direct-text anchor semantics."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from hickoryspark.spark.session import get_spark
+
+    s = get_spark(4, app_name="hickoryspark-links-tests", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _links(spark, html, url="https://ex.test/a/b"):
+    from hickoryspark.ops.links import extract_links
+    from hickoryspark.spark.nodes_table import explode_nodes
+
+    pages = spark.createDataFrame([(url, html)], "url string, html string")
+    rows = extract_links(explode_nodes(pages)).collect()
+    return sorted(rows, key=lambda r: r["link_pos"])
+
+
+def test_resolution_absolute_host_relative_path_relative(spark):
+    rows = _links(
+        spark,
+        '<a href="https://other.example/x">abs</a>'
+        '<a href="/root">hostrel</a>'
+        '<a href="sib.html">pathrel</a>'
+        '<a href="mailto:x@y.z">mail</a>',
+    )
+    assert [(r["href"], r["resolved"]) for r in rows] == [
+        ("https://other.example/x", "https://other.example/x"),
+        ("/root", "https://ex.test/root"),
+        ("sib.html", "https://ex.test/a/sib.html"),
+        ("mailto:x@y.z", "mailto:x@y.z"),  # scheme-qualified: kept
+    ]
+    assert [r["link_pos"] for r in rows] == [1, 2, 3, 4]
+
+
+def test_anchor_text_is_direct_text_only_in_document_order(spark):
+    rows = _links(
+        spark,
+        '<a href="/1">one <b>bold</b> two</a>'
+        '<a href="/2"><i>all nested</i></a>'
+        '<a href="/3"></a>',
+    )
+    # direct strings concatenated in order; nested element text excluded
+    assert [r["anchor_text"] for r in rows] == ["one  two", "", ""]
+
+
+def test_anchors_without_href_are_skipped(spark):
+    rows = _links(spark, '<a name="top">x</a><a href="/y">y</a>')
+    assert [(r["link_pos"], r["href"]) for r in rows] == [(1, "/y")]
