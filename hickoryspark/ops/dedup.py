@@ -72,8 +72,9 @@ def _signature_groups(
         ranked.where((F.col("m") > group_cap) & (F.col("rn") > 1))
         .select(F.col("gid").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
-    # mega groups keep only the representative row; the groupBy reuses
-    # the window's hash partitioning on the key columns (no 2nd shuffle)
+    # mega groups keep only the representative row. (The groupBy can
+    # re-shuffle across the persist boundary, but it carries at most
+    # group_cap narrow rows per signature — bounded either way.)
     groups = (
         ranked.where((F.col("m") <= group_cap) | (F.col("rn") == 1))
         .groupBy(*keys)
