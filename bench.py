@@ -196,7 +196,7 @@ def main() -> None:
     # (default 3) and report the per-query MEDIAN, plus the raw trials
     # so the spread is visible. Protocol tag unchanged: trials, not
     # queries, changed.
-    n_trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
+    n_trials = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", "3")))
     trials: list[dict[str, float]] = []
     for _ in range(n_trials):
         t: dict[str, float] = {}
@@ -205,6 +205,9 @@ def main() -> None:
             fn(spark)
             t[name] = round(time.perf_counter() - t0, 4)
         trials.append(t)
+        # lsh_candidate_pairs persists its group frame per call; without
+        # this, later trials run under accumulating storage pressure
+        spark.catalog.clearCache()
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)

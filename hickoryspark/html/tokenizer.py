@@ -194,14 +194,16 @@ def tokenize(s: str):
     #
     # The counter mirrors the tree builder's BREAKOUT rule so an
     # unclosed <svg> cannot suppress RCDATA for the document's whole
-    # tail: an HTML breakout start tag outside an integration point
-    # pops every open foreign element in the builder, so it resets
-    # `foreign` here too. `ip` approximates integration-point depth
-    # (breakout does not apply inside foreignObject/desc/title or
-    # MathML text IPs; annotation-xml is counted unconditionally —
-    # the builder's encoding-attr check is invisible at this layer).
+    # tail: an HTML breakout start tag pops foreign elements down to
+    # the nearest integration point (or all of them), so it resets
+    # `foreign` to the foreign depth recorded when that IP opened
+    # (`ip_marks`, one entry per open IP — breakout never crosses a
+    # foreignObject/desc/title or MathML text IP; annotation-xml is
+    # counted unconditionally, the builder's encoding-attr check being
+    # invisible at this layer). A nested <svg> inside an IP therefore
+    # resets correctly too, not just top-level foreign roots.
     foreign = 0
-    ip = 0
+    ip_marks: list[int] = []
     while pos < n:
         if rawtext is not None:
             tag, decode = rawtext
@@ -241,17 +243,20 @@ def tokenize(s: str):
                 break  # EOF in tag: discard rest (eof-in-tag)
             attrs, self_closing, pos = parsed
             yield ("start", name, attrs, self_closing)
-            if foreign > 0 and ip == 0 and (
+            ip_depth = ip_marks[-1] if ip_marks else 0
+            if foreign > ip_depth and (
                 name in _FC_BREAKOUT
                 or (name == "font"
                     and any(a in attrs for a in ("color", "face", "size")))
             ):
-                foreign = 0  # builder pops the whole foreign subtree
+                # builder pops foreign elements down to the nearest IP
+                # (or all of them when no IP is open)
+                foreign = ip_depth
             if name in ("svg", "math"):
                 if not self_closing:
                     foreign += 1
             elif foreign > 0 and name in _FC_IP and not self_closing:
-                ip += 1
+                ip_marks.append(foreign)
             # self-closing flag does NOT suppress RAWTEXT/RCDATA: the
             # tree builder ignores '/' on non-void HTML elements
             # (WHATWG), so '<script/>' still swallows to '</script>'
@@ -279,10 +284,11 @@ def tokenize(s: str):
                 yield ("end", name)
                 if name in ("svg", "math") and foreign > 0:
                     foreign -= 1
-                    if foreign == 0:
-                        ip = 0
-                elif foreign > 0 and name in _FC_IP and ip > 0:
-                    ip -= 1
+                    # IPs below the closed root are no longer open
+                    while ip_marks and ip_marks[-1] > foreign:
+                        ip_marks.pop()
+                elif foreign > 0 and name in _FC_IP and ip_marks:
+                    ip_marks.pop()
             else:
                 # Bogus comment: '</' followed by non-letter.
                 gt = s.find(">", i)

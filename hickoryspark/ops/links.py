@@ -30,17 +30,23 @@ from pyspark.sql.window import Window
 
 from hickoryspark.nodes import TYPE_ELEMENT, TYPE_TEXT
 
-_ORIGIN_RE = r"^([a-z][a-z0-9+.-]*://[^/]+)"
+_ORIGIN_RE = r"(?i)^([a-z][a-z0-9+.-]*://[^/]+)"
 # RFC 3986: a relative reference cannot contain ':' before its first
-# '/' — any scheme-qualified href (https://, mailto:, tel:) is kept
-_ABS_RE = r"^[a-z][a-z0-9+.-]*:"
+# '/' — any scheme-qualified href (https://, MAILTO:, tel:) is kept
+_ABS_RE = r"(?i)^[a-z][a-z0-9+.-]*:"
+#: url has a path component (a '/' after the authority) — only then is
+#: truncate-to-last-slash a valid base; an origin-only homepage url
+#: ('https://ex.test') would otherwise lose its host to the regex
+_HAS_PATH_RE = r"(?i)^[a-z][a-z0-9+.-]*://[^/]+/"
 
 
 def resolve_href(url, href):
     """Absolute target URL for ``href`` found on page ``url``
     (column expressions)."""
     origin = F.regexp_extract(url, _ORIGIN_RE, 1)
-    base = F.regexp_replace(url, r"/[^/]*$", "/")
+    base = F.when(
+        url.rlike(_HAS_PATH_RE), F.regexp_replace(url, r"/[^/]*$", "/")
+    ).otherwise(F.concat(url, F.lit("/")))  # origin-only page url
     return (
         F.when(href.rlike(_ABS_RE), href)
         .when(href.startswith("/"), F.concat(origin, href))

@@ -60,3 +60,18 @@ def test_anchor_text_is_direct_text_only_in_document_order(spark):
 def test_anchors_without_href_are_skipped(spark):
     rows = _links(spark, '<a name="top">x</a><a href="/y">y</a>')
     assert [(r["link_pos"], r["href"]) for r in rows] == [(1, "/y")]
+
+
+def test_origin_only_page_url_and_scheme_case(spark):
+    # review repro: an origin-only page url must not lose its host to
+    # the truncate-to-last-slash base, and uppercase schemes are
+    # absolute too
+    rows = _links(
+        spark,
+        '<a href="news.html">n</a><a href="HTTPS://other.site/x">o</a>',
+        url="https://ex.test",
+    )
+    assert [r["resolved"] for r in rows] == [
+        "https://ex.test/news.html",
+        "HTTPS://other.site/x",
+    ]

@@ -399,6 +399,23 @@ def test_foreign_content(html, expected):
             "<svg><desc>d</desc></svg><svg></svg><em>b</em>"
             "<textarea>&lt;p&gt;t&lt;/p&gt;</textarea>",
         ),
+        # review repro: a NESTED foreign root inside an IP popped by a
+        # breakout tag must also resync (reset to the IP's depth, not
+        # skipped) — the trailing HTML <title> is RCDATA again
+        (
+            "<svg><foreignobject><svg><div>x</div></foreignobject></svg>"
+            "<title>a<b>c</b></title>",
+            "<svg><foreignobject><svg></svg><div>x</div></foreignobject>"
+            "</svg><title>a&lt;b&gt;c&lt;/b&gt;</title>",
+        ),
+        # ...while a breakout at the SAME depth as the IP still does
+        # not pop it (svg <title> IP suppression preserved)
+        (
+            "<svg><title><div>x</div><circle/></title></svg>"
+            "<textarea><i>t</i></textarea>",
+            "<svg><title><div>x</div><circle></circle></title></svg>"
+            "<textarea>&lt;i&gt;t&lt;/i&gt;</textarea>",
+        ),
     ],
 )
 def test_foreign_breakout_rcdata_resync(html, expected):

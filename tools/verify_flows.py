@@ -52,6 +52,8 @@ def main():
     with tempfile.TemporaryDirectory() as td:
         m1 = run_extract(spark, pages, td + "/out")
         m2 = run_extract(spark, pages, td + "/out")
+        assert m1["pages"] == len(sp) and m1["parse_errors"] == 0, m1
+        assert m2["pages"] == 0, f"flow3 resume reprocessed pages: {m2}"
         print("flow3 resume ok: run1", m1, "run2", m2)
 
     nodes = explode_nodes(pages)
