@@ -844,6 +844,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "link_pos", "href", "resolved", "anchor_text")
         )
 
+    def q_robots_allowed(spark, sf):
+        # REP admission control (ops/robots.py): a synthetic robots.txt
+        # for ex.test disallows every even-LENGTH source's path prefix
+        # and re-allows doc paths starting with '2' (longer rule wins);
+        # a badbot catch-all group must NOT apply to the tested agent.
+        # Rules derive only from the source column, so the oracle is a
+        # closed form over (source, doc_id).
+        from hickoryspark.ops.robots import robots_filter
+
+        docs = load_documents(spark, sf)
+        srcs = sorted(
+            r["source"] for r in docs.select("source").distinct().collect()
+        )  # bounded: one row per source label
+        lines = ["User-agent: badbot", "Disallow: /", "User-agent: *"]
+        for s in srcs:
+            if len(s) % 2 == 0:
+                lines += [f"Disallow: /{s}/", f"Allow: /{s}/2"]
+        robots = spark.createDataFrame(
+            [("ex.test", "\n".join(lines))], "host string, content string"
+        )
+        pages = load_pages(spark, sf, with_params=True)
+        verdicts = robots_filter(pages, robots, agent="testbot")
+        return (
+            _doc_ids(pages)
+            .join(verdicts, "url")
+            .select("doc_id", "allowed", "matched_rule")
+        )
+
     def q_events_windowed(spark, sf):
         from hickoryspark.ops.events import windowed_counts
 
@@ -1284,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sample_stratified=q_sample_stratified,
         pack_chunks=q_pack_chunks,
         link_graph=q_link_graph,
+        robots_allowed=q_robots_allowed,
         events_windowed=q_events_windowed,
         events_sessionize=q_events_sessionize,
         events_props=q_events_props,
@@ -1322,6 +1351,7 @@ _GATE_PRIORITY = [
     "rel_top_customers",
     "rel_pricing_summary",
     "link_graph",
+    "robots_allowed",
     "charset_extract",
     "pdf_extract",
     "streaming_dedup",
@@ -1922,6 +1952,18 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'https://ex.test' || hrefs[i] END AS resolved,
                    texts[i] AS anchor_text
             FROM l, unnest(range(1, len(hrefs) + 1)) AS t(i)""",
+        # REP verdicts: pages live at /{source}/{doc_id} on ex.test;
+        # even-length sources are disallowed with a longer re-allow on
+        # doc paths starting with '2' (allow wins by octet length)
+        "robots_allowed": DUCKDB_PAGES_CTE + """
+            SELECT doc_id,
+                   (length(source) % 2 = 1
+                    OR CAST(doc_id AS VARCHAR) LIKE '2%') AS allowed,
+                   CASE WHEN length(source) % 2 = 1 THEN ''
+                        WHEN CAST(doc_id AS VARCHAR) LIKE '2%'
+                             THEN '/' || source || '/2'
+                        ELSE '/' || source || '/' END AS matched_rule
+            FROM pages""",
         # hash-stable output types (string win_start + ROUND(double,6),
         # the exact decimal sum only internal): pandas-path gate
         # collection renders DECIMAL/TIMESTAMP differently than

@@ -1,0 +1,151 @@
+"""robots.txt (Robots Exclusion Protocol, RFC 9309 subset) parsing and
+URL filtering — the crawl-side admission control a web-scale extraction
+pipeline runs before anything else touches a page.
+
+Parser semantics (RFC 9309):
+- groups: one or more ``User-agent:`` lines followed by rules; rules
+  before any user-agent line are ignored; comments (#) stripped.
+- group selection: the crawler uses the group(s) whose product token
+  equals its own (case-insensitive); if none match, the ``*`` group;
+  if neither exists, everything is allowed. Multiple groups for the
+  same agent merge.
+- rule matching: ``Allow``/``Disallow`` values are path prefixes with
+  ``*`` (any chars) and ``$`` (end anchor) wildcards; the rule with
+  the LONGEST value octet-length that matches the path wins; on a
+  tie, ``Allow`` wins. An empty ``Disallow:`` matches nothing. No
+  matching rule means allowed.
+
+Spark surface: ``robots_filter`` joins pages against a per-host robots
+relation and evaluates admission in one ``mapInPandas`` pass with a
+per-task parse cache (a host's rules parse once per task, not once per
+row). The join is an unhinted equi-join on host — AQE broadcasts the
+robots side when it is small; at design scale (millions of hosts) it
+shuffles both sides on the host key, which is exactly the partitioning
+a crawl frontier already has.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HOST_RE = r"(?i)^[a-z][a-z0-9+.-]*://([^/]+)"
+
+
+def parse_robots(content: str) -> dict[str, list[tuple[bool, str]]]:
+    """robots.txt text -> {agent(lower): [(is_allow, value), ...]}.
+    Groups for the same agent merge; rules preceding any User-agent
+    line are dropped (RFC 9309 §2.2.1)."""
+    groups: dict[str, list[tuple[bool, str]]] = {}
+    current: list[str] = []
+    last_was_agent = False
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            agent = value.lower()
+            if last_was_agent:
+                current.append(agent)
+            else:
+                current = [agent]
+            for a in current:
+                groups.setdefault(a, [])
+            last_was_agent = True
+        elif key in ("allow", "disallow"):
+            last_was_agent = False
+            if not current:
+                continue  # rule before any user-agent line
+            if key == "disallow" and value == "":
+                continue  # empty Disallow matches nothing
+            for a in current:
+                groups.setdefault(a, []).append((key == "allow", value))
+        else:
+            # sitemap / crawl-delay / unknown: ends the agent-line run
+            # but not the group
+            last_was_agent = False
+    return groups
+
+
+def rules_for_agent(
+    groups: dict[str, list[tuple[bool, str]]], agent: str
+) -> list[tuple[bool, str]]:
+    """The rule list the given crawler obeys: its own group if present,
+    else the ``*`` group, else no rules (allow everything)."""
+    return groups.get(agent.lower(), groups.get("*", []))
+
+
+def _rule_regex(value: str) -> re.Pattern:
+    """Rule value -> anchored regex: '*' is any-chars, a FINAL '$'
+    anchors the end ('$' anywhere else is a literal), everything else
+    matches literally as a path prefix."""
+    body, anchored = (
+        (value[:-1], True) if value.endswith("$") else (value, False)
+    )
+    pat = "".join(".*" if ch == "*" else re.escape(ch) for ch in body)
+    return re.compile("^" + pat + ("$" if anchored else ""))
+
+
+def evaluate(rules: list[tuple[bool, str]], path: str) -> tuple[bool, str]:
+    """(allowed, winning_rule_value) for a path; ('', allowed) when no
+    rule matches. Longest-octet-length match wins; Allow wins ties."""
+    best: tuple[int, bool, str] | None = None
+    for is_allow, value in rules:
+        if _rule_regex(value).match(path):
+            key = (len(value.encode()), is_allow)
+            if best is None or key > (best[0], best[1]):
+                best = (key[0], key[1], value)
+    if best is None:
+        return True, ""
+    return best[1], best[2]
+
+
+def robots_filter(
+    pages: DataFrame, robots: DataFrame, agent: str = "*"
+) -> DataFrame:
+    """pages(url, ...) x robots(host, content) -> (url, allowed,
+    matched_rule).
+
+    One row per page; ``allowed`` is the REP verdict for ``agent``,
+    ``matched_rule`` the winning rule value ('' when none / no robots
+    for the host — both allowed)."""
+    import pandas as pd
+
+    host = F.regexp_extract("url", _HOST_RE, 1).alias("host")
+    path = F.regexp_replace("url", _HOST_RE, "").alias("path")
+    joined = (
+        pages.select("url", host, path)
+        .join(robots.select(F.col("host").alias("r_host"), "content"),
+              F.col("host") == F.col("r_host"), "left")
+        .select("url", "path", "content")
+    )
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cache: dict[str, list[tuple[bool, str]]] = {}
+        for b in batches:
+            if not len(b):
+                continue
+            allowed, matched = [], []
+            for p, content in zip(b["path"], b["content"]):
+                if content is None:
+                    allowed.append(True)
+                    matched.append("")
+                    continue
+                rules = cache.get(content)
+                if rules is None:
+                    rules = rules_for_agent(parse_robots(content), agent)
+                    cache[content] = rules
+                ok, rule = evaluate(rules, p or "/")
+                allowed.append(ok)
+                matched.append(rule)
+            yield pd.DataFrame(
+                {"url": b["url"], "allowed": allowed, "matched_rule": matched}
+            )
+
+    return joined.mapInPandas(gen, "url string, allowed boolean, matched_rule string")

@@ -1,0 +1,104 @@
+"""robots.txt REP semantics (ops/robots.py): RFC 9309 group selection,
+longest-match precedence, wildcards, and the Spark filter."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hickoryspark.ops.robots import evaluate, parse_robots, rules_for_agent
+
+ROBOTS = """
+# comment line
+User-agent: badbot
+Disallow: /
+
+User-agent: a
+User-agent: b
+Disallow: /shared/
+
+User-agent: *
+Disallow: /private/
+Allow: /private/open
+Disallow: /tmp/*.bak$
+Disallow:
+Sitemap: https://ex.test/sitemap.xml
+"""
+
+
+def test_group_selection_and_merging():
+    g = parse_robots(ROBOTS)
+    assert rules_for_agent(g, "BadBot") == [(False, "/")]
+    # consecutive user-agent lines share one rule block
+    assert rules_for_agent(g, "a") == [(False, "/shared/")]
+    assert rules_for_agent(g, "b") == [(False, "/shared/")]
+    # unknown agent falls through to *
+    star = rules_for_agent(g, "testbot")
+    assert (False, "/private/") in star and (True, "/private/open") in star
+    # empty Disallow dropped; Sitemap ignored
+    assert (False, "") not in star
+
+
+def test_longest_match_and_allow_tiebreak():
+    rules = [(False, "/p/"), (True, "/p/open"), (False, "/p/open")]
+    assert evaluate(rules, "/p/x") == (False, "/p/")
+    # longest wins; allow wins the exact tie with the same-length
+    # disallow
+    assert evaluate(rules, "/p/open/doc") == (True, "/p/open")
+    assert evaluate(rules, "/q/") == (True, "")  # no match -> allowed
+
+
+def test_wildcards_and_anchor():
+    g = parse_robots(ROBOTS)
+    rules = rules_for_agent(g, "x")
+    assert evaluate(rules, "/tmp/a.bak")[0] is False
+    assert evaluate(rules, "/tmp/a.bak.old")[0] is True  # $ anchored
+    assert evaluate([(False, "/a*b")], "/aXXXb-rest")[0] is False
+    # mid-string '$' is a literal, only a FINAL '$' anchors
+    assert evaluate([(False, "/c$d")], "/c$d/e")[0] is False
+    assert evaluate([(False, "/c$d")], "/cd/e")[0] is True
+
+
+def test_rules_before_any_group_are_dropped_and_no_robots_allows():
+    g = parse_robots("Disallow: /early/\nUser-agent: *\nDisallow: /x/")
+    assert rules_for_agent(g, "z") == [(False, "/x/")]
+    assert rules_for_agent({}, "z") == []
+    assert evaluate([], "/anything") == (True, "")
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from hickoryspark.spark.session import get_spark
+
+    s = get_spark(4, app_name="hickoryspark-robots-tests", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_robots_filter_spark(spark):
+    from hickoryspark.ops.robots import robots_filter
+
+    pages = spark.createDataFrame(
+        [("https://ex.test/private/1", ""),
+         ("https://ex.test/private/open/2", ""),
+         ("https://ex.test/pub/3", ""),
+         ("https://nobots.test/anything", "")],
+        "url string, html string",
+    )
+    robots = spark.createDataFrame(
+        [("ex.test",
+          "User-agent: *\nDisallow: /private/\nAllow: /private/open")],
+        "host string, content string",
+    )
+    got = {r["url"]: (r["allowed"], r["matched_rule"])
+           for r in robots_filter(pages, robots, "anybot").collect()}
+    assert got == {
+        "https://ex.test/private/1": (False, "/private/"),
+        "https://ex.test/private/open/2": (True, "/private/open"),
+        "https://ex.test/pub/3": (True, ""),
+        "https://nobots.test/anything": (True, ""),  # no robots row
+    }
