@@ -288,7 +288,11 @@ def tokenize(s: str):
                     while ip_marks and ip_marks[-1] > foreign:
                         ip_marks.pop()
                 elif foreign > 0 and name in _FC_IP and ip_marks:
-                    ip_marks.pop()
+                    # closing the IP implicitly closes any nested
+                    # foreign roots opened inside it (the builder pops
+                    # to the matching element) — reset to the depth
+                    # recorded at IP open, don't just drop the mark
+                    foreign = ip_marks.pop()
             else:
                 # Bogus comment: '</' followed by non-letter.
                 gt = s.find(">", i)

@@ -14,12 +14,16 @@ over the page url. At 100 TB the node table is bucketed by url
 co-partitioned and shuffle-free; the only remaining shuffle is the
 per-url window for link_pos, which shares the same url partitioning.
 
-URL resolution (the template + common-crawl dominant cases):
-- absolute (``scheme://...``): kept as-is;
+URL resolution (the template + common-crawl dominant cases, after
+RFC 3986 §4.2/§5.3):
+- scheme-qualified (``scheme:...``): kept as-is;
+- protocol-relative (``//host/path``): page scheme + href;
 - host-relative (``/path``): page origin + href;
-- path-relative (anything else): page url truncated to its last ``/``
-  + href. (No ``..`` folding — compose with ops.urls.normalize for
-  full canonicalization.)
+- fragment-only (``#f``): page url (sans fragment) + href;
+- query-only (``?q``): page url sans query/fragment + href;
+- path-relative (anything else): page url sans query/fragment
+  truncated to its last path ``/`` + href. (No ``..`` folding —
+  compose with ops.urls.normalize for full canonicalization.)
 """
 
 from __future__ import annotations
@@ -43,13 +47,22 @@ _HAS_PATH_RE = r"(?i)^[a-z][a-z0-9+.-]*://[^/]+/"
 def resolve_href(url, href):
     """Absolute target URL for ``href`` found on page ``url``
     (column expressions)."""
+    scheme = F.regexp_extract(url, r"(?i)^([a-z][a-z0-9+.-]*:)", 1)
     origin = F.regexp_extract(url, _ORIGIN_RE, 1)
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    no_query = F.regexp_replace(url, r"[?#].*$", "")
+    # base dir computed on the query/fragment-stripped url: a '/'
+    # inside the query must not become the truncation point
     base = F.when(
-        url.rlike(_HAS_PATH_RE), F.regexp_replace(url, r"/[^/]*$", "/")
-    ).otherwise(F.concat(url, F.lit("/")))  # origin-only page url
+        no_query.rlike(_HAS_PATH_RE),
+        F.regexp_replace(no_query, r"/[^/]*$", "/"),
+    ).otherwise(F.concat(no_query, F.lit("/")))  # origin-only page url
     return (
-        F.when(href.rlike(_ABS_RE), href)
+        F.when(href.startswith("//"), F.concat(scheme, href))
+        .when(href.rlike(_ABS_RE), href)
         .when(href.startswith("/"), F.concat(origin, href))
+        .when(href.startswith("#"), F.concat(no_frag, href))
+        .when(href.startswith("?"), F.concat(no_query, href))
         .otherwise(F.concat(base, href))
     )
 

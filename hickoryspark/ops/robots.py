@@ -92,15 +92,31 @@ def _rule_regex(value: str) -> re.Pattern:
     return re.compile("^" + pat + ("$" if anchored else ""))
 
 
+def compile_rules(
+    rules: list[tuple[bool, str]]
+) -> list[tuple[bool, str, int, re.Pattern]]:
+    """Precompile a rule list for the hot loop: (is_allow, value,
+    octet_length, pattern) per rule."""
+    return [
+        (is_allow, value, len(value.encode()), _rule_regex(value))
+        for is_allow, value in rules
+    ]
+
+
 def evaluate(rules: list[tuple[bool, str]], path: str) -> tuple[bool, str]:
     """(allowed, winning_rule_value) for a path; ('', allowed) when no
     rule matches. Longest-octet-length match wins; Allow wins ties."""
+    return evaluate_compiled(compile_rules(rules), path)
+
+
+def evaluate_compiled(
+    compiled: list[tuple[bool, str, int, re.Pattern]], path: str
+) -> tuple[bool, str]:
     best: tuple[int, bool, str] | None = None
-    for is_allow, value in rules:
-        if _rule_regex(value).match(path):
-            key = (len(value.encode()), is_allow)
-            if best is None or key > (best[0], best[1]):
-                best = (key[0], key[1], value)
+    for is_allow, value, octets, pattern in compiled:
+        if pattern.match(path):
+            if best is None or (octets, is_allow) > (best[0], best[1]):
+                best = (octets, is_allow, value)
     if best is None:
         return True, ""
     return best[1], best[2]
@@ -114,34 +130,49 @@ def robots_filter(
 
     One row per page; ``allowed`` is the REP verdict for ``agent``,
     ``matched_rule`` the winning rule value ('' when none / no robots
-    for the host — both allowed)."""
+    for the host — both allowed). The host join is case-insensitive
+    with default http(s) ports stripped on both sides (hostnames are
+    case-insensitive; 'EX.TEST:443' must hit the 'ex.test' row)."""
     import pandas as pd
 
-    host = F.regexp_extract("url", _HOST_RE, 1).alias("host")
+    def norm_host(c):
+        return F.lower(F.regexp_replace(c, r":(80|443)$", ""))
+
+    host = norm_host(F.regexp_extract("url", _HOST_RE, 1)).alias("host")
     path = F.regexp_replace("url", _HOST_RE, "").alias("path")
     joined = (
         pages.select("url", host, path)
-        .join(robots.select(F.col("host").alias("r_host"), "content"),
-              F.col("host") == F.col("r_host"), "left")
-        .select("url", "path", "content")
+        .join(
+            robots.select(
+                norm_host(F.col("host")).alias("r_host"), "content"
+            ),
+            F.col("host") == F.col("r_host"),
+            "left",
+        )
+        .select("url", "host", "path", "content")
     )
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        cache: dict[str, list[tuple[bool, str]]] = {}
+        # per-task cache keyed by HOST (cheap hash), storing COMPILED
+        # rules — one parse + regex-compile per host per task, not a
+        # content-length hash and regex rebuild per row per rule
+        cache: dict[str, list] = {}
         for b in batches:
             if not len(b):
                 continue
             allowed, matched = [], []
-            for p, content in zip(b["path"], b["content"]):
+            for h, p, content in zip(b["host"], b["path"], b["content"]):
                 if content is None:
                     allowed.append(True)
                     matched.append("")
                     continue
-                rules = cache.get(content)
-                if rules is None:
-                    rules = rules_for_agent(parse_robots(content), agent)
-                    cache[content] = rules
-                ok, rule = evaluate(rules, p or "/")
+                compiled = cache.get(h)
+                if compiled is None:
+                    compiled = compile_rules(
+                        rules_for_agent(parse_robots(content), agent)
+                    )
+                    cache[h] = compiled
+                ok, rule = evaluate_compiled(compiled, p or "/")
                 allowed.append(ok)
                 matched.append(rule)
             yield pd.DataFrame(

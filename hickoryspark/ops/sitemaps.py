@@ -43,11 +43,28 @@ _FIELD_RES = {
 _UNESCAPE = {
     "&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'",
 }
-_ENT_RE = re.compile("|".join(_UNESCAPE))
+# named built-ins plus numeric character references (&#47; / &#x2F;) —
+# both are valid XML and common sitemap-generator output
+_ENT_RE = re.compile(
+    "|".join(_UNESCAPE) + r"|&#[xX][0-9a-fA-F]{1,6};|&#[0-9]{1,7};"
+)
+
+
+def _decode_entity(m: re.Match) -> str:
+    ent = m.group(0)
+    named = _UNESCAPE.get(ent)
+    if named is not None:
+        return named
+    body = ent[2:-1]
+    try:
+        cp = int(body[1:], 16) if body[:1] in ("x", "X") else int(body)
+        return chr(cp)
+    except (ValueError, OverflowError):
+        return ent  # out-of-range reference: leave as written
 
 
 def _unescape(s: str) -> str:
-    return _ENT_RE.sub(lambda m: _UNESCAPE[m.group(0)], s)
+    return _ENT_RE.sub(_decode_entity, s)
 
 
 def parse_sitemap(payload: bytes) -> list[dict]:

@@ -62,6 +62,26 @@ def test_anchors_without_href_are_skipped(spark):
     assert [(r["link_pos"], r["href"]) for r in rows] == [(1, "/y")]
 
 
+def test_protocol_relative_and_query_fragment_refs(spark):
+    # review repros: RFC 3986 network-path / query-only / fragment-only
+    # references, and a '/' inside the page query must not become the
+    # base truncation point
+    rows = _links(
+        spark,
+        '<a href="//cdn.example/x">p</a>'
+        '<a href="rel.html">r</a>'
+        '<a href="#frag">f</a>'
+        '<a href="?q=1">q</a>',
+        url="https://ex.test/a/b?x=/deep/y",
+    )
+    assert [r["resolved"] for r in rows] == [
+        "https://cdn.example/x",
+        "https://ex.test/a/rel.html",
+        "https://ex.test/a/b?x=/deep/y#frag",
+        "https://ex.test/a/b?q=1",
+    ]
+
+
 def test_origin_only_page_url_and_scheme_case(spark):
     # review repro: an origin-only page url must not lose its host to
     # the truncate-to-last-slash base, and uppercase schemes are

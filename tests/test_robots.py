@@ -79,6 +79,15 @@ def spark():
     yield s
 
 
+def test_compile_rules_matches_uncompiled():
+    from hickoryspark.ops.robots import compile_rules, evaluate_compiled
+
+    rules = [(False, "/p/"), (True, "/p/open"), (False, "/tmp/*.bak$")]
+    comp = compile_rules(rules)
+    for path in ("/p/x", "/p/open/doc", "/tmp/a.bak", "/q"):
+        assert evaluate_compiled(comp, path) == evaluate(rules, path)
+
+
 def test_robots_filter_spark(spark):
     from hickoryspark.ops.robots import robots_filter
 
@@ -102,3 +111,20 @@ def test_robots_filter_spark(spark):
         "https://ex.test/pub/3": (True, ""),
         "https://nobots.test/anything": (True, ""),  # no robots row
     }
+
+
+def test_robots_filter_host_case_and_port_insensitive(spark):
+    # review repro: 'EX.TEST:443' must hit the 'ex.test' robots row —
+    # hostnames are case-insensitive and default ports are implicit
+    from hickoryspark.ops.robots import robots_filter
+
+    pages = spark.createDataFrame(
+        [("https://EX.TEST:443/private/1", "")], "url string, html string"
+    )
+    robots = spark.createDataFrame(
+        [("ex.test", "User-agent: *\nDisallow: /private/")],
+        "host string, content string",
+    )
+    rows = robots_filter(pages, robots, "anybot").collect()
+    assert rows[0]["allowed"] is False
+    assert rows[0]["matched_rule"] == "/private/"

@@ -65,3 +65,14 @@ def test_gzip_payload():
 def test_garbage_payload_yields_no_entries():
     assert parse_sitemap(b"\x00\xffnot xml at all") == []
     assert parse_sitemap(b"<urlset></urlset>") == []
+
+
+def test_numeric_character_references():
+    xml = (b"<urlset><url><loc>https://ex.test/a&#47;b?x=1&#38;y=2"
+           b"&#x2F;z</loc></url></urlset>")
+    es = parse_sitemap(xml)
+    assert es[0]["loc"] == "https://ex.test/a/b?x=1&y=2/z"
+    # out-of-range reference stays as written, no crash
+    assert parse_sitemap(
+        b"<urlset><url><loc>/a&#1114112;</loc></url></urlset>"
+    )[0]["loc"] == "/a&#1114112;"

@@ -408,6 +408,15 @@ def test_foreign_content(html, expected):
             "<svg><foreignobject><svg></svg><div>x</div></foreignobject>"
             "</svg><title>a&lt;b&gt;c&lt;/b&gt;</title>",
         ),
+        # review repro 2: closing an IP implicitly closes nested
+        # foreign roots opened inside it — the foreign counter resets
+        # to the depth recorded at IP open, so the tail is HTML again
+        (
+            "<svg><foreignobject><svg></foreignobject></svg>"
+            "<title>a<b>c</b></title>",
+            "<svg><foreignobject><svg></svg></foreignobject></svg>"
+            "<title>a&lt;b&gt;c&lt;/b&gt;</title>",
+        ),
         # ...while a breakout at the SAME depth as the IP still does
         # not pop it (svg <title> IP suppression preserved)
         (
