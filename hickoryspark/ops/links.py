@@ -34,14 +34,16 @@ from pyspark.sql.window import Window
 
 from hickoryspark.nodes import TYPE_ELEMENT, TYPE_TEXT
 
-_ORIGIN_RE = r"(?i)^([a-z][a-z0-9+.-]*://[^/]+)"
+# authority ends at "/", "?", or "#" — [^/]+ alone would swallow
+# the query string of a path-less url (https://h?k=x/y)
+_ORIGIN_RE = r"(?i)^([a-z][a-z0-9+.-]*://[^/?#]+)"
 # RFC 3986: a relative reference cannot contain ':' before its first
 # '/' — any scheme-qualified href (https://, MAILTO:, tel:) is kept
 _ABS_RE = r"(?i)^[a-z][a-z0-9+.-]*:"
 #: url has a path component (a '/' after the authority) — only then is
 #: truncate-to-last-slash a valid base; an origin-only homepage url
 #: ('https://ex.test') would otherwise lose its host to the regex
-_HAS_PATH_RE = r"(?i)^[a-z][a-z0-9+.-]*://[^/]+/"
+_HAS_PATH_RE = r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]+/"
 
 
 def resolve_href(url, href):
@@ -103,6 +105,10 @@ def extract_links(nodes: DataFrame) -> DataFrame:
             & (anchors["a_id"] == texts["t_parent"]),
             "left",
         )
+        # ONE url shuffle serves both the per-anchor aggregation (url
+        # is a prefix of its grouping keys — subset satisfaction) and
+        # the link_pos window; without it Catalyst plans two exchanges
+        .repartition("url")
         .groupBy("url", "a_id", "a_ord", "href")
         .agg(
             F.array_join(

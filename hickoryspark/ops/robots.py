@@ -32,7 +32,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_HOST_RE = r"(?i)^[a-z][a-z0-9+.-]*://([^/]+)"
+_HOST_RE = r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)"
 
 
 def parse_robots(content: str) -> dict[str, list[tuple[bool, str]]]:

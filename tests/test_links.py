@@ -95,3 +95,55 @@ def test_origin_only_page_url_and_scheme_case(spark):
         "https://ex.test/news.html",
         "HTTPS://other.site/x",
     ]
+
+
+def test_resolve_href_matches_urljoin_property():
+    """Hypothesis fuzz against urllib.parse.urljoin as an INDEPENDENT
+    oracle, over the reference classes resolve_href implements
+    (no dot-segments — urljoin folds those, we deliberately defer that
+    to ops.urls.normalize)."""
+    from urllib.parse import urljoin
+
+    from hypothesis import given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    from hickoryspark.ops.links import resolve_href
+    from hickoryspark.spark.session import get_spark
+
+    spark = get_spark(4, shuffle_partitions=4)
+
+    seg = st.text(
+        alphabet="abcz019-_.", min_size=1, max_size=5
+    ).filter(lambda s: s not in (".", "..") and not s.endswith("."))
+    path = st.lists(seg, min_size=0, max_size=3).map(
+        lambda segs: "/" + "/".join(segs) if segs else ""
+    )
+    page = st.builds(
+        lambda host, p, q: f"https://{host}{p}" + (f"?k={q}" if q else ""),
+        st.sampled_from(["ex.test", "a.b.test"]), path,
+        st.sampled_from(["", "v", "x/y"]),
+    )
+    href = st.one_of(
+        st.builds(lambda p: f"https://other.site{p}", path),
+        st.builds(lambda h, p: f"//{h}{p}", st.sampled_from(["cdn.x"]), path),
+        path.filter(bool),
+        st.builds(lambda s: s, seg),
+        st.builds(lambda s: "#" + s, seg),
+        st.builds(lambda s: "?" + s, seg),
+    )
+
+    cases = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(page, href)
+    def collect(u, h):
+        cases.append((u, h))
+
+    collect()
+    df = spark.createDataFrame(cases, "url string, href string")
+    got = df.select(
+        "url", "href", resolve_href(F.col("url"), F.col("href")).alias("r")
+    ).collect()
+    for r in got:
+        expect = urljoin(r["url"], r["href"])
+        assert r["r"] == expect, (r["url"], r["href"], r["r"], expect)

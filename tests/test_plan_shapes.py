@@ -258,3 +258,21 @@ def test_bucketed_join_rejects_mismatched_specs(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS hs_bkt_m4")
         spark.sql("DROP TABLE IF EXISTS hs_bkt_m8")
+
+
+def test_extract_links_single_url_shuffle(spark):
+    """extract_links: the anchor-text join broadcasts/equi-joins (no
+    BroadcastNestedLoopJoin), and ONE url exchange serves both the
+    per-anchor aggregation and the link_pos window (url-subset
+    satisfaction) — at bucketed-by-url scale that one shuffle
+    disappears too."""
+    from hickoryspark.ops.links import extract_links
+    from hickoryspark.spark.nodes_table import explode_nodes
+    from hickoryspark.spark.pages import load_pages
+
+    df = extract_links(explode_nodes(load_pages(spark, SF_DIR)))
+    df.count()
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    spark.catalog.clearCache()
