@@ -574,6 +574,35 @@ def main() -> int:
     else:
         print("ok   parse_node_stats")
 
+    # link_graph: anchors in document order with direct-text anchor
+    # text and origin-resolved hrefs, straight off the independent tree
+    def link_rows(d, t):
+        rows = []
+        for nv in walk(t):
+            if nv.tag == "a" and "href" in nv.attrs:
+                href = nv.attrs["href"]
+                resolved = (
+                    href if "://" in href
+                    else "https://ex.test" + href if href.startswith("/")
+                    else href  # template has no path-relative hrefs
+                )
+                rows.append(
+                    (d, len(rows) + 1, href, resolved,
+                     "".join(nv.direct_strings()))
+                )
+        return rows
+
+    mine = sorted(r for d, t in trees.items() for r in link_rows(d, t))
+    theirs = sorted(
+        tuple(r) for r in con.execute(oracles["link_graph"]).fetchall()
+    )
+    if mine != theirs:
+        diff = [(a, b) for a, b in zip(mine, theirs) if a != b]
+        print(f"FAIL link_graph: {diff[:5]} (counts {len(mine)} vs {len(theirs)})")
+        failures.append("link_graph")
+    else:
+        print(f"ok   link_graph: {len(mine)} edges")
+
     zs = {d: zip_stats(t) for d, t in trees.items()}
     for name, keys in [
         ("zip_subtree_scan", ("n_paras", "subtree_nodes")),
