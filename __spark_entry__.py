@@ -931,6 +931,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "priority", "entry_pos")
         )
 
+    def q_text_normalize(spark, sf):
+        # unicode normalization (ops/textnorm.py) over an adversarial
+        # derivation of the clean docs: each text gets a suffix with a
+        # combining sequence (NFC-composable), a BEL control, and
+        # ragged whitespace — both sides build the identical dirty
+        # input (chr() codepoints), so the oracle mirrors the exact
+        # three-step pipeline on it
+        from hickoryspark.ops.textnorm import normalize_text
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        dirty = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                # '  cafe' + COMBINING ACUTE + BEL + TAB + 'x '
+                F.lit("  cafe\u0301\u0007\tx "),
+            ).alias("text"),
+        )
+        return normalize_text(dirty)
+
     def q_events_windowed(spark, sf):
         from hickoryspark.ops.events import windowed_counts
 
@@ -1373,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         link_graph=q_link_graph,
         robots_allowed=q_robots_allowed,
         sitemap_entries=q_sitemap_entries,
+        text_normalize=q_text_normalize,
         events_windowed=q_events_windowed,
         events_sessionize=q_events_sessionize,
         events_props=q_events_props,
@@ -1413,6 +1434,7 @@ _GATE_PRIORITY = [
     "link_graph",
     "robots_allowed",
     "sitemap_entries",
+    "text_normalize",
     "charset_extract",
     "pdf_extract",
     "streaming_dedup",
@@ -2013,6 +2035,29 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'https://ex.test' || hrefs[i] END AS resolved,
                    texts[i] AS anchor_text
             FROM l, unnest(range(1, len(hrefs) + 1)) AS t(i)""",
+        # unicode normalization: the identical dirty input (combining
+        # acute via chr(769), BEL via chr(7)) built SQL-side, then the
+        # exact three-step mirror — nfc_normalize, control strip,
+        # ASCII-whitespace collapse + trim
+        "text_normalize": r"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     text || '  cafe' || chr(769) || chr(7) || chr(9)
+                          || 'x ' AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(
+                        regexp_replace(nfc_normalize(t),
+                            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]',
+                            '', 'g'),
+                        '[ \t\n\r\f\x0B]+', ' ', 'g'), ' ') AS norm_text,
+                   (trim(regexp_replace(
+                        regexp_replace(nfc_normalize(t),
+                            '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]',
+                            '', 'g'),
+                        '[ \t\n\r\f\x0B]+', ' ', 'g'), ' ') != t) AS changed
+            FROM dirty""",
         # sitemap entries: every field reconstructs from (source,
         # doc_id) — loc carries the unescaped query string, lastmod is
         # NULL for doc_id%3==0 (tag omitted), entry_pos is the doc's
