@@ -60,7 +60,8 @@ def resolve_href(url, href):
         F.regexp_replace(no_query, r"/[^/]*$", "/"),
     ).otherwise(F.concat(no_query, F.lit("/")))  # origin-only page url
     return (
-        F.when(href.startswith("//"), F.concat(scheme, href))
+        F.when(href == "", no_frag)  # RFC 3986 §4.4 same-document ref
+        .when(href.startswith("//"), F.concat(scheme, href))
         .when(href.rlike(_ABS_RE), href)
         .when(href.startswith("/"), F.concat(origin, href))
         .when(href.startswith("#"), F.concat(no_frag, href))
@@ -69,7 +70,9 @@ def resolve_href(url, href):
     )
 
 
-def extract_links(nodes: DataFrame) -> DataFrame:
+def extract_links(
+    nodes: DataFrame, pre_partitioned: bool = False
+) -> DataFrame:
     """Node table -> one row per ``<a href>``:
     (url, link_pos, href, resolved, anchor_text).
 
@@ -78,6 +81,11 @@ def extract_links(nodes: DataFrame) -> DataFrame:
     children in document order ('' when none — matches the reference's
     find-in-text notion of direct content, select.cljc:283-295, not a
     subtree text flatten).
+
+    ``pre_partitioned``: set True when ``nodes`` is already
+    hash-partitioned/bucketed by url (materialize_nodes) — the explicit
+    url repartition is then skipped (a user repartition always lowers
+    to a shuffle, even over an identically-partitioned child).
     """
     anchors = (
         nodes.where(
@@ -98,17 +106,19 @@ def extract_links(nodes: DataFrame) -> DataFrame:
         F.col("pre_ord").alias("t_ord"),
         F.col("text").alias("t_text"),
     )
-    atext = (
-        anchors.join(
-            texts,
-            (anchors["url"] == texts["t_url"])
-            & (anchors["a_id"] == texts["t_parent"]),
-            "left",
-        )
+    joined = anchors.join(
+        texts,
+        (anchors["url"] == texts["t_url"])
+        & (anchors["a_id"] == texts["t_parent"]),
+        "left",
+    )
+    if not pre_partitioned:
         # ONE url shuffle serves both the per-anchor aggregation (url
         # is a prefix of its grouping keys — subset satisfaction) and
         # the link_pos window; without it Catalyst plans two exchanges
-        .repartition("url")
+        joined = joined.repartition("url")
+    atext = (
+        joined
         .groupBy("url", "a_id", "a_ord", "href")
         .agg(
             F.array_join(

@@ -139,7 +139,14 @@ def robots_filter(
         return F.lower(F.regexp_replace(c, r":(80|443)$", ""))
 
     host = norm_host(F.regexp_extract("url", _HOST_RE, 1)).alias("host")
-    path = F.regexp_replace("url", _HOST_RE, "").alias("path")
+    # RFC 9309 matches against path + query, and an empty path
+    # evaluates as '/': a path-less url with a query ('https://h?p=2')
+    # strips to '?p=2', which must become '/?p=2' or no '/'-prefixed
+    # rule (including 'Disallow: /') could ever match it
+    raw_path = F.regexp_replace("url", _HOST_RE, "")
+    path = F.when(
+        raw_path.startswith("/"), raw_path
+    ).otherwise(F.concat(F.lit("/"), raw_path)).alias("path")
     joined = (
         pages.select("url", host, path)
         .join(

@@ -17,8 +17,9 @@ mirrors it operator for operator):
    (both engines' \\s differ on Unicode spaces; U+00A0 etc. are
    CONTENT here — fold them earlier in the pipeline if unwanted).
 
-Runs vectorized in one mapInPandas pass (pandas ``str.normalize`` is
-Arrow-batched; no shuffle — one output row per input row).
+Runs in one mapInPandas pass (Arrow-batched transfer; no shuffle — one
+output row per input row), mapping the single scalar implementation
+over each batch.
 """
 
 from __future__ import annotations
@@ -33,8 +34,10 @@ _WS_RE = re.compile("[ \t\n\r\f\x0b]+")
 
 
 def normalize_string(s: str) -> str:
-    """The scalar form of the three-step normalization (used by the
-    vectorized path and directly testable)."""
+    """The three-step normalization — the SINGLE implementation; the
+    Spark path maps it over each Arrow batch (string ops in pandas are
+    per-element Python either way, so a .str chain would only
+    duplicate the logic, not vectorize it)."""
     import unicodedata
 
     s = unicodedata.normalize("NFC", s)
@@ -54,12 +57,7 @@ def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
             if not len(b):
                 continue
             src = b[text_col].fillna("")
-            norm = (
-                src.str.normalize("NFC")
-                .str.replace(_CTRL_RE, "", regex=True)
-                .str.replace(_WS_RE, " ", regex=True)
-                .str.strip(" ")
-            )
+            norm = src.map(normalize_string)
             yield pd.DataFrame(
                 {
                     "doc_id": b["doc_id"],

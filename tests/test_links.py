@@ -82,6 +82,14 @@ def test_protocol_relative_and_query_fragment_refs(spark):
     ]
 
 
+def test_empty_href_is_same_document_reference(spark):
+    # review repro: '<a href="">' resolves to the page url sans
+    # fragment (RFC 3986 section 4.4), not the base directory
+    rows = _links(spark, '<a href="">self</a>',
+                  url="https://ex.test/a/b?k=v")
+    assert [r["resolved"] for r in rows] == ["https://ex.test/a/b?k=v"]
+
+
 def test_origin_only_page_url_and_scheme_case(spark):
     # review repro: an origin-only page url must not lose its host to
     # the truncate-to-last-slash base, and uppercase schemes are
@@ -130,6 +138,7 @@ def test_resolve_href_matches_urljoin_property():
         st.builds(lambda s: s, seg),
         st.builds(lambda s: "#" + s, seg),
         st.builds(lambda s: "?" + s, seg),
+        st.just(""),
     )
 
     cases = []

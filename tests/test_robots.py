@@ -128,3 +128,22 @@ def test_robots_filter_host_case_and_port_insensitive(spark):
     rows = robots_filter(pages, robots, "anybot").collect()
     assert rows[0]["allowed"] is False
     assert rows[0]["matched_rule"] == "/private/"
+
+
+def test_query_only_url_path_evaluates_as_root(spark):
+    # review repro: 'https://h?page=2' has an empty path — RFC 9309
+    # evaluates it as '/?page=2', which 'Disallow: /' must match
+    from hickoryspark.ops.robots import robots_filter
+
+    pages = spark.createDataFrame(
+        [("https://ex.test?page=2", ""), ("https://ex.test", "")],
+        "url string, html string",
+    )
+    robots = spark.createDataFrame(
+        [("ex.test", "User-agent: *\nDisallow: /")],
+        "host string, content string",
+    )
+    got = {r["url"]: r["allowed"]
+           for r in robots_filter(pages, robots, "anybot").collect()}
+    assert got == {"https://ex.test?page=2": False,
+                   "https://ex.test": False}
