@@ -41,16 +41,29 @@ def _sweep_stale_gate_dirs() -> None:
     import shutil
     import tempfile
 
-    for path in glob.glob(os.path.join(tempfile.gettempdir(), "hs_gate_*")):
+    import time
+
+    for path in glob.glob(os.path.join(tempfile.gettempdir(), "hs_gate_*")) \
+            + glob.glob(os.path.join(tempfile.gettempdir(),
+                                     "hs_stream_gate_*")):
         pid_part = path.rsplit("_", 1)[-1]
-        if not pid_part.isdigit() or int(pid_part) == os.getpid():
-            continue
-        try:
-            os.kill(int(pid_part), 0)  # raises if the pid is gone
-        except ProcessLookupError:
-            shutil.rmtree(path, ignore_errors=True)
-        except PermissionError:
-            pass  # pid alive under another uid — leave it
+        if pid_part.isdigit():
+            if int(pid_part) == os.getpid():
+                continue
+            try:
+                os.kill(int(pid_part), 0)  # raises if the pid is gone
+            except ProcessLookupError:
+                shutil.rmtree(path, ignore_errors=True)
+            except PermissionError:
+                pass  # pid alive under another uid — leave it
+        else:
+            # legacy naming (pre-pid-suffix rounds): no ownership info,
+            # so only reap clearly-stale dirs
+            try:
+                if time.time() - os.path.getmtime(path) > 6 * 3600:
+                    shutil.rmtree(path, ignore_errors=True)
+            except OSError:
+                pass
 
 
 def _gate_scratch(kind: str, sf_dir: str) -> str:
