@@ -203,7 +203,11 @@ def tokenize(s: str):
     # invisible at this layer). A nested <svg> inside an IP therefore
     # resets correctly too, not just top-level foreign roots.
     foreign = 0
-    ip_marks: list[int] = []
+    # (ip tag name, foreign depth at open) per open integration point —
+    # the name is checked on end tags so a STRAY end tag naming an IP
+    # element (</title> with only a foreignObject open) cannot pop the
+    # wrong mark and desync the suppression heuristic for the subtree
+    ip_marks: list[tuple[str, int]] = []
     while pos < n:
         if rawtext is not None:
             tag, decode = rawtext
@@ -243,7 +247,7 @@ def tokenize(s: str):
                 break  # EOF in tag: discard rest (eof-in-tag)
             attrs, self_closing, pos = parsed
             yield ("start", name, attrs, self_closing)
-            ip_depth = ip_marks[-1] if ip_marks else 0
+            ip_depth = ip_marks[-1][1] if ip_marks else 0
             if foreign > ip_depth and (
                 name in _FC_BREAKOUT
                 or (name == "font"
@@ -256,7 +260,7 @@ def tokenize(s: str):
                 if not self_closing:
                     foreign += 1
             elif foreign > 0 and name in _FC_IP and not self_closing:
-                ip_marks.append(foreign)
+                ip_marks.append((name, foreign))
             # self-closing flag does NOT suppress RAWTEXT/RCDATA: the
             # tree builder ignores '/' on non-void HTML elements
             # (WHATWG), so '<script/>' still swallows to '</script>'
@@ -285,14 +289,20 @@ def tokenize(s: str):
                 if name in ("svg", "math") and foreign > 0:
                     foreign -= 1
                     # IPs below the closed root are no longer open
-                    while ip_marks and ip_marks[-1] > foreign:
+                    while ip_marks and ip_marks[-1][1] > foreign:
                         ip_marks.pop()
                 elif foreign > 0 and name in _FC_IP and ip_marks:
-                    # closing the IP implicitly closes any nested
+                    # closing an IP implicitly closes any nested
                     # foreign roots opened inside it (the builder pops
-                    # to the matching element) — reset to the depth
-                    # recorded at IP open, don't just drop the mark
-                    foreign = ip_marks.pop()
+                    # to the MATCHING element) — reset to the depth
+                    # recorded at that IP's open. Scan for the nearest
+                    # mark with the same tag: a stray end tag naming a
+                    # different IP element must not pop anything.
+                    for k in range(len(ip_marks) - 1, -1, -1):
+                        if ip_marks[k][0] == name:
+                            foreign = ip_marks[k][1]
+                            del ip_marks[k:]
+                            break
             else:
                 # Bogus comment: '</' followed by non-letter.
                 gt = s.find(">", i)

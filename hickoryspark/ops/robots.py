@@ -26,7 +26,6 @@ a crawl frontier already has.
 
 from __future__ import annotations
 
-import re
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -81,24 +80,46 @@ def rules_for_agent(
     return groups.get(agent.lower(), groups.get("*", []))
 
 
-def _rule_regex(value: str) -> re.Pattern:
-    """Rule value -> anchored regex: '*' is any-chars, a FINAL '$'
-    anchors the end ('$' anywhere else is a literal), everything else
-    matches literally as a path prefix."""
+def _compile_value(value: str) -> tuple[list[str], bool]:
+    """Rule value -> ('*'-split literal chunks, end-anchored?). A FINAL
+    '$' anchors the end ('$' anywhere else is a literal)."""
     body, anchored = (
         (value[:-1], True) if value.endswith("$") else (value, False)
     )
-    pat = "".join(".*" if ch == "*" else re.escape(ch) for ch in body)
-    return re.compile("^" + pat + ("$" if anchored else ""))
+    return body.split("*"), anchored
+
+
+def _match(parts: list[str], anchored: bool, path: str) -> bool:
+    """Linear greedy wildcard-prefix match (the standard glob chunk
+    algorithm): first chunk must be a path prefix, middle chunks are
+    found greedily left-to-right, and with a '$' anchor the last chunk
+    must additionally end the path. No regex backtracking — robots.txt
+    is untrusted web content, and a hostile many-'*' rule sent Python
+    re into >30s exponential backtracking per page row."""
+    if not path.startswith(parts[0]):
+        return False
+    pos = len(parts[0])
+    if len(parts) == 1:
+        return path == parts[0] if anchored else True
+    for part in parts[1:-1]:
+        i = path.find(part, pos)
+        if i < 0:
+            return False
+        pos = i + len(part)
+    last = parts[-1]
+    if anchored:
+        return path.endswith(last) and len(path) - len(last) >= pos
+    i = path.find(last, pos)
+    return i >= 0
 
 
 def compile_rules(
     rules: list[tuple[bool, str]]
-) -> list[tuple[bool, str, int, re.Pattern]]:
+) -> list[tuple[bool, str, int, tuple[list[str], bool]]]:
     """Precompile a rule list for the hot loop: (is_allow, value,
-    octet_length, pattern) per rule."""
+    octet_length, ('*'-chunks, anchored)) per rule."""
     return [
-        (is_allow, value, len(value.encode()), _rule_regex(value))
+        (is_allow, value, len(value.encode()), _compile_value(value))
         for is_allow, value in rules
     ]
 
@@ -110,11 +131,12 @@ def evaluate(rules: list[tuple[bool, str]], path: str) -> tuple[bool, str]:
 
 
 def evaluate_compiled(
-    compiled: list[tuple[bool, str, int, re.Pattern]], path: str
+    compiled: list[tuple[bool, str, int, tuple[list[str], bool]]],
+    path: str,
 ) -> tuple[bool, str]:
     best: tuple[int, bool, str] | None = None
-    for is_allow, value, octets, pattern in compiled:
-        if pattern.match(path):
+    for is_allow, value, octets, (parts, anchored) in compiled:
+        if _match(parts, anchored, path):
             if best is None or (octets, is_allow) > (best[0], best[1]):
                 best = (octets, is_allow, value)
     if best is None:

@@ -58,6 +58,12 @@ def _decode_entity(m: re.Match) -> str:
     body = ent[2:-1]
     try:
         cp = int(body[1:], 16) if body[:1] in ("x", "X") else int(body)
+        if 0xD800 <= cp <= 0xDFFF:
+            # XML prohibits surrogate character references; chr() would
+            # produce a lone surrogate that Arrow serialization later
+            # rejects ('surrogates not allowed'), letting one hostile
+            # sitemap kill the task — leave the entity as written
+            return ent
         return chr(cp)
     except (ValueError, OverflowError):
         return ent  # out-of-range reference: leave as written

@@ -147,3 +147,43 @@ def test_query_only_url_path_evaluates_as_root(spark):
            for r in robots_filter(pages, robots, "anybot").collect()}
     assert got == {"https://ex.test?page=2": False,
                    "https://ex.test": False}
+
+
+def test_hostile_wildcard_rule_matches_in_linear_time():
+    # advice repro: '*'-dense rules are untrusted web content — the
+    # old re-based matcher backtracked exponentially (>30s for 12
+    # stars vs a 60-char path); the chunk matcher must be instant
+    import time
+
+    rules = [(False, "/" + "a*" * 12 + "b")]
+    path = "/" + "a" * 60
+    t0 = time.monotonic()
+    assert evaluate(rules, path) == (True, "")  # no 'b' -> no match
+    assert evaluate(rules, path + "b")[0] is False  # and it DOES match
+    assert time.monotonic() - t0 < 1.0
+
+
+def test_chunk_matcher_agrees_with_regex_semantics():
+    # exhaustive mini-fuzz: chunk matcher vs a literal re translation
+    # of the RFC semantics over every pattern/path in a small grammar
+    import itertools
+    import re as _re
+
+    def re_match(value, path):
+        body, anchored = (
+            (value[:-1], True) if value.endswith("$") else (value, False)
+        )
+        pat = "".join(".*" if ch == "*" else _re.escape(ch) for ch in body)
+        return bool(_re.match("^" + pat + ("$" if anchored else ""), path))
+
+    alphabet = "ab*/"
+    paths = [
+        "".join(p) for k in range(4) for p in itertools.product("ab/", repeat=k)
+    ]
+    for k in range(4):
+        for body in itertools.product(alphabet, repeat=k):
+            for suffix in ("", "$"):
+                value = "".join(body) + suffix
+                for path in paths:
+                    got = evaluate([(False, value)], path)[0] is False
+                    assert got == re_match(value, path), (value, path)

@@ -76,3 +76,15 @@ def test_numeric_character_references():
     assert parse_sitemap(
         b"<urlset><url><loc>/a&#1114112;</loc></url></urlset>"
     )[0]["loc"] == "/a&#1114112;"
+
+
+def test_surrogate_character_reference_stays_as_written(spark=None):
+    # advice repro: '&#xD800;' must NOT become a lone surrogate (Arrow
+    # rejects surrogates when serializing the task output) — XML
+    # prohibits surrogate charrefs, so the entity stays literal
+    es = parse_sitemap(
+        b"<urlset><url><loc>/a&#xD800;b&#55296;c</loc></url></urlset>"
+    )
+    assert es[0]["loc"] == "/a&#xD800;b&#55296;c"
+    # and the full Spark path survives a hostile payload end-to-end
+    es[0]["loc"].encode("utf-8")  # would raise on a lone surrogate

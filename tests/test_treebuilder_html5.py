@@ -425,6 +425,17 @@ def test_foreign_content(html, expected):
             "<svg><title><div>x</div><circle></circle></title></svg>"
             "<textarea>&lt;i&gt;t&lt;/i&gt;</textarea>",
         ),
+        # advice repro: a STRAY end tag naming a different IP element
+        # (</title> while only a foreignObject is open) must not pop
+        # the foreignObject's mark — the later breakout <div> would
+        # otherwise reset foreign to 0 and the svg <title> would be
+        # wrongly RCDATA (circle swallowed as text)
+        (
+            "<svg><foreignobject></title><div>x</div></foreignobject>"
+            "<title><circle/></title></svg>",
+            "<svg><foreignobject><div>x</div></foreignobject>"
+            "<title><circle></circle></title></svg>",
+        ),
     ],
 )
 def test_foreign_breakout_rcdata_resync(html, expected):
