@@ -119,7 +119,7 @@ def _dv(deltas: list[int]) -> str:
 #: block is present
 _KIDS = (
     f"([2, 2, CASE WHEN variant = 0 THEN 2 ELSE 3 END, 1 + np + {_L}, 2]"
-    " || ([[], [1,1,1,2,1,1,1,1,1,1], [1,2,1,2,1,1], [5]])[variant + 1])"
+    " || ([[], [1,1,1,2,1,1,1,1,1,1], [1,2,1,2,1,1], [5,1]])[variant + 1])"
 )
 
 
@@ -688,6 +688,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return lsh_candidate_pairs(load_documents(spark, sf), 8, 4, group_cap=16)
 
+    def q_lsh_default(spark, sf):
+        # the DEFAULT_GROUP_CAP=1024 path exactly as shipped (r4
+        # verdict item 6: every prior pair gate pinned group_cap to 16
+        # or None, so the production default was never hash-graded) —
+        # at sf0.1 the mega signature groups exceed 1024 and the star
+        # edges engage; the oracle mirrors the cap semantics at 1024
+        from hickoryspark.ops.dedup import lsh_candidate_pairs
+
+        return lsh_candidate_pairs(load_documents(spark, sf), 8, 4)
+
     def q_ngram_jaccard(spark, sf):
         from hickoryspark.ops.dedup import consecutive_pairs, ngram_jaccard_pairs
 
@@ -799,19 +809,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_url_normalize(spark, sf):
         # url canonicalization end-to-end: each page url is messed up
-        # deterministically by variant (case-mangled host / explicit
-        # default port + trailing slash / utm params / fragment), then
-        # normalize_url must recover the clean url EXACTLY — the
-        # oracle is the clean url itself, so it never runs the
-        # normalizer (fully independent check)
+        # deterministically by variant (case-mangled host + '/x/..'
+        # dot-segment / explicit default port + '/.' + trailing slash /
+        # utm params / fragment), then normalize_url must recover the
+        # clean url EXACTLY — the oracle is the clean url itself, so it
+        # never runs the normalizer (fully independent check)
         from hickoryspark.ops.urls import normalize_url
 
         pages = load_pages(spark, sf, with_params=True)
         u, v = F.col("url"), F.col("variant")
         tail = F.substring(u, F.lit(16), F.length(u))  # after https://ex.test
         messy = (
-            F.when(v == 0, F.concat(F.lit("HTTPS://EX.TEST"), tail))
-            .when(v == 1, F.concat(F.lit("https://ex.test:443"), tail, F.lit("/")))
+            F.when(v == 0, F.concat(F.lit("HTTPS://EX.TEST/x/.."), tail))
+            .when(v == 1, F.concat(F.lit("https://ex.test:443/."), tail, F.lit("/")))
             .when(v == 2, F.concat(u, F.lit("?utm_source=feed&utm_campaign=c"),
                                    F.col("doc_id")))
             .otherwise(F.concat(u, F.lit("#sec"), F.col("doc_id")))
@@ -857,16 +867,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "link_pos", "href", "resolved", "anchor_text")
         )
 
-    def q_robots_allowed(spark, sf):
-        # REP admission control (ops/robots.py): a synthetic robots.txt
-        # for ex.test disallows every even-LENGTH source's path prefix
-        # and re-allows doc paths starting with '2' (longer rule wins);
-        # a badbot catch-all group must NOT apply to the tested agent.
-        # Rules derive only from the source column, so the oracle is a
-        # closed form over (source, doc_id).
-        from hickoryspark.ops.robots import robots_filter
+    def q_link_anchor_subtree(spark, sf):
+        # extract_links(subtree_text=True): anchor text is the FULL
+        # text-descendant concatenation — variant 3's nested
+        # '<a href="/l5">l<b>5</b></a>' yields 'l5' here vs 'l' in the
+        # direct mode, pinning both contracts against the template
+        from hickoryspark.ops.links import extract_links
 
-        docs = load_documents(spark, sf)
+        pages = load_pages(spark, sf, with_params=True)
+        links = extract_links(_cached_nodes(spark, sf), subtree_text=True)
+        return (
+            _doc_ids(pages)
+            .join(links, "url")
+            .select("doc_id", "link_pos", "href", "resolved", "anchor_text")
+        )
+
+    def _gate_robots(spark, docs):
+        # shared robots.txt builder for the robots_allowed and
+        # crawl_frontier gates: even-LENGTH sources disallowed with a
+        # longer re-allow on doc paths starting with '2'; a badbot
+        # catch-all group that must NOT apply to the tested agent
         srcs = sorted(
             r["source"] for r in docs.select("source").distinct().collect()
         )  # bounded: one row per source label
@@ -874,15 +894,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for s in srcs:
             if len(s) % 2 == 0:
                 lines += [f"Disallow: /{s}/", f"Allow: /{s}/2"]
-        robots = spark.createDataFrame(
+        return spark.createDataFrame(
             [("ex.test", "\n".join(lines))], "host string, content string"
         )
+
+    def q_robots_allowed(spark, sf):
+        # REP admission control (ops/robots.py). Rules derive only from
+        # the source column, so the oracle is a closed form over
+        # (source, doc_id).
+        from hickoryspark.ops.robots import robots_filter
+
+        docs = load_documents(spark, sf)
+        robots = _gate_robots(spark, docs)
         pages = load_pages(spark, sf, with_params=True)
         verdicts = robots_filter(pages, robots, agent="testbot")
         return (
             _doc_ids(pages)
             .join(verdicts, "url")
             .select("doc_id", "allowed", "matched_rule")
+        )
+
+    def q_crawl_frontier(spark, sf):
+        # END-TO-END crawl admission composition (r4 verdict item 5):
+        # robots_filter admits pages -> extract_links resolves their
+        # out-edges (incl. the '../' dot-segment hrefs) ->
+        # normalize_url canonicalizes -> per-page dedup -> frontier
+        # aggregation (target, n_referrers). Host normalization between
+        # ops/robots.py and ops/urls.py only composes correctly if all
+        # three agree — the oracle rebuilds the frontier from the
+        # literal template edge list and the closed-form REP verdict.
+        from hickoryspark.ops.links import extract_links
+        from hickoryspark.ops.robots import robots_filter
+        from hickoryspark.ops.urls import normalize_url
+
+        docs = load_documents(spark, sf)
+        robots = _gate_robots(spark, docs)
+        pages = load_pages(spark, sf, with_params=True)
+        admitted = (
+            robots_filter(pages, robots, agent="testbot")
+            .where(F.col("allowed"))
+            .select("url")
+        )
+        links = extract_links(_cached_nodes(spark, sf))
+        edges = (
+            links.join(admitted, "url")
+            .select("url", normalize_url(F.col("resolved")).alias("target"))
+            .distinct()
+        )
+        return edges.groupBy("target").agg(
+            F.count("*").cast("long").alias("n_referrers")
         )
 
     def q_sitemap_entries(spark, sf):
@@ -1383,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_minhash=q_minhash,
         dedup_lsh_pairs=q_lsh_pairs,
         dedup_lsh_capped=q_lsh_capped,
+        dedup_lsh_default=q_lsh_default,
         dedup_ngram_jaccard=q_ngram_jaccard,
         dedup_components=q_dedup_components,
         dedup_simhash=q_simhash,
@@ -1404,6 +1465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sample_stratified=q_sample_stratified,
         pack_chunks=q_pack_chunks,
         link_graph=q_link_graph,
+        link_anchor_subtree=q_link_anchor_subtree,
+        crawl_frontier=q_crawl_frontier,
         robots_allowed=q_robots_allowed,
         sitemap_entries=q_sitemap_entries,
         text_normalize=q_text_normalize,
@@ -1435,47 +1498,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 #: gate-priority order (the driver records only the FIRST 50 queries).
-#: Round-4 head: the 5 queries that hash-failed CORRECTNESS_r03 (types
-#: made hash-stable this round — the driver must re-confirm, verdict
-#: item 1) and the new link_graph query; then the round-2/3 additions.
+#: Round-5 head (r4 verdict item 1): the 37 entries last driver-checked
+#: in r1-r3 — the dedup family (whose shared `_signature_groups` was
+#: rewritten in r4 AFTER their last driver check), the remaining sel_*
+#: combinators, the interpreter-path queries, and the parse/render/
+#: zip/convert family. The tail slots go to queries over code or
+#: template that CHANGED this round (links/urls dot-segment fold,
+#: robots matcher, sitemap charrefs, the new variant-3 nested anchor)
+#: plus the three new round-5 queries.
 _GATE_PRIORITY = [
-    "events_windowed",
-    "events_sessionize",
-    "rel_revenue_by_nation",
-    "rel_top_customers",
-    "rel_pricing_summary",
+    # dedup family (r1/r2-checked; _signature_groups rewritten in r4)
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_lsh_pairs",
+    "dedup_lsh_capped",
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_simhash",
+    # sel_* last checked r1/r3
+    "sel_last_child",
+    "sel_nth_of_type",
+    "sel_nth_last_of_type",
+    "sel_and",
+    "sel_or",
+    "sel_not",
+    "sel_el_not",
+    "sel_child",
+    "sel_has_child",
+    "sel_parent",
+    "sel_descendant",
+    "sel_has_descendant",
+    "sel_ancestor",
+    "sel_follow_adjacent",
+    "sel_precede_adjacent",
+    "sel_follow",
+    "sel_precede",
+    "sel_interp_combo",
+    "sel_interp_descendant",
+    # parse/render/zip/convert family last checked r1-r3
+    "parse_node_stats",
+    "render_roundtrip",
+    "extract_main",
+    "extract_main_html",
+    "parse_fragment_roots",
+    "convert_hiccup_render",
+    "zip_first_anchor",
+    "zip_subtree_scan",
+    "zip_pred_walk",
+    "hiccup_normalize",
+    "convert_hickory_hiccup",
+    # round-5 new queries + queries over code changed this round
     "link_graph",
+    "link_anchor_subtree",
+    "crawl_frontier",
+    "dedup_lsh_default",
+    "url_normalize",
     "robots_allowed",
     "sitemap_entries",
-    "text_normalize",
-    "charset_extract",
-    "pdf_extract",
-    "streaming_dedup",
-    "streaming_windowed",
     "streaming_extract",
-    "warc_roundtrip",
-    "multimodal_decode",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frames",
-    "dedup_simhash_pairs",
-    "ann_topk",
-    "ann_ivf",
-    "ann_ivf_cells",
-    "ann_lsh",
-    "embed_neardup",
-    "text_token_stats",
-    "text_quality",
-    "text_lang_id",
-    "text_lang_trigram",
-    "text_gopher",
-    "text_fingerprint",
-    "text_top_ngrams",
-    "url_normalize",
-    "sample_hash",
-    "sample_stratified",
-    "pack_chunks",
-    "events_props",
+    "charset_extract",
+    "sel_any",
+    "sel_element_child",
+    "sel_first_child",
+    "sel_nth_child",
 ]
 
 
@@ -1513,6 +1598,101 @@ _SIMHASH_CTE = _simhash_cte(16)
 _SIMHASH_PAIRS_MAXH = 3
 
 
+def _lsh_capped_oracle(cap: int) -> str:
+    """Group-cap LSH pair oracle (ops.dedup.lsh_candidate_pairs with a
+    finite group_cap): signature groups partition the docs; groups of
+    size <= cap emit their full intra clique and join cross-group with
+    all members, larger groups emit a star around the min-doc_id rep
+    and join cross-group via the rep only."""
+    mins = ", ".join(f"MIN(md5('{i}:' || tok)) AS mh{i}" for i in range(8))
+    return f"""
+        WITH sig AS (
+          SELECT doc_id, {mins}
+          FROM (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
+                FROM documents)
+          GROUP BY doc_id
+        ), grp AS (
+          SELECT mh0,mh1,mh2,mh3,mh4,mh5,mh6,mh7,
+                 list_sort(list(doc_id)) AS members
+          FROM sig GROUP BY ALL
+        ), g AS (
+          SELECT *, members[1] AS gid, len(members) AS m,
+                 CASE WHEN len(members) > {cap} THEN [members[1]]
+                      ELSE members END AS eff
+          FROM grp
+        ), intra AS (
+          SELECT ua.a AS doc_a, ub.b AS doc_b
+          FROM g, unnest(g.members) ua(a), unnest(g.members) ub(b)
+          WHERE g.m <= {cap} AND ua.a < ub.b
+          UNION ALL
+          SELECT g.gid AS doc_a, ub.b AS doc_b
+          FROM g, unnest(g.members) ub(b)
+          WHERE g.m > {cap} AND ub.b > g.gid
+        ), banded AS (
+          SELECT gid, b.band,
+                 CASE b.band WHEN 0 THEN mh0 || '|' || mh1
+                             WHEN 1 THEN mh2 || '|' || mh3
+                             WHEN 2 THEN mh4 || '|' || mh5
+                             ELSE mh6 || '|' || mh7 END AS sig
+          FROM g, (SELECT unnest(range(4)) AS band) b
+        ), gp AS (
+          SELECT DISTINCT a.gid AS ga, b.gid AS gb
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.sig = b.sig AND a.gid < b.gid
+        ), inter AS (
+          SELECT least(x.x, y.y) AS doc_a, greatest(x.x, y.y) AS doc_b
+          FROM gp JOIN g ga_g ON ga_g.gid = gp.ga
+                  JOIN g gb_g ON gb_g.gid = gp.gb,
+               unnest(ga_g.eff) x(x), unnest(gb_g.eff) y(y)
+        )
+        SELECT doc_a, doc_b FROM intra
+        UNION ALL SELECT doc_a, doc_b FROM inter"""
+
+
+#: shared edge-list CTE for the link_graph / link_anchor_subtree /
+#: crawl_frontier oracles: the template's ordered <a href> list per
+#: (variant, has_link) with literal resolved targets ('../m3' and
+#: '/x/../about' fold per RFC 3986) and DIRECT anchor texts
+_LINK_CTE = DUCKDB_PAGES_CTE + """
+    , l AS (
+      SELECT doc_id,
+        (CASE variant WHEN 1 THEN ['/t1','/t2']
+                      WHEN 2 THEN ['/m1','/m2','../m3']
+                      ELSE []::VARCHAR[] END
+         || CASE WHEN has_link
+                 THEN ['https://ex.test/' || doc_id]
+                 ELSE []::VARCHAR[] END
+         || ['/x/../about']
+         || CASE WHEN variant = 3
+                 THEN ['/l1','/l2','/l3','/l4','/l5']
+                 ELSE []::VARCHAR[] END) AS hrefs,
+        (CASE variant
+           WHEN 1 THEN ['https://ex.test/t1','https://ex.test/t2']
+           WHEN 2 THEN ['https://ex.test/m1','https://ex.test/m2',
+                        'https://ex.test/m3']
+           ELSE []::VARCHAR[] END
+         || CASE WHEN has_link
+                 THEN ['https://ex.test/' || doc_id]
+                 ELSE []::VARCHAR[] END
+         || ['https://ex.test/about']
+         || CASE WHEN variant = 3
+                 THEN ['https://ex.test/l1','https://ex.test/l2',
+                       'https://ex.test/l3','https://ex.test/l4',
+                       'https://ex.test/l5']
+                 ELSE []::VARCHAR[] END) AS resolveds,
+        (CASE variant WHEN 1 THEN ['t1','t2']
+                      WHEN 2 THEN ['m1','m2','m3']
+                      ELSE []::VARCHAR[] END
+         || CASE WHEN has_link THEN ['more'] ELSE []::VARCHAR[] END
+         || ['about']
+         || CASE WHEN variant = 3
+                 THEN ['l1','l2','l3','l4','l']
+                 ELSE []::VARCHAR[] END) AS texts
+      FROM pages
+    )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     c = _count_oracle
     stop_list = "['the','a','of','and','to','in','is','it']"
@@ -1523,8 +1703,8 @@ def oracle_sql() -> dict[str, str]:
         "sel_id": c("1"),
         "sel_attr": c(f"1 + {_L} + {_dv([0, 2, 3, 5])}"),
         "sel_attr_pred": c(_L),
-        "sel_any": c(f"10 + np + {_L} + {_dv([0, 12, 9, 6])}"),
-        "sel_element_child": c(f"9 + np + {_L} + {_dv([0, 12, 9, 6])}"),
+        "sel_any": c(f"10 + np + {_L} + {_dv([0, 12, 9, 7])}"),
+        "sel_element_child": c(f"9 + np + {_L} + {_dv([0, 12, 9, 7])}"),
         "sel_root": c("1"),
         "sel_node_type": c("1"),
         # matching parents: the <p class=para> chunks, plus the <h1>
@@ -1539,15 +1719,15 @@ def oracle_sql() -> dict[str, str]:
         # positional: fold the per-parent element-child counts
         "sel_nth_child": c(f"list_sum(list_transform({_KIDS}, k -> (k+1)//2))"),
         "sel_nth_last_child": c(f"list_sum(list_transform({_KIDS}, k -> k//2))"),
-        "sel_first_child": c(f"5 + {_dv([0, 10, 6, 1])}"),
-        "sel_last_child": c(f"5 + {_dv([0, 10, 6, 1])}"),
+        "sel_first_child": c(f"5 + {_dv([0, 10, 6, 2])}"),
+        "sel_last_child": c(f"5 + {_dv([0, 10, 6, 2])}"),
         "sel_nth_of_type": c("(np+1)//2 + 1"),
         "sel_nth_last_of_type": c("(np+1)//2 + 1"),
         # combinators
         "sel_and": c("np"),
         "sel_or": c(f"2 + {_L} + {_dv([0, 2, 3, 5])}"),
-        "sel_not": c(f"8 + np + {_L} + {_dv([0, 2, 3, 5])}"),
-        "sel_el_not": c(f"10 + {_L} + {_dv([0, 12, 9, 6])}"),
+        "sel_not": c(f"8 + np + {_L} + {_dv([0, 2, 3, 6])}"),
+        "sel_el_not": c(f"10 + {_L} + {_dv([0, 12, 9, 7])}"),
         "sel_child": c("np + 1"),
         "sel_has_child": c(f"1 + {_L} + {_dv([0, 2, 3, 1])}"),
         "sel_parent": c("2"),
@@ -1562,13 +1742,13 @@ def oracle_sql() -> dict[str, str]:
         "sel_interp_descendant": c(_L),
         "parse_node_stats": DUCKDB_PAGES_CTE + f"""
             SELECT doc_id,
-                   CAST(18 + 2*np + 2*{_L} + {_dv([0, 14, 12, 11])}
+                   CAST(18 + 2*np + 2*{_L} + {_dv([0, 14, 12, 13])}
                         AS BIGINT) AS n_nodes,
-                   CAST(10 + np + {_L} + {_dv([0, 12, 9, 6])}
+                   CAST(10 + np + {_L} + {_dv([0, 12, 9, 7])}
                         AS BIGINT) AS n_elements,
-                   CAST(5 + np + {_L} + {_dv([0, 2, 3, 5])}
+                   CAST(5 + np + {_L} + {_dv([0, 2, 3, 6])}
                         AS BIGINT) AS n_text,
-                   CAST({_dv([5, 13, 10, 5])} AS BIGINT) AS max_depth
+                   CAST({_dv([5, 13, 10, 6])} AS BIGINT) AS max_depth
             FROM pages""",
         "render_roundtrip": DUCKDB_PAGES_CTE
         + "SELECT doc_id, md5(html) AS html_md5 FROM pages",
@@ -1727,54 +1907,14 @@ def oracle_sql() -> dict[str, str]:
             FROM sig s
             JOIN grp USING (mh0,mh1,mh2,mh3,mh4,mh5,mh6,mh7)
             JOIN comp USING (gid)""",
-        # group_cap=16 semantics mirrored exactly: groups partition the
+        # group_cap semantics mirrored exactly: groups partition the
         # docs by full signature; >cap groups emit a star (rep = min
-        # doc_id) and join cross-group via the rep only
-        "dedup_lsh_capped": """
-            WITH sig AS (
-              SELECT doc_id,
-                     """ + ", ".join(
-                         f"MIN(md5('{i}:' || tok)) AS mh{i}" for i in range(8)
-                     ) + """
-              FROM (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
-                    FROM documents)
-              GROUP BY doc_id
-            ), grp AS (
-              SELECT mh0,mh1,mh2,mh3,mh4,mh5,mh6,mh7,
-                     list_sort(list(doc_id)) AS members
-              FROM sig GROUP BY ALL
-            ), g AS (
-              SELECT *, members[1] AS gid, len(members) AS m,
-                     CASE WHEN len(members) > 16 THEN [members[1]]
-                          ELSE members END AS eff
-              FROM grp
-            ), intra AS (
-              SELECT ua.a AS doc_a, ub.b AS doc_b
-              FROM g, unnest(g.members) ua(a), unnest(g.members) ub(b)
-              WHERE g.m <= 16 AND ua.a < ub.b
-              UNION ALL
-              SELECT g.gid AS doc_a, ub.b AS doc_b
-              FROM g, unnest(g.members) ub(b)
-              WHERE g.m > 16 AND ub.b > g.gid
-            ), banded AS (
-              SELECT gid, b.band,
-                     CASE b.band WHEN 0 THEN mh0 || '|' || mh1
-                                 WHEN 1 THEN mh2 || '|' || mh3
-                                 WHEN 2 THEN mh4 || '|' || mh5
-                                 ELSE mh6 || '|' || mh7 END AS sig
-              FROM g, (SELECT unnest(range(4)) AS band) b
-            ), gp AS (
-              SELECT DISTINCT a.gid AS ga, b.gid AS gb
-              FROM banded a JOIN banded b
-                ON a.band = b.band AND a.sig = b.sig AND a.gid < b.gid
-            ), inter AS (
-              SELECT least(x.x, y.y) AS doc_a, greatest(x.x, y.y) AS doc_b
-              FROM gp JOIN g ga_g ON ga_g.gid = gp.ga
-                      JOIN g gb_g ON gb_g.gid = gp.gb,
-                   unnest(ga_g.eff) x(x), unnest(gb_g.eff) y(y)
-            )
-            SELECT doc_a, doc_b FROM intra
-            UNION ALL SELECT doc_a, doc_b FROM inter""",
+        # doc_id) and join cross-group via the rep only. Two gates run
+        # it: the explicit cap=16 control and the SHIPPED default
+        # (DEFAULT_GROUP_CAP=1024 — engages the star path on sf0.1's
+        # mega groups, r4 verdict item 6).
+        "dedup_lsh_capped": _lsh_capped_oracle(16),
+        "dedup_lsh_default": _lsh_capped_oracle(1024),
         "dedup_ngram_jaccard": """
             WITH sh AS (
               SELECT doc_id,
@@ -2017,37 +2157,42 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         # link-graph: the ordered <a href> edge list is fully template-
         # determined per (variant, has_link) — the oracle reconstructs
-        # it literally, resolution mirrored (absolute kept, relative
-        # prefixed with the page origin)
-        "link_graph": DUCKDB_PAGES_CTE + """
-            , l AS (
-              SELECT doc_id,
-                (CASE variant WHEN 1 THEN ['/t1','/t2']
-                              WHEN 2 THEN ['/m1','/m2','/m3']
-                              ELSE []::VARCHAR[] END
-                 || CASE WHEN has_link
-                         THEN ['https://ex.test/' || doc_id]
-                         ELSE []::VARCHAR[] END
-                 || ['/about']
-                 || CASE WHEN variant = 3
-                         THEN ['/l1','/l2','/l3','/l4','/l5']
-                         ELSE []::VARCHAR[] END) AS hrefs,
-                (CASE variant WHEN 1 THEN ['t1','t2']
-                              WHEN 2 THEN ['m1','m2','m3']
-                              ELSE []::VARCHAR[] END
-                 || CASE WHEN has_link THEN ['more'] ELSE []::VARCHAR[] END
-                 || ['about']
-                 || CASE WHEN variant = 3
-                         THEN ['l1','l2','l3','l4','l5']
-                         ELSE []::VARCHAR[] END) AS texts
-              FROM pages
-            )
+        # it literally, with LITERAL resolved targets (the '../m3' and
+        # '/x/../about' dot-segment hrefs fold to source-independent
+        # canonical urls; the oracle never runs the resolver)
+        "link_graph": _LINK_CTE + """
             SELECT doc_id, CAST(i AS BIGINT) AS link_pos,
-                   hrefs[i] AS href,
-                   CASE WHEN hrefs[i] LIKE '%://%' THEN hrefs[i]
-                        ELSE 'https://ex.test' || hrefs[i] END AS resolved,
+                   hrefs[i] AS href, resolveds[i] AS resolved,
                    texts[i] AS anchor_text
             FROM l, unnest(range(1, len(hrefs) + 1)) AS t(i)""",
+        # same edge list with SUBTREE anchor text (extract_links
+        # subtree_text=True): variant 3's nested '<a>l<b>5</b></a>'
+        # reads 'l5' here vs 'l' in the direct-text mode above — the
+        # only place the two modes differ on the template, so both
+        # contracts are pinned
+        "link_anchor_subtree": _LINK_CTE + """
+            SELECT doc_id, CAST(i AS BIGINT) AS link_pos,
+                   hrefs[i] AS href, resolveds[i] AS resolved,
+                   list_transform(texts, t ->
+                       CASE WHEN t = 'l' THEN 'l5' ELSE t END)[i]
+                       AS anchor_text
+            FROM l, unnest(range(1, len(hrefs) + 1)) AS t(i)""",
+        # frontier composition: admitted pages (the robots_allowed
+        # closed form) contribute their deduped canonical out-edges;
+        # the literal resolved targets are normalize_url fixpoints, so
+        # the oracle never runs resolver or normalizer
+        "crawl_frontier": _LINK_CTE + """
+            , adm AS (
+              SELECT l.doc_id, resolveds
+              FROM l JOIN pages USING (doc_id)
+              WHERE length(source) % 2 = 1
+                 OR CAST(doc_id AS VARCHAR) LIKE '2%'
+            ), edge AS (
+              SELECT DISTINCT doc_id, target
+              FROM (SELECT doc_id, unnest(resolveds) AS target FROM adm)
+            )
+            SELECT target, COUNT(*) AS n_referrers
+            FROM edge GROUP BY target""",
         # unicode normalization: the identical dirty input (combining
         # acute via chr(769), BEL via chr(7)) built SQL-side, then the
         # exact three-step mirror — nfc_normalize, control strip,

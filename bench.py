@@ -51,8 +51,12 @@ import os
 import sys
 import time
 
-#: bumped only when the headline list or corpus template changes
-BENCH_PROTOCOL = "r02-8q-corpus4v"
+#: bumped only when the headline list or corpus template changes.
+#: r05-8q-corpus4v2: round-5 template revision (dot-segment hrefs
+#: '/x/../about' + '../m3', variant-3 nested anchor 'l<b>5</b>') —
+#: same 8-query headline list; bridge readings on BOTH templates are
+#: recorded in BENCH/BASELINE.md so r5 stays comparable to r4.
+BENCH_PROTOCOL = "r05-8q-corpus4v2"
 
 
 def _queries(sf_dir: str):

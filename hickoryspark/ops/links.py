@@ -22,8 +22,16 @@ RFC 3986 §4.2/§5.3):
 - fragment-only (``#f``): page url (sans fragment) + href;
 - query-only (``?q``): page url sans query/fragment + href;
 - path-relative (anything else): page url sans query/fragment
-  truncated to its last path ``/`` + href. (No ``..`` folding —
-  compose with ops.urls.normalize for full canonicalization.)
+  truncated to its last path ``/`` + href.
+
+Host-relative and path-relative targets get RFC 3986 §5.2.4
+dot-segment removal (ops.urls.remove_dot_segments) applied to the
+resolved path — exactly the branches ``urllib.parse.urljoin`` folds,
+which the hypothesis fuzz (tests/test_links.py) grades against with
+dot-segments INCLUDED. Scheme-qualified and network-path refs keep
+their path as written (CPython's documented RFC deviation), and
+query/fragment/empty refs keep the base path as written; compose with
+ops.urls.normalize_url when those must canonicalize too.
 """
 
 from __future__ import annotations
@@ -49,6 +57,8 @@ _HAS_PATH_RE = r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]+/"
 def resolve_href(url, href):
     """Absolute target URL for ``href`` found on page ``url``
     (column expressions)."""
+    from hickoryspark.ops.urls import remove_dot_segments
+
     scheme = F.regexp_extract(url, r"(?i)^([a-z][a-z0-9+.-]*:)", 1)
     origin = F.regexp_extract(url, _ORIGIN_RE, 1)
     no_frag = F.regexp_replace(url, r"#.*$", "")
@@ -63,15 +73,20 @@ def resolve_href(url, href):
         F.when(href == "", no_frag)  # RFC 3986 §4.4 same-document ref
         .when(href.startswith("//"), F.concat(scheme, href))
         .when(href.rlike(_ABS_RE), href)
-        .when(href.startswith("/"), F.concat(origin, href))
+        .when(
+            href.startswith("/"),
+            remove_dot_segments(F.concat(origin, href)),
+        )
         .when(href.startswith("#"), F.concat(no_frag, href))
         .when(href.startswith("?"), F.concat(no_query, href))
-        .otherwise(F.concat(base, href))
+        .otherwise(remove_dot_segments(F.concat(base, href)))
     )
 
 
 def extract_links(
-    nodes: DataFrame, pre_partitioned: bool = False
+    nodes: DataFrame,
+    pre_partitioned: bool = False,
+    subtree_text: bool = False,
 ) -> DataFrame:
     """Node table -> one row per ``<a href>``:
     (url, link_pos, href, resolved, anchor_text).
@@ -81,6 +96,15 @@ def extract_links(
     children in document order ('' when none — matches the reference's
     find-in-text notion of direct content, select.cljc:283-295, not a
     subtree text flatten).
+
+    ``subtree_text=True`` instead concatenates ALL text-node
+    descendants of the anchor in document order (``<a><b>Click</b></a>``
+    yields 'Click', not '') — what an anchor-text training corpus
+    wants. Implemented as the same url-local join with the
+    ``pre_ord``/``subtree_end`` interval residual instead of the
+    parent equi-key (the descendant_rel pattern, selectors_rel.py —
+    url-equi join, never a nested-loop). Comment data strings inside
+    an anchor count as text here, matching the zipper walk.
 
     ``pre_partitioned``: set True when ``nodes`` is already
     hash-partitioned/bucketed by url (materialize_nodes) — the explicit
@@ -97,6 +121,7 @@ def extract_links(
             "url",
             F.col("node_id").alias("a_id"),
             F.col("pre_ord").alias("a_ord"),
+            F.col("subtree_end").alias("a_end"),
             F.col("attrs")["href"].alias("href"),
         )
     )
@@ -106,11 +131,14 @@ def extract_links(
         F.col("pre_ord").alias("t_ord"),
         F.col("text").alias("t_text"),
     )
+    if subtree_text:
+        membership = (texts["t_ord"] > anchors["a_ord"]) & (
+            texts["t_ord"] <= anchors["a_end"]
+        )
+    else:
+        membership = anchors["a_id"] == texts["t_parent"]
     joined = anchors.join(
-        texts,
-        (anchors["url"] == texts["t_url"])
-        & (anchors["a_id"] == texts["t_parent"]),
-        "left",
+        texts, (anchors["url"] == texts["t_url"]) & membership, "left"
     )
     if not pre_partitioned:
         # ONE url shuffle serves both the per-anchor aggregation (url

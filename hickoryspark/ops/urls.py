@@ -11,11 +11,13 @@ the two templates differ solely in backreference spelling ($1 vs \\1).
 
 Normalization steps, in order:
 1. lowercase the scheme://host prefix (path/query case is preserved)
-2. drop an explicit default port (:443 on https, :80 on http)
-3. drop the fragment (#...)
-4. drop tracking query params (utm_*, fbclid, gclid), tidying the
+2. fold RFC 3986 §5.2.4 dot-segments out of the path
+   (``remove_dot_segments`` below — query/fragment untouched)
+3. drop an explicit default port (:443 on https, :80 on http)
+4. drop the fragment (#...)
+5. drop tracking query params (utm_*, fbclid, gclid), tidying the
    separators they leave behind; a now-empty '?' is dropped
-5. drop one trailing slash (including the bare host-root slash)
+6. drop one trailing slash (including the bare host-root slash)
 """
 
 from __future__ import annotations
@@ -24,6 +26,100 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _PREFIX_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+
+# ---------------------------------------------------------------------------
+# RFC 3986 §5.2.4 remove_dot_segments, as a bounded regexp-pass program
+# shared verbatim (same patterns, same pass count) with the DuckDB
+# mirror — constructs restricted to the Java-regex/RE2 intersection
+# (no lookaround, literal replacements only).
+# ---------------------------------------------------------------------------
+
+#: folding bound: each pass removes one '/../' nesting level per chain,
+#: so chains up to FOLD_PASSES deep fold completely. Real-world URLs
+#: stay far below this; a hostile deeper chain is left PARTIALLY folded
+#: — non-canonical but never a wrong authority or a crossed query.
+FOLD_PASSES = 16
+
+#: a path segment that is NOT '..' (and, after the '.'-removal passes,
+#: not '.'): starts with a non-dot, or '.x...', or '..x...', or empty
+_NOT_DOTDOT = r"([^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+|)"
+
+#: the ordered (pattern, replacement) program. Trailing '/..' and '/.'
+#: first (RFC: they leave a trailing slash), then '/./' runs, then
+#: FOLD_PASSES x (fold one '/seg/../' per chain; DELETE root-excess
+#: leading '../' — CPython's stack pops the root empty segment, so
+#: '/..//X' is '/X', which the trailing slash re-add restores; the
+#: urljoin fuzz pins this against the stdlib implementation).
+_FOLD_STEPS: list[tuple[str, str]] = (
+    [
+        (r"/\.\.$", "/../"),
+        (r"/\.$", "/"),
+        (r"(/\.)+/", "/"),
+    ]
+    + [
+        step
+        for _ in range(FOLD_PASSES)
+        for step in (
+            ("/" + _NOT_DOTDOT + r"/\.\./", "/"),
+            (r"^/\.\./", ""),
+            (r"^\.\./", ""),
+        )
+    ]
+)
+
+
+def _fold_path(p: Column) -> Column:
+    orig = p
+    for pat, rep in _FOLD_STEPS:
+        p = F.regexp_replace(p, pat, rep)
+    # root-excess deletions can strip the leading '/' (or everything):
+    # re-add it for originally-rooted paths. Prepend + collapse one
+    # leading '//' is an identity when the fold kept the slash.
+    return F.when(
+        orig.startswith("/"),
+        F.regexp_replace(F.concat(F.lit("/"), p), "^//", "/"),
+    ).otherwise(p)
+
+
+def remove_dot_segments(u: str | Column) -> Column:
+    """Fold '.' / '..' segments out of the PATH of a full url string.
+
+    The scheme://authority prefix is protected (a pattern must never
+    eat the '//h/../' of an authority) and the query/fragment tail is
+    split off untouched (a '/../' inside '?k=a/../b' is data, not a
+    path segment). Clean paths (no '/.') skip the whole program.
+    """
+    u = F.col(u) if isinstance(u, str) else u
+    pre = F.regexp_extract(u, _PREFIX_RE, 1)
+    rest = F.substring(u, F.length(pre) + 1, F.length(u))
+    tail = F.regexp_extract(rest, r"([?#].*)$", 1)
+    path = F.regexp_replace(rest, r"[?#].*$", "")
+    folded = F.when(path.contains("/."), _fold_path(path)).otherwise(path)
+    return F.concat(pre, folded, tail)
+
+
+def _duckdb_fold_path(p: str) -> str:
+    orig = p
+    for pat, rep in _FOLD_STEPS:
+        p = f"regexp_replace({p}, '{pat}', '{rep}', 'g')"
+    return (
+        f"CASE WHEN left({orig}, 1) = '/'"
+        f" THEN regexp_replace('/' || {p}, '^//', '/')"
+        f" ELSE {p} END"
+    )
+
+
+def duckdb_remove_dot_segments_sql(u: str) -> str:
+    """DuckDB expression mirroring ``remove_dot_segments`` exactly
+    (same split, same pattern program, same clean-path skip)."""
+    pre = f"regexp_extract({u}, '{_PREFIX_RE}', 1)"
+    rest = f"({u})[length({pre}) + 1:]"
+    tail = f"regexp_extract({rest}, '([?#].*)$', 1)"
+    path = f"regexp_replace({rest}, '[?#].*$', '', 'g')"
+    return (
+        f"({pre} || CASE WHEN strpos({path}, '/.') > 0"
+        f" THEN {_duckdb_fold_path(path)} ELSE {path} END || {tail})"
+    )
 
 #: ordered (pattern, spark_replacement) steps 2-5; DuckDB mirrors with
 #: \N backrefs
@@ -48,6 +144,7 @@ def normalize_url(col: str | Column) -> Column:
     u = F.col(col) if isinstance(col, str) else col
     prefix = F.regexp_extract(u, _PREFIX_RE, 1)
     u = F.concat(F.lower(prefix), F.substring(u, F.length(prefix) + 1, F.length(u)))
+    u = remove_dot_segments(u)
     for pat, rep in _STEPS:
         u = F.regexp_replace(u, pat, rep)
     return u
@@ -68,7 +165,7 @@ def duckdb_normalize_sql(u: str) -> str:
     url expression ``u`` (same steps, same patterns)."""
     prefix = f"regexp_extract({u}, '{_PREFIX_RE}', 1)"
     base = f"(lower({prefix}) || {u}[length({prefix}) + 1:])"
-    return _duckdb_steps(base)
+    return _duckdb_steps(duckdb_remove_dot_segments_sql(base))
 
 
 def url_dedup_groups(df: DataFrame, url_col: str = "url") -> DataFrame:

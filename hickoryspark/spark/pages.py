@@ -21,8 +21,16 @@ so that ``render(parse(html)) == html`` byte-for-byte):
     <p class="para">{chunk_1}</p> ... <p class="para">{chunk_np}</p>
     [<a href="https://ex.test/{id}" class="ref">more</a>  if doc_id even]
     </div><div class="footer boilerplate"><p class="fine">copyright {source}</p>
-    <a href="/about">about</a></div>
+    <a href="/x/../about">about</a></div>
     [POST_BLOCK[variant]]</body></html>
+
+Round 5 adds dot-segment hrefs (the footer '/x/../about' everywhere,
+variant 2's path-relative '../m3') and nested anchor markup (variant
+3's l5 anchor holds 'l<b>5</b>'), exercising RFC 3986 folding and
+direct-vs-subtree anchor text through the link extractor. These are
+attribute/inline changes chosen so ONLY variant-3 node counts shift
+(+1 element, +1 text) — the per-variant oracle deltas were re-derived
+and are enforced by tools/independent_oracle_check.py.
 
 Generation parameters (all derivable from scalar columns):
   np       = n_chars % 5 + 2          (number of <p class="para"> blocks)
@@ -69,16 +77,21 @@ NAV_TABLE = (
     '<a href="/t1">t1</a></td></tr></tbody></table></td><td>'
     '<a href="/t2">t2</a></td></tr></tbody></table></div>'
 )
-#: variant 2 — deep nav tree (3-level nested list, max node depth 10)
+#: variant 2 — deep nav tree (3-level nested list, max node depth 10);
+#: m3 is PATH-RELATIVE with a dot-segment (round-5: '../' hrefs are
+#: everywhere on the real web — resolve_href must fold it, so the
+#: resolved edge is source-independent: https://ex.test/m3)
 NAV_TREE = (
     '<ul class="menu"><li><a href="/m1">m1</a><ul><li><a href="/m2">m2</a>'
-    '<ul><li><a href="/m3">m3</a></li></ul></li></ul></li></ul>'
+    '<ul><li><a href="../m3">m3</a></li></ul></li></ul></li></ul>'
 )
 #: variant 3 — link-dense footer (unpruned div candidate whose text is
-#: 100% anchor text → extraction score 0)
+#: 100% anchor text → extraction score 0 — in_anchor propagates through
+#: the nested <b>, so l5's markup child stays link text); the nested
+#: markup makes direct vs subtree anchor text observable ('l' vs 'l5')
 LINK_FOOTER = (
     '<div class="links footer2"><a href="/l1">l1</a><a href="/l2">l2</a>'
-    '<a href="/l3">l3</a><a href="/l4">l4</a><a href="/l5">l5</a></div>'
+    '<a href="/l3">l3</a><a href="/l4">l4</a><a href="/l5">l<b>5</b></a></div>'
 )
 
 #: (pre_main, post_footer) block per variant — index with doc_id % 4
@@ -149,7 +162,7 @@ def pages_from_documents(documents: DataFrame, with_params: bool = False) -> Dat
         link,
         F.lit('</div><div class="footer boilerplate"><p class="fine">copyright '),
         F.col("source"),
-        F.lit('</p><a href="/about">about</a></div>'),
+        F.lit('</p><a href="/x/../about">about</a></div>'),
         post_block,
         F.lit("</body></html>"),
     )
@@ -206,7 +219,7 @@ WITH gen AS (
               THEN '<a href="https://ex.test/' || doc_id || '" class="ref">more</a>'
               ELSE '' END ||
          '</div><div class="footer boilerplate"><p class="fine">copyright ' ||
-         source || '</p><a href="/about">about</a></div>' ||
+         source || '</p><a href="/x/../about">about</a></div>' ||
          (['', '', '', '{LINK_FOOTER}'])[variant + 1] ||
          '</body></html>' AS html
   FROM gen

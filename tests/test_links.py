@@ -107,9 +107,9 @@ def test_origin_only_page_url_and_scheme_case(spark):
 
 def test_resolve_href_matches_urljoin_property():
     """Hypothesis fuzz against urllib.parse.urljoin as an INDEPENDENT
-    oracle, over the reference classes resolve_href implements
-    (no dot-segments — urljoin folds those, we deliberately defer that
-    to ops.urls.normalize)."""
+    oracle, over the reference classes resolve_href implements —
+    dot-segments INCLUDED ('.', '..', 'a.' segments generate freely),
+    so urljoin grades the RFC 3986 §5.2.4 fold too."""
     from urllib.parse import urljoin
 
     from hypothesis import given, settings, strategies as st
@@ -120,10 +120,8 @@ def test_resolve_href_matches_urljoin_property():
 
     spark = get_spark(4, shuffle_partitions=4)
 
-    seg = st.text(
-        alphabet="abcz019-_.", min_size=1, max_size=5
-    ).filter(lambda s: s not in (".", "..") and not s.endswith("."))
-    path = st.lists(seg, min_size=0, max_size=3).map(
+    seg = st.text(alphabet="abcz019-_.", min_size=1, max_size=5)
+    path = st.lists(seg, min_size=0, max_size=4).map(
         lambda segs: "/" + "/".join(segs) if segs else ""
     )
     page = st.builds(
@@ -156,3 +154,46 @@ def test_resolve_href_matches_urljoin_property():
     for r in got:
         expect = urljoin(r["url"], r["href"])
         assert r["r"] == expect, (r["url"], r["href"], r["r"], expect)
+
+
+def test_subtree_text_mode_includes_nested_markup(spark):
+    # verdict item 4: '<a href=x><b>Click</b></a>' yields '' in direct
+    # mode but 'Click' with subtree_text=True; interleaved direct and
+    # nested text concatenates in document order
+    from hickoryspark.ops.links import extract_links
+    from hickoryspark.spark.nodes_table import explode_nodes
+
+    html = (
+        '<a href="/1">one <b>bold</b> two</a>'
+        '<a href="/2"><i>all <em>nested</em></i></a>'
+        '<a href="/3"></a>'
+    )
+    pages = spark.createDataFrame(
+        [("https://ex.test/a/b", html)], "url string, html string"
+    )
+    nodes = explode_nodes(pages)
+    direct = {r["link_pos"]: r["anchor_text"]
+              for r in extract_links(nodes).collect()}
+    sub = {r["link_pos"]: r["anchor_text"]
+           for r in extract_links(nodes, subtree_text=True).collect()}
+    assert direct == {1: "one  two", 2: "", 3: ""}
+    assert sub == {1: "one bold two", 2: "all nested", 3: ""}
+
+
+def test_dot_segment_hrefs_resolve_folded(spark):
+    # the round-5 template classes: path-relative '../' and
+    # host-relative '/x/../' fold; netloc refs stay as written
+    rows = _links(
+        spark,
+        '<a href="../up">u</a>'
+        '<a href="/x/../about">a</a>'
+        '<a href="sub/../sib.html">s</a>'
+        '<a href="https://o.site/a/../b">n</a>',
+        url="https://ex.test/src/42",
+    )
+    assert [r["resolved"] for r in rows] == [
+        "https://ex.test/up",
+        "https://ex.test/about",
+        "https://ex.test/src/sib.html",
+        "https://o.site/a/../b",
+    ]

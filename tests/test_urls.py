@@ -32,6 +32,23 @@ CASES = [
     ("https://ex.test/a?utm_a=1&utm_b=2", "https://ex.test/a"),
     ("https://ex.test/a?utm_a=1&utm_b=2&id=3", "https://ex.test/a?id=3"),
     ("https://ex.test/a?id=1&utm_a=2&gclid=3", "https://ex.test/a?id=1"),
+    # RFC 3986 §5.2.4 dot-segment removal (verdict item: '../' is
+    # everywhere on the real web and must fold to one canonical form)
+    ("https://ex.test/a/../b", "https://ex.test/b"),
+    ("https://ex.test/a/./b/", "https://ex.test/a/b"),
+    ("https://ex.test/../a", "https://ex.test/a"),
+    ("https://ex.test/../../a", "https://ex.test/a"),
+    ("https://ex.test/a/b/../../c", "https://ex.test/c"),
+    ("https://ex.test/a/b/c/../../../d/../e", "https://ex.test/e"),
+    ("https://ex.test/a/..", "https://ex.test"),
+    ("https://ex.test/a/.", "https://ex.test/a"),
+    ("https://ex.test/a//../b", "https://ex.test/a/b"),
+    # the query/fragment are DATA: a '/../' there must not fold, and
+    # dot-LOOKALIKE segments ('..a', 'a..', '...') are real segments
+    ("https://ex.test/a/../b?x=/c/../d", "https://ex.test/b?x=/c/../d"),
+    ("https://ex.test/..a/b../.../x", "https://ex.test/..a/b../.../x"),
+    # authority protected: the '//' of '://' is not a fold anchor
+    ("https://h/../a", "https://h/a"),
 ]
 
 
@@ -93,7 +110,8 @@ def test_normalize_is_idempotent_on_fuzzed_urls(spark):
         scheme = rng.choice(["http", "https", "HTTPS", "Http"])
         host = rng.choice(["ex.test", "EX.Test", "a.b.test"])
         port = rng.choice(["", ":443", ":80", ":8080"])
-        path = rng.choice(["", "/", f"/p{i}", f"/p{i}/", f"/a/b{i}"])
+        path = rng.choice(["", "/", f"/p{i}", f"/p{i}/", f"/a/b{i}",
+                           f"/a/../b{i}", "/./x", f"/p{i}/.."])
         q = rng.choice(["", "?id=1", "?utm_source=x", "?utm_source=x&id=2",
                         "?id=3&utm_campaign=y&z=4"])
         frag = rng.choice(["", "#f", "#sec2"])
@@ -103,3 +121,62 @@ def test_normalize_is_idempotent_on_fuzzed_urls(spark):
     twice = once.select(F.col("n1"), normalize_url("n1").alias("n2"))
     bad = twice.where(F.col("n1") != F.col("n2")).collect()
     assert not bad, bad[:5]
+
+
+def test_remove_dot_segments_matches_urljoin_fold(spark):
+    """remove_dot_segments vs urllib.parse.urljoin's host-relative
+    fold (an INDEPENDENT RFC 3986 implementation) over random
+    dot-heavy absolute paths, incl. empty segments and lookalikes."""
+    import random
+    from urllib.parse import urljoin
+
+    from hickoryspark.ops.urls import remove_dot_segments
+
+    rng = random.Random(20260817)
+    paths = []
+    for _ in range(300):
+        segs = [
+            rng.choice(["a", "b9", ".", "..", "...", "a.", ".a", ""])
+            for _ in range(rng.randint(0, 6))
+        ]
+        paths.append("/" + "/".join(segs))
+    df = spark.createDataFrame(
+        [("https://h.test" + p, p) for p in paths], "url string, p string"
+    )
+    rows = df.select("p", remove_dot_segments("url").alias("f")).collect()
+    for r in rows:
+        if r["p"].startswith("//"):
+            # urljoin parses a '//'-leading string as a network-path
+            # REFERENCE (empty netloc), not a path — out of scope here
+            continue
+        assert r["f"] == urljoin("https://h.test/", r["p"]), r["p"]
+
+
+def test_remove_dot_segments_duckdb_mirror_agrees(spark):
+    """The DuckDB mirror runs the identical pass program — byte-equal
+    output on dot-heavy inputs including query/fragment tails."""
+    import duckdb
+
+    from hickoryspark.ops.urls import (
+        duckdb_remove_dot_segments_sql,
+        remove_dot_segments,
+    )
+
+    urls = [
+        "https://h.test/a/../b",
+        "https://h.test/../../x",
+        "https://h.test/a/./b/c/../d?q=/e/../f#g/../h",
+        "https://h.test/a//../b",
+        "https://h.test/..a/.../b..",
+        "https://h.test",
+        "https://h.test/a/b/..",
+        "HTTPS://H.test/A/../B",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["url"]: r["f"]
+           for r in df.select("url", remove_dot_segments("url").alias("f")).collect()}
+    con = duckdb.connect()
+    sql = duckdb_remove_dot_segments_sql("url")
+    for u in urls:
+        o = con.execute(f"SELECT {sql} FROM (SELECT ? AS url)", [u]).fetchone()[0]
+        assert o == got[u], (u, o, got[u])

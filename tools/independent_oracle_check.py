@@ -539,9 +539,12 @@ def main() -> int:
     con = duckdb.connect()
     synth_documents(con)
     pages = con.execute(
-        DUCKDB_PAGES_CTE + "SELECT doc_id, html FROM pages ORDER BY doc_id"
+        DUCKDB_PAGES_CTE
+        + "SELECT doc_id, html, url, source FROM pages ORDER BY doc_id"
     ).fetchall()
-    trees = {d: parse_strict(h) for d, h in pages}
+    trees = {d: parse_strict(h) for d, h, _, _ in pages}
+    urls = {d: u for d, _, u, _ in pages}
+    sources = {d: s for d, _, _, s in pages}
 
     oracles = E.oracle_sql()
     failures = []
@@ -574,34 +577,65 @@ def main() -> int:
     else:
         print("ok   parse_node_stats")
 
-    # link_graph: anchors in document order with direct-text anchor
-    # text and origin-resolved hrefs, straight off the independent tree
-    def link_rows(d, t):
+    # link_graph / link_anchor_subtree: anchors in document order with
+    # direct-text / subtree-text anchor text and urljoin-resolved hrefs
+    # (urllib.parse is the independent RFC 3986 resolver — it folds the
+    # template's '../m3' and '/x/../about' dot segments), straight off
+    # the independent tree
+    from urllib.parse import urljoin
+
+    def link_rows(d, t, subtree):
         rows = []
         for nv in walk(t):
             if nv.tag == "a" and "href" in nv.attrs:
                 href = nv.attrs["href"]
-                resolved = (
-                    href if "://" in href
-                    else "https://ex.test" + href if href.startswith("/")
-                    else href  # template has no path-relative hrefs
-                )
+                if subtree:
+                    text = "".join(
+                        s for s in nv.descendants() if isinstance(s, str)
+                    )
+                else:
+                    text = "".join(nv.direct_strings())
                 rows.append(
-                    (d, len(rows) + 1, href, resolved,
-                     "".join(nv.direct_strings()))
+                    (d, len(rows) + 1, href, urljoin(urls[d], href), text)
                 )
         return rows
 
-    mine = sorted(r for d, t in trees.items() for r in link_rows(d, t))
+    for lname, subtree in (("link_graph", False),
+                           ("link_anchor_subtree", True)):
+        mine = sorted(
+            r for d, t in trees.items() for r in link_rows(d, t, subtree)
+        )
+        theirs = sorted(
+            tuple(r) for r in con.execute(oracles[lname]).fetchall()
+        )
+        if mine != theirs:
+            diff = [(a, b) for a, b in zip(mine, theirs) if a != b]
+            print(f"FAIL {lname}: {diff[:5]} (counts {len(mine)} vs {len(theirs)})")
+            failures.append(lname)
+        else:
+            print(f"ok   {lname}: {len(mine)} edges")
+
+    # crawl_frontier: REP closed form x deduped canonical out-edges,
+    # recomputed from the independent edge rows
+    from collections import Counter
+
+    frontier = Counter()
+    for d, t in trees.items():
+        if not (len(sources[d]) % 2 == 1 or str(d).startswith("2")):
+            continue
+        for target in {r[3] for r in link_rows(d, t, False)}:
+            frontier[target] += 1
     theirs = sorted(
-        tuple(r) for r in con.execute(oracles["link_graph"]).fetchall()
+        tuple(r) for r in con.execute(oracles["crawl_frontier"]).fetchall()
     )
+    mine = sorted(frontier.items())
     if mine != theirs:
         diff = [(a, b) for a, b in zip(mine, theirs) if a != b]
-        print(f"FAIL link_graph: {diff[:5]} (counts {len(mine)} vs {len(theirs)})")
-        failures.append("link_graph")
+        print(f"FAIL crawl_frontier: {diff[:5]} "
+              f"(counts {len(mine)} vs {len(theirs)})")
+        failures.append("crawl_frontier")
     else:
-        print(f"ok   link_graph: {len(mine)} edges")
+        print(f"ok   crawl_frontier: {len(mine)} targets")
 
     zs = {d: zip_stats(t) for d, t in trees.items()}
     for name, keys in [
