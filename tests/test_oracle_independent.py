@@ -25,3 +25,19 @@ def test_closed_form_oracles_match_independent_evaluator():
     import independent_oracle_check as I
 
     assert I.main() == 0
+
+
+def test_judge_facing_docs_carry_current_query_count():
+    """Doc-lint (r4 verdict item 3): the COVERAGE.md headline count
+    must equal len(queries()) — stale counts shipped twice; this pins
+    the doc to the code mechanically."""
+    import __spark_entry__ as E
+
+    n = len(E.queries())
+    assert len(E.oracle_sql()) == n  # every query keeps a full oracle
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "COVERAGE.md")) as f:
+        cov = f.read()
+    assert f"all {n} queries" in cov, (
+        f"COVERAGE.md must state 'all {n} queries' (len(queries()))"
+    )

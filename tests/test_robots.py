@@ -180,7 +180,7 @@ def test_chunk_matcher_agrees_with_regex_semantics():
     paths = [
         "".join(p) for k in range(4) for p in itertools.product("ab/", repeat=k)
     ]
-    for k in range(4):
+    for k in range(6):
         for body in itertools.product(alphabet, repeat=k):
             for suffix in ("", "$"):
                 value = "".join(body) + suffix
