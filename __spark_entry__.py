@@ -1556,11 +1556,15 @@ _GATE_PRIORITY = [
     "robots_allowed",
     "sitemap_entries",
     "streaming_extract",
-    "charset_extract",
     "sel_any",
     "sel_element_child",
     "sel_first_child",
     "sel_nth_child",
+    # its closed form was re-derived with this round's _KIDS template
+    # change just like sel_nth_child's — both must be driver-graded
+    # this round (charset_extract yields the slot: charset code is
+    # untouched this round and it was driver-green in r4)
+    "sel_nth_last_child",
 ]
 
 
@@ -1694,6 +1698,8 @@ _LINK_CTE = DUCKDB_PAGES_CTE + """
 
 
 def oracle_sql() -> dict[str, str]:
+    from hickoryspark.ops import dedup as _dedup
+
     c = _count_oracle
     stop_list = "['the','a','of','and','to','in','is','it']"
     oracles = {
@@ -1911,10 +1917,11 @@ def oracle_sql() -> dict[str, str]:
         # docs by full signature; >cap groups emit a star (rep = min
         # doc_id) and join cross-group via the rep only. Two gates run
         # it: the explicit cap=16 control and the SHIPPED default
-        # (DEFAULT_GROUP_CAP=1024 — engages the star path on sf0.1's
-        # mega groups, r4 verdict item 6).
+        # (DEFAULT_GROUP_CAP — engages the star path on sf0.1's mega
+        # groups, r4 verdict item 6). The default gate derives its cap
+        # FROM ops.dedup so a retune can't silently decouple the pair.
         "dedup_lsh_capped": _lsh_capped_oracle(16),
-        "dedup_lsh_default": _lsh_capped_oracle(1024),
+        "dedup_lsh_default": _lsh_capped_oracle(_dedup.DEFAULT_GROUP_CAP),
         "dedup_ngram_jaccard": """
             WITH sh AS (
               SELECT doc_id,

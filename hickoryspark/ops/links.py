@@ -57,20 +57,34 @@ _HAS_PATH_RE = r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]+/"
 def resolve_href(url, href):
     """Absolute target URL for ``href`` found on page ``url``
     (column expressions)."""
-    from hickoryspark.ops.urls import remove_dot_segments
+    from hickoryspark.ops.urls import _UNSAFE_RE, remove_dot_segments
 
+    # WHATWG/CPython URL preprocessing: ASCII tab/newlines are removed
+    # from BOTH sides before classification (urljoin, the fuzz oracle,
+    # strips them — and an href like '\n//cdn/x' must classify as
+    # protocol-relative, so the strip precedes the when-chain). The
+    # RAW inputs are kept for CPython's empty-href early-exit, which
+    # runs BEFORE its strip and returns the base verbatim.
+    raw_url, raw_href = url, href
+    url = F.regexp_replace(url, _UNSAFE_RE, "")
+    href = F.regexp_replace(href, _UNSAFE_RE, "")
     scheme = F.regexp_extract(url, r"(?i)^([a-z][a-z0-9+.-]*:)", 1)
     origin = F.regexp_extract(url, _ORIGIN_RE, 1)
-    no_frag = F.regexp_replace(url, r"#.*$", "")
-    no_query = F.regexp_replace(url, r"[?#].*$", "")
+    no_frag = F.regexp_replace(url, r"#[\s\S]*", "")
+    no_query = F.regexp_replace(url, r"[?#][\s\S]*", "")
     # base dir computed on the query/fragment-stripped url: a '/'
     # inside the query must not become the truncation point
     base = F.when(
         no_query.rlike(_HAS_PATH_RE),
-        F.regexp_replace(no_query, r"/[^/]*$", "/"),
+        F.regexp_replace(no_query, r"/[^/]*\z", "/"),
     ).otherwise(F.concat(no_query, F.lit("/")))  # origin-only page url
     return (
-        F.when(href == "", no_frag)  # RFC 3986 §4.4 same-document ref
+        # a truly empty href is CPython urljoin's `if not url: return
+        # base` early-exit — base VERBATIM (before any stripping); an
+        # href that strips to empty ('\n') parses as an empty relative
+        # ref instead: base sans fragment (RFC 3986 §4.4)
+        F.when(raw_href == "", raw_url)
+        .when(href == "", no_frag)
         .when(href.startswith("//"), F.concat(scheme, href))
         .when(href.rlike(_ABS_RE), href)
         .when(

@@ -10,6 +10,8 @@ DuckDB oracle (``DUCKDB_NORMALIZE_SQL``) runs the identical program;
 the two templates differ solely in backreference spelling ($1 vs \\1).
 
 Normalization steps, in order:
+0. remove ASCII tab/newline/CR anywhere in the url (WHATWG URL
+   preprocessing; CPython's urlsplit/urljoin do the same)
 1. lowercase the scheme://host prefix (path/query case is preserved)
 2. fold RFC 3986 §5.2.4 dot-segments out of the path
    (``remove_dot_segments`` below — query/fragment untouched)
@@ -26,6 +28,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _PREFIX_RE = r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+
+#: WHATWG URL / CPython urllib (bpo-43882): ASCII tab and newlines are
+#: removed from a URL before any parsing. urljoin — the fuzz oracle —
+#: strips them, and stripping up front also keeps every later pattern
+#: on the single-line inputs where Java regex ('$' matches before a
+#: final '\n') and RE2 ('$' is end-of-text) agree.
+_UNSAFE_RE = r"[\t\n\r]"
 
 # ---------------------------------------------------------------------------
 # RFC 3986 §5.2.4 remove_dot_segments, as a bounded regexp-pass program
@@ -52,8 +61,12 @@ _NOT_DOTDOT = r"([^/.][^/]*|\.[^/.][^/]*|\.\.[^/]+|)"
 #: urljoin fuzz pins this against the stdlib implementation).
 _FOLD_STEPS: list[tuple[str, str]] = (
     [
-        (r"/\.\.$", "/../"),
-        (r"/\.$", "/"),
+        # \z (end-of-TEXT in both Java regex and RE2), never $: on a
+        # path with an embedded newline, Java's $ also matches before
+        # a final '\n' while RE2's does not — the engines must agree
+        # byte-for-byte even on hostile raw input.
+        (r"/\.\.\z", "/../"),
+        (r"/\.\z", "/"),
         (r"(/\.)+/", "/"),
     ]
     + [
@@ -92,8 +105,11 @@ def remove_dot_segments(u: str | Column) -> Column:
     u = F.col(u) if isinstance(u, str) else u
     pre = F.regexp_extract(u, _PREFIX_RE, 1)
     rest = F.substring(u, F.length(pre) + 1, F.length(u))
-    tail = F.regexp_extract(rest, r"([?#].*)$", 1)
-    path = F.regexp_replace(rest, r"[?#].*$", "")
+    # [\s\S] tails, not '.*$': '.' stops at '\n' in both dialects and
+    # '$' disagrees across them, so a query with an embedded newline
+    # would split differently per engine (review repro)
+    tail = F.regexp_extract(rest, r"([?#][\s\S]*)", 1)
+    path = F.regexp_replace(rest, r"[?#][\s\S]*", "")
     folded = F.when(path.contains("/."), _fold_path(path)).otherwise(path)
     return F.concat(pre, folded, tail)
 
@@ -114,8 +130,8 @@ def duckdb_remove_dot_segments_sql(u: str) -> str:
     (same split, same pattern program, same clean-path skip)."""
     pre = f"regexp_extract({u}, '{_PREFIX_RE}', 1)"
     rest = f"({u})[length({pre}) + 1:]"
-    tail = f"regexp_extract({rest}, '([?#].*)$', 1)"
-    path = f"regexp_replace({rest}, '[?#].*$', '', 'g')"
+    tail = f"regexp_extract({rest}, '([?#][\\s\\S]*)', 1)"
+    path = f"regexp_replace({rest}, '[?#][\\s\\S]*', '', 'g')"
     return (
         f"({pre} || CASE WHEN strpos({path}, '/.') > 0"
         f" THEN {_duckdb_fold_path(path)} ELSE {path} END || {tail})"
@@ -124,9 +140,13 @@ def duckdb_remove_dot_segments_sql(u: str) -> str:
 #: ordered (pattern, spark_replacement) steps 2-5; DuckDB mirrors with
 #: \N backrefs
 _STEPS: list[tuple[str, str]] = [
-    (r"^(https://[^/?#:]*):443($|[/?#].*)", "$1$2"),
-    (r"^(http://[^/?#:]*):80($|[/?#].*)", "$1$2"),
-    (r"#.*$", ""),
+    # end anchors are \z and tails [\s\S] throughout (see _FOLD_STEPS
+    # note): normalize_url strips [\t\n\r] first so these only matter
+    # for direct remove_dot_segments callers, but the two dialects
+    # must agree on ANY input.
+    (r"^(https://[^/?#:]*):443(\z|[/?#][\s\S]*)", "$1$2"),
+    (r"^(http://[^/?#:]*):80(\z|[/?#][\s\S]*)", "$1$2"),
+    (r"#[\s\S]*", ""),
     # anchored at a real separator — an unanchored pattern would strip
     # lookalike substrings out of legitimate params ('msgclid=5') and
     # even path segments ('/utm_source=x/'), merging distinct pages
@@ -134,14 +154,15 @@ _STEPS: list[tuple[str, str]] = [
     # params in one match (scanning resumes after the replacement, so
     # back-to-back params would otherwise leave every second one).
     (r"([?&])((utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?)+", "$1"),
-    (r"[?&]$", ""),
+    (r"[?&]\z", ""),
     (r"\?&", "?"),
-    (r"^([^?#]*[^/?#])/(\?[^#]*)?$", "$1$2"),
+    (r"^([^?#]*[^/?#])/(\?[^#]*)?\z", "$1$2"),
 ]
 
 
 def normalize_url(col: str | Column) -> Column:
     u = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(u, _UNSAFE_RE, "")
     prefix = F.regexp_extract(u, _PREFIX_RE, 1)
     u = F.concat(F.lower(prefix), F.substring(u, F.length(prefix) + 1, F.length(u)))
     u = remove_dot_segments(u)
@@ -163,6 +184,7 @@ def _duckdb_steps(expr: str) -> str:
 def duckdb_normalize_sql(u: str) -> str:
     """DuckDB expression computing the identical normalization of the
     url expression ``u`` (same steps, same patterns)."""
+    u = f"regexp_replace({u}, '{_UNSAFE_RE}', '', 'g')"
     prefix = f"regexp_extract({u}, '{_PREFIX_RE}', 1)"
     base = f"(lower({prefix}) || {u}[length({prefix}) + 1:])"
     return _duckdb_steps(duckdb_remove_dot_segments_sql(base))

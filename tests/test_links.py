@@ -83,8 +83,8 @@ def test_protocol_relative_and_query_fragment_refs(spark):
 
 
 def test_empty_href_is_same_document_reference(spark):
-    # review repro: '<a href="">' resolves to the page url sans
-    # fragment (RFC 3986 section 4.4), not the base directory
+    # review repro: '<a href="">' resolves to the page url verbatim
+    # (CPython urljoin's empty-ref early-exit), not the base directory
     rows = _links(spark, '<a href="">self</a>',
                   url="https://ex.test/a/b?k=v")
     assert [r["resolved"] for r in rows] == ["https://ex.test/a/b?k=v"]
@@ -109,7 +109,10 @@ def test_resolve_href_matches_urljoin_property():
     """Hypothesis fuzz against urllib.parse.urljoin as an INDEPENDENT
     oracle, over the reference classes resolve_href implements —
     dot-segments INCLUDED ('.', '..', 'a.' segments generate freely),
-    so urljoin grades the RFC 3986 §5.2.4 fold too."""
+    so urljoin grades the RFC 3986 §5.2.4 fold too; ASCII tab/newline
+    injected into both sides, so urljoin also grades the WHATWG
+    unsafe-byte strip (injection into NONEMPTY strings only: a bare
+    '#'/'?' href is a known CPython-vs-RFC divergence out of scope)."""
     from urllib.parse import urljoin
 
     from hypothesis import given, settings, strategies as st
@@ -138,6 +141,15 @@ def test_resolve_href_matches_urljoin_property():
         st.builds(lambda s: "?" + s, seg),
         st.just(""),
     )
+
+    def _inject(s, c, i):
+        # insert one unsafe char at position i (mod len+1); '' = none
+        return s[: i % (len(s) + 1)] + c + s[i % (len(s) + 1):] if s else s
+
+    unsafe = st.sampled_from(["", "\t", "\n", "\r"])
+    pos = st.integers(min_value=0, max_value=24)
+    page = st.builds(_inject, page, unsafe, pos)
+    href = st.builds(_inject, href, unsafe, pos)
 
     cases = []
 

@@ -78,7 +78,7 @@ def test_numeric_character_references():
     )[0]["loc"] == "/a&#1114112;"
 
 
-def test_surrogate_character_reference_stays_as_written(spark=None):
+def test_surrogate_character_reference_stays_as_written():
     # advice repro: '&#xD800;' must NOT become a lone surrogate (Arrow
     # rejects surrogates when serializing the task output) — XML
     # prohibits surrogate charrefs, so the entity stays literal
@@ -86,5 +86,23 @@ def test_surrogate_character_reference_stays_as_written(spark=None):
         b"<urlset><url><loc>/a&#xD800;b&#55296;c</loc></url></urlset>"
     )
     assert es[0]["loc"] == "/a&#xD800;b&#55296;c"
-    # and the full Spark path survives a hostile payload end-to-end
     es[0]["loc"].encode("utf-8")  # would raise on a lone surrogate
+
+
+def test_surrogate_payload_survives_spark_arrow_path():
+    # the actual advice failure mode was Arrow serialization of the
+    # mapInPandas TASK OUTPUT — so the hostile payload must round-trip
+    # through parse_sitemaps_df on a real session, not just the
+    # driver-side parser (a review pass flagged the earlier version of
+    # this test for claiming end-to-end coverage it didn't have)
+    from hickoryspark.ops.sitemaps import parse_sitemaps_df
+    from hickoryspark.spark.session import get_spark
+
+    spark = get_spark(2, shuffle_partitions=2)
+    df = spark.createDataFrame(
+        [("ex.test",
+          b"<urlset><url><loc>/a&#xD800;b&#55296;c</loc></url></urlset>")],
+        "host string, payload binary",
+    )
+    rows = parse_sitemaps_df(df).collect()
+    assert [r["loc"] for r in rows] == ["/a&#xD800;b&#55296;c"]

@@ -49,6 +49,13 @@ CASES = [
     ("https://ex.test/..a/b../.../x", "https://ex.test/..a/b../.../x"),
     # authority protected: the '//' of '://' is not a fold anchor
     ("https://h/../a", "https://h/a"),
+    # WHATWG preprocessing: ASCII tab/newline/CR stripped ANYWHERE
+    # before parsing (review repro: raw '\n' in an href used to split
+    # the query differently in Java regex vs RE2)
+    ("https://ex.test/a\t/../b#f\nrag", "https://ex.test/b"),
+    ("https://ex.test/p?a/../b\n", "https://ex.test/p?a/../b"),
+    ("https://ex.test:44\r3/x", "https://ex.test/x"),
+    ("ht\ntps://ex.test/a/..", "https://ex.test"),
 ]
 
 
@@ -171,6 +178,15 @@ def test_remove_dot_segments_duckdb_mirror_agrees(spark):
         "https://h.test",
         "https://h.test/a/b/..",
         "HTTPS://H.test/A/../B",
+        # remove_dot_segments itself does NOT strip unsafe chars (its
+        # normalize_url caller does) — so on newline-bearing input the
+        # two dialects must still split and fold identically (review
+        # repros: Java '$' matches before a final '\n', RE2's doesn't;
+        # '.' stops at '\n' in both)
+        "https://h.test/p?a/../b\n",
+        "https://h.test/p?q=/a/../b\nz",
+        "https://h.test/a/..\n",
+        "https://h.test/a/../b\nc#f\ng",
     ]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     got = {r["url"]: r["f"]
