@@ -648,6 +648,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lambda S: S.descendant(S.cls("content"), S.tag("a"))
     )
 
+    # CSS string front-end (hickoryspark/css.py): one selector string
+    # compiled to the relational algebra — child chain + general
+    # sibling + OR list in a single parse. The two arms hit disjoint
+    # tag sets (p vs a), so the oracle is the SUM of the sel_child and
+    # sel_follow closed forms.
+    def q_sel_css(spark, sf_dir):
+        from hickoryspark.css import css_rel
+
+        return _sel_count_query(lambda: css_rel("body > div > p, h1 ~ a"))(
+            spark, sf_dir
+        )
+
+    out["sel_css"] = q_sel_css
+
     # parse / render / extract (§2.1, §2.6, north rule)
     out["parse_node_stats"] = _q_parse_node_stats
     out["render_roundtrip"] = _q_render_roundtrip
@@ -1555,7 +1569,12 @@ _GATE_PRIORITY = [
     "url_normalize",
     "robots_allowed",
     "sitemap_entries",
-    "streaming_extract",
+    # sel_css is NEW this round (css string front-end) — it takes the
+    # slot of streaming_extract, whose code is untouched this round
+    # (the tokenizer IP-mark fix only affects foreign content, which
+    # the page template does not contain) and which was driver-green
+    # in r4
+    "sel_css",
     "sel_any",
     "sel_element_child",
     "sel_first_child",
@@ -1743,6 +1762,9 @@ def oracle_sql() -> dict[str, str]:
         "sel_follow_adjacent": c("1"),
         "sel_precede_adjacent": c("1"),
         "sel_follow": c(_L),
+        # css front-end: "body > div > p, h1 ~ a" = sel_child ∪
+        # sel_follow over disjoint tag sets → sum of their closed forms
+        "sel_css": c(f"np + 1 + {_L}"),
         "sel_precede": c(f"np * {_L} + 1"),
         "sel_interp_combo": c("(np+1)//2"),
         "sel_interp_descendant": c(_L),

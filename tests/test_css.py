@@ -1,0 +1,221 @@
+"""CSS selector front-end (hickoryspark/css.py): parser, CSS-exact
+An+B semantics, equivalence with hand-built selector algebra, and
+interpreter-vs-relational cross-engine agreement."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import hickoryspark.select as S
+from hickoryspark import as_hickory, parse
+from hickoryspark.css import CssError, css, parse_css
+
+from tests.test_select import HTML1, HTML2  # reference select.cljc fixtures
+
+TREES = {name: as_hickory(parse(h)) for name, h in
+         {"select1": HTML1, "select2": HTML2}.items()}
+
+
+def _matches(sel, trees=TREES):
+    out = set()
+    for name, tree in trees.items():
+        for loc in S.select_locs(sel, tree):
+            out.add((name, loc.i))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# equivalence with the hand-built algebra on the reference fixtures
+# ---------------------------------------------------------------------------
+
+EQUIV = [
+    ("span", S.tag("span")),
+    (".cool", S.cls("cool")),
+    ("#attrspan", S.id_("attrspan")),
+    ("[disabled]", S.attr("disabled")),
+    ("*", S.element),
+    ("div.cool", S.and_(S.tag("div"), S.cls("cool"))),
+    ("body > div span",
+     S.descendant(S.child(S.tag("body"), S.tag("div")), S.tag("span"))),
+    ("h1 + p", S.follow_adjacent(S.tag("h1"), S.tag("p"))),
+    ("h1 ~ a", S.follow(S.tag("h1"), S.tag("a"))),
+    ("a, span", S.or_(S.tag("a"), S.tag("span"))),
+    ("div:not(.cool)", S.and_(S.tag("div"), S.not_(S.cls("cool")))),
+    (":not(div)", S.and_(S.element, S.not_(S.tag("div")))),
+    ("span:first-child", S.and_(S.tag("span"), S.first_child)),
+    ("span:last-child", S.and_(S.tag("span"), S.last_child)),
+    ("span:nth-child(odd)", S.and_(S.tag("span"), S.nth_child(2, 1))),
+    # whitespace-insensitive combinator spelling
+    ("body>div  span", S.descendant(
+        S.child(S.tag("body"), S.tag("div")), S.tag("span"))),
+]
+
+
+#: fixture-empty selectors (every div in HTML1/2 has class cool) —
+#: equivalence still graded, just no non-empty guard
+_EMPTY_OK = {"div:not(.cool)"}
+
+
+@pytest.mark.parametrize("css_str,hand", EQUIV, ids=[c for c, _ in EQUIV])
+def test_css_equivalent_to_hand_built(css_str, hand):
+    got = _matches(css(css_str))
+    assert got == _matches(hand), css_str
+    if css_str not in _EMPTY_OK:
+        assert got, f"{css_str} matched nothing — fixture drifted?"
+
+
+def test_not_matches_only_elements():
+    # a bare :not(div) compound is element-scoped in CSS; the raw
+    # reference not_ would admit text/comment/document nodes
+    raw_not = _matches(S.not_(S.tag("div")))
+    scoped = _matches(css(":not(div)"))
+    assert scoped < raw_not  # strictly fewer: non-elements excluded
+
+
+# ---------------------------------------------------------------------------
+# CSS-exact An+B (the reference stride is modular; CSS needs i >= 0)
+# ---------------------------------------------------------------------------
+
+TEN = as_hickory(parse(
+    "<div>" + "".join(f'<p id="p{i}">x</p>' for i in range(1, 11)) + "</div>"
+))
+
+
+def _positions(css_str):
+    out = set()
+    for loc in S.select_locs(css(css_str), TEN):
+        attrs = loc.doc.attrs[loc.i]
+        if attrs and "id" in attrs and attrs["id"].startswith("p"):
+            out.add(int(attrs["id"][1:]))
+    return out
+
+
+@pytest.mark.parametrize("css_str,expect", [
+    ("p:nth-child(2n+5)", {5, 7, 9}),  # reference stride would add 1, 3
+    ("p:nth-child(2n+1)", {1, 3, 5, 7, 9}),
+    ("p:nth-child(odd)", {1, 3, 5, 7, 9}),
+    ("p:nth-child(even)", {2, 4, 6, 8, 10}),
+    ("p:nth-child(4)", {4}),
+    ("p:nth-child(0n+4)", {4}),
+    ("p:nth-child(-n+3)", {1, 2, 3}),
+    ("p:nth-child(-2n+6)", {2, 4, 6}),
+    ("p:nth-child(-n)", set()),  # B=0: no positive positions
+    ("p:nth-child(3n)", {3, 6, 9}),
+    ("p:nth-last-child(2n+4)", {1, 3, 5, 7}),  # from-end 4,6,8,10
+    ("p:nth-of-type(3n+4)", {4, 7, 10}),
+    ("p:nth-last-of-type(-n+2)", {9, 10}),
+])
+def test_nth_css_exact(css_str, expect):
+    assert _positions(css_str) == expect, css_str
+
+
+def test_nth_expansion_guard():
+    with pytest.raises(CssError):
+        css("p:nth-child(-n+100000)")
+    with pytest.raises(CssError):
+        css("p:nth-child(n+100000)")
+
+
+# ---------------------------------------------------------------------------
+# attribute operators
+# ---------------------------------------------------------------------------
+
+ATTR_DOC = as_hickory(parse(
+    '<div><a id="a1" href="x.html" lang="en-US" data-k="alpha beta">1</a>'
+    '<a id="a2" href="y.php" lang="en" data-k="beta-max">2</a>'
+    '<a id="a3" href="other.html" lang="fr">3</a></div>'
+))
+
+
+def _attr_ids(css_str):
+    out = set()
+    for loc in S.select_locs(css(css_str), ATTR_DOC):
+        out.add(loc.doc.attrs[loc.i]["id"])
+    return out
+
+
+@pytest.mark.parametrize("css_str,expect", [
+    ("[lang=en]", {"a2"}),
+    ("[lang|=en]", {"a1", "a2"}),
+    ('[href$=".html"]', {"a1", "a3"}),
+    ("[href^=x]", {"a1"}),
+    ("[data-k~=beta]", {"a1"}),  # whitespace-token match, not substring
+    ("[data-k*=beta]", {"a1", "a2"}),
+    ('[data-k="alpha beta"]', {"a1"}),
+    ("[data-k]", {"a1", "a2"}),
+    ('[href^=""]', set()),  # CSS: empty operand matches nothing
+])
+def test_attr_operators(css_str, expect):
+    assert _attr_ids(css_str) == expect, css_str
+
+
+# ---------------------------------------------------------------------------
+# parser errors: unsupported constructs fail loud, never silently
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("bad", [
+    "", "  ", ",a", "a,,b", "a >", "div::before", "p:hover",
+    "[href", "[=x]", "p:nth-child()", "p:nth-child(2m+1)",
+    "*:nth-of-type(2)", ":not(", "a:not(b", "a b )", "p:nth-child(2n+1",
+])
+def test_rejects_unsupported(bad):
+    with pytest.raises(CssError):
+        css(bad)
+
+
+def test_parse_ast_shape():
+    ast = parse_css("nav > a.x, *")
+    assert ast[0] == "or" and len(ast[1]) == 2
+    kind, head, chain = ast[1][0]
+    assert kind == "chain" and head == [("tag", "nav")]
+    assert chain == [(">", [("tag", "a"), ("class", "x")])]
+
+
+# ---------------------------------------------------------------------------
+# cross-engine: css() and css_rel() must agree node-for-node
+# ---------------------------------------------------------------------------
+
+CROSS = [
+    "span", ".cool", "#attrspan", "[disabled]", "[id=attrspan]",
+    "div.cool", "body > div span", "h1 + p", "h1 ~ a", "a, span",
+    "div:not(.cool)", ":not(div)", "span:first-child",
+    "p:nth-child(2n+5)", "p:nth-child(-n+3)", "span:nth-child(odd)",
+    "span:nth-of-type(2)", "span:nth-last-of-type(2n+3)",
+    "div > *:last-child", '[href^=f]', "body > div > p, h1 ~ a",
+]
+
+
+def test_cross_engine_agreement():
+    from hickoryspark.css import css_rel
+    from hickoryspark.spark.nodes_table import explode_nodes
+    from hickoryspark.spark.session import get_spark
+
+    spark = get_spark(4, shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = {
+        "select1": HTML1,
+        "select2": HTML2,
+        "ten": "<div>" + "".join(
+            f'<p id="p{i}">x</p>' for i in range(1, 11)) + "</div>",
+    }
+    pages = spark.createDataFrame(
+        [(n, h.encode("utf-8")) for n, h in docs.items()],
+        "url string, html binary",
+    ).cache()
+    nodes = explode_nodes(pages).cache()
+    trees = {n: as_hickory(parse(h)) for n, h in docs.items()}
+    for s in CROSS:
+        rel = {
+            (r["url"], r["pre_ord"])
+            for r in css_rel(s)(nodes).select("url", "pre_ord").collect()
+        }
+        interp = set()
+        for name, tree in trees.items():
+            for loc in S.select_locs(css(s), tree):
+                interp.add((name, loc.i))
+        assert rel == interp, f"css engines diverge on {s!r}"

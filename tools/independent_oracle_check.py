@@ -469,6 +469,13 @@ SEL_PREDICATES = {
     "sel_precede": p_precede(p_tag("p"), p_tag("a")),
     "sel_interp_combo": p_and(p_tag("p"), p_nth_child(2, 0)),
     "sel_interp_descendant": p_descendant(p_class("content"), p_tag("a")),
+    # sel_css gates css.py's compilation of "body > div > p, h1 ~ a";
+    # re-expressed here in THIS module's primitives (no css import —
+    # the check stays independent of the front-end under test)
+    "sel_css": p_or(
+        p_child(p_tag("body"), p_tag("div"), p_tag("p")),
+        p_follow(p_tag("h1"), p_tag("a")),
+    ),
 }
 
 
