@@ -10,6 +10,8 @@ from-scratch, Spark-first pipeline over tables of web pages:
   pre-order interval labeling (the engine's IR).
 - ``hickoryspark.select`` : the selector combinator algebra
   (reference: src/cljc/hickory/select.cljc).
+- ``hickoryspark.css``    : CSS selector strings compiled to that
+  algebra, for both the interpreter and the relational engine.
 - ``hickoryspark.spark``  : Arrow-batched Spark pipeline (mapInArrow),
   node-table relational layer, skew-aware partitioning, lineage.
 - ``hickoryspark.ops``    : large-scale training-data ops (dedup,
@@ -17,6 +19,7 @@ from-scratch, Spark-first pipeline over tables of web pages:
   PDF text) over document/embedding/media tables.
 """
 
+from hickoryspark.css import CssError, css, css_rel
 from hickoryspark.html.charset import decode_html, sniff_charset
 from hickoryspark.html.core import parse, parse_fragment, as_hickory, as_hiccup
 from hickoryspark.html.render import (
@@ -28,6 +31,9 @@ from hickoryspark.html.render import (
 )
 
 __all__ = [
+    "CssError",
+    "css",
+    "css_rel",
     "decode_html",
     "sniff_charset",
     "parse",
