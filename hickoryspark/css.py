@@ -122,23 +122,23 @@ class _Parser:
             self.i += 1
         return self.i > j
 
-    def parse_selector_list(self, stop: str = "") -> tuple:
-        out = [self.parse_complex(stop)]
+    def parse_selector_list(self) -> tuple:
+        out = [self.parse_complex()]
         self.skip_ws()
         while self.peek() == ",":
             self.i += 1
-            out.append(self.parse_complex(stop))
+            out.append(self.parse_complex())
             self.skip_ws()
         return ("or", out)
 
-    def parse_complex(self, stop: str = "") -> tuple:
+    def parse_complex(self) -> tuple:
         self.skip_ws()
         head = self.parse_compound()
         chain = []
         while True:
             had_ws = self.skip_ws()
             ch = self.peek()
-            if ch == "" or ch == "," or (stop and ch in stop):
+            if ch == "" or ch == ",":
                 break
             if ch in ">+~":
                 self.i += 1
@@ -245,20 +245,23 @@ def parse_css(s: str) -> tuple:
 # ---------------------------------------------------------------------------
 
 def _nth_plan(A: int, B: int) -> tuple[str, list[int]]:
+    # size the term list ARITHMETICALLY before materializing anything:
+    # a hostile ':nth-child(-n+2000000000)' must raise CssError, not
+    # build a two-billion-element list on the way to the guard
     if A == 0:
         return "plain", []  # exact position: already CSS-exact
     if A > 0:
         # below-B residue positions the modular stride wrongly admits
-        excl = [B - j * A for j in range(1, (max(B - 1, 0)) // A + 1)]
-        excl = [p for p in excl if p >= 1]
-        if len(excl) > MAX_NTH_TERMS:
+        n_excl = max(B - 1, 0) // A
+        if n_excl > MAX_NTH_TERMS:
             raise CssError(f"nth offset too large: {A}n+{B}")
+        excl = [p for j in range(1, n_excl + 1) if (p := B - j * A) >= 1]
         return ("exclude", excl) if excl else ("plain", [])
     # A < 0: finite CSS match set {B, B+A, ...} ∩ [1, inf)
-    pos = list(range(B, 0, A))
-    if len(pos) > MAX_NTH_TERMS:
+    n_pos = 0 if B < 1 else (B - 1) // (-A) + 1
+    if n_pos > MAX_NTH_TERMS:
         raise CssError(f"nth expansion too large: {A}n+{B}")
-    return "expand", pos
+    return "expand", list(range(B, 0, A))
 
 
 def _compound_tag(simples: list) -> str | None:
@@ -278,9 +281,15 @@ def _implies_element(simple: tuple) -> bool:
 # Interpreter compilation (select.py algebra)
 # ---------------------------------------------------------------------------
 
+#: Java regex \s (ASCII-only) — the class the relational engine splits
+#: on; Python's bare str.split()/\s would add Unicode whitespace and
+#: break the two-engine lockstep (review repro: ' '-separated
+#: tokens)
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
 _ATTR_OPS = {
     "=": lambda v, t: v == t,
-    "~=": lambda v, t: t in v.split(),
+    "~=": lambda v, t: bool(t) and t in _ASCII_WS.split(v),
     "|=": lambda v, t: v == t or v.startswith(t + "-"),
     "^=": lambda v, t: bool(t) and v.startswith(t),
     "$=": lambda v, t: bool(t) and v.endswith(t),
@@ -408,7 +417,12 @@ def css_rel(s: str):
         if op == "=":
             pred = v == F.lit(val)
         elif op == "~=":
-            pred = F.array_contains(F.split(v, r"\s+"), val)
+            # same ASCII class + empty-operand guard as the
+            # interpreter's _ASCII_WS split (an unguarded empty val
+            # would match the empty edge token F.split leaves on
+            # whitespace-padded values)
+            pred = F.lit(bool(val)) & F.array_contains(
+                F.split(v, r"[ \t\n\x0B\f\r]+"), val)
         elif op == "|=":
             pred = (v == F.lit(val)) | v.startswith(val + "-")
         elif op == "^=":

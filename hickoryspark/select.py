@@ -308,7 +308,11 @@ def id_(x):
     return attr("id", lambda v: v.lower() == target)
 
 
-_WS_SPLIT = _re.compile(r"\s+")
+# the reference splits with Java's \s+, which is ASCII-only
+# ([ \t\n\x0B\f\r] — java.util.regex.Pattern docs); Python's re \s is
+# Unicode-aware, so a bare r"\s+" here would split on U+00A0 etc. and
+# diverge from both the reference and the relational engine
+_WS_SPLIT = _re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def cls(class_name):

@@ -121,6 +121,18 @@ def test_nth_expansion_guard():
         css("p:nth-child(n+100000)")
 
 
+def test_nth_guard_is_arithmetic_not_materialized():
+    # review repro: the guard must fire BEFORE any term list is built —
+    # a multi-GB expansion would MemoryError here instead of raising
+    import time
+    t0 = time.monotonic()
+    with pytest.raises(CssError):
+        css("p:nth-child(-n+2000000000)")
+    with pytest.raises(CssError):
+        css("p:nth-child(2n+2000000000)")
+    assert time.monotonic() - t0 < 1.0
+
+
 # ---------------------------------------------------------------------------
 # attribute operators
 # ---------------------------------------------------------------------------
@@ -128,7 +140,8 @@ def test_nth_expansion_guard():
 ATTR_DOC = as_hickory(parse(
     '<div><a id="a1" href="x.html" lang="en-US" data-k="alpha beta">1</a>'
     '<a id="a2" href="y.php" lang="en" data-k="beta-max">2</a>'
-    '<a id="a3" href="other.html" lang="fr">3</a></div>'
+    '<a id="a3" href="other.html" lang="fr">3</a>'
+    '<a id="a4" href="p.html" data-k=" pad ">4</a></div>'
 ))
 
 
@@ -142,13 +155,18 @@ def _attr_ids(css_str):
 @pytest.mark.parametrize("css_str,expect", [
     ("[lang=en]", {"a2"}),
     ("[lang|=en]", {"a1", "a2"}),
-    ('[href$=".html"]', {"a1", "a3"}),
+    ('[href$=".html"]', {"a1", "a3", "a4"}),
     ("[href^=x]", {"a1"}),
     ("[data-k~=beta]", {"a1"}),  # whitespace-token match, not substring
     ("[data-k*=beta]", {"a1", "a2"}),
     ('[data-k="alpha beta"]', {"a1"}),
-    ("[data-k]", {"a1", "a2"}),
+    ("[data-k]", {"a1", "a2", "a4"}),
     ('[href^=""]', set()),  # CSS: empty operand matches nothing
+    ("[data-k~=pad]", {"a4"}),  # edge-padded value still tokenizes
+    # review repro: empty ~= operand must match nothing (the padded
+    # value's empty edge token would otherwise satisfy array_contains
+    # on the relational side)
+    ('[data-k~=""]', set()),
 ])
 def test_attr_operators(css_str, expect):
     assert _attr_ids(css_str) == expect, css_str
@@ -187,6 +205,9 @@ CROSS = [
     "p:nth-child(2n+5)", "p:nth-child(-n+3)", "span:nth-child(odd)",
     "span:nth-of-type(2)", "span:nth-last-of-type(2n+3)",
     "div > *:last-child", '[href^=f]', "body > div > p, h1 ~ a",
+    # ~= lockstep repros: empty operand, edge-padded value, and a
+    # NON-ASCII (U+00A0) separator that Java \s would not split on
+    '[data-k~=""]', "[data-k~=x]", "[class~=m]", ".m",
 ]
 
 
@@ -202,6 +223,9 @@ def test_cross_engine_agreement():
         "select2": HTML2,
         "ten": "<div>" + "".join(
             f'<p id="p{i}">x</p>' for i in range(1, 11)) + "</div>",
+        # class uses U+00A0: NOT a separator under the
+        # Java/reference \\s, so neither engine may match '.m' here
+        "pad": '<div><a data-k=" x" class="m n">t</a></div>',
     }
     pages = spark.createDataFrame(
         [(n, h.encode("utf-8")) for n, h in docs.items()],

@@ -214,8 +214,10 @@ def p_tag(t):
 def p_class(c):
     def f(nv):
         cls = nv.attrs.get("class")
+        # ASCII whitespace only — the reference splits with Java \s+
+        # (select.cljc:241-251), which does NOT include U+00A0 etc.
         return cls is not None and c.lower() in [
-            x.lower() for x in re.split(r"\s+", cls) if x
+            x.lower() for x in re.split(r"[ \t\n\x0b\f\r]+", cls) if x
         ]
     return f
 
