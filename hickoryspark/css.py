@@ -16,8 +16,9 @@ wrong results):
 - ``[attr]``, ``[attr=v]``, ``[attr~=v]``, ``[attr|=v]``, ``[attr^=v]``,
   ``[attr$=v]``, ``[attr*=v]`` (value bare or single/double quoted,
   no backslash escapes)
-- ``:first-child``, ``:last-child``, ``:nth-child(An+B|odd|even|k)``,
-  ``:nth-last-child(..)``, ``:nth-of-type(..)``, ``:nth-last-of-type(..)``,
+- ``:first-child``, ``:last-child``, ``:only-child``, ``:root``,
+  ``:nth-child(An+B|odd|even|k)``, ``:nth-last-child(..)``,
+  ``:nth-of-type(..)``, ``:nth-last-of-type(..)``, ``:only-of-type``,
   ``:not(compound)``
 - combinators: descendant (space), ``>``, ``+``, ``~``; ``,`` for OR
 
@@ -73,8 +74,9 @@ _ATTR_RE = re.compile(
 #: pseudo-classes implying element-ness (their reference selectors
 #: start with an element/element-child check)
 _ELEMENT_PSEUDOS = {
-    "first-child", "last-child", "nth-child", "nth-last-child",
-    "nth-of-type", "nth-last-of-type",
+    "first-child", "last-child", "only-child", "root",
+    "nth-child", "nth-last-child",
+    "nth-of-type", "nth-last-of-type", "only-of-type",
 }
 
 
@@ -195,7 +197,8 @@ class _Parser:
 
     def _pseudo(self) -> tuple:
         name = self._ident("pseudo-class name").lower()
-        if name in ("first-child", "last-child"):
+        if name in ("first-child", "last-child", "only-child", "root",
+                    "only-of-type"):
             return (name,)
         if name in ("nth-child", "nth-last-child",
                     "nth-of-type", "nth-last-of-type"):
@@ -336,6 +339,17 @@ def _compile_simple_interp(simple: tuple, comp_tag: str | None):
         return S.first_child
     if k == "last-child":
         return S.last_child
+    if k == "only-child":
+        return S.and_(S.first_child, S.last_child)
+    if k == "root":
+        return S.root
+    if k == "only-of-type":
+        if comp_tag is None:
+            raise CssError(
+                ":only-of-type needs a type selector in its compound "
+                "(the engine's nth-of-type is tag-parameterized)")
+        return S.and_(S.nth_of_type(0, 1, comp_tag),
+                      S.nth_last_of_type(0, 1, comp_tag))
     if k == "nth-child":
         return _nth_terms_interp(
             S.nth_child, lambda p: S.nth_child(0, p), simple[1], simple[2])
@@ -396,7 +410,7 @@ def css(s: str):
 
 def _ast_uses_of_type(ast) -> bool:
     if isinstance(ast, tuple) and ast and isinstance(ast[0], str):
-        if ast[0] in ("nth-of-type", "nth-last-of-type"):
+        if ast[0] in ("nth-of-type", "nth-last-of-type", "only-of-type"):
             return True
     if isinstance(ast, (tuple, list)):
         return any(_ast_uses_of_type(x) for x in ast)
@@ -469,6 +483,18 @@ def css_rel(s: str):
             return R.p_first_child()
         if k == "last-child":
             return R.p_last_child()
+        if k == "only-child":
+            return R.p_first_child() & R.p_last_child()
+        if k == "root":
+            return R.p_root()
+        if k == "only-of-type":
+            if comp_tag is None:
+                raise CssError(
+                    ":only-of-type needs a type selector in its "
+                    "compound (the engine's nth-of-type is "
+                    "tag-parameterized)")
+            return (R.p_nth_of_type(0, 1, comp_tag)
+                    & R.p_nth_last_of_type(0, 1, comp_tag))
         if k == "nth-child":
             return nth_col(R.p_nth_child, simple[1], simple[2])
         if k == "nth-last-child":

@@ -50,15 +50,22 @@ EQUIV = [
     ("span:first-child", S.and_(S.tag("span"), S.first_child)),
     ("span:last-child", S.and_(S.tag("span"), S.last_child)),
     ("span:nth-child(odd)", S.and_(S.tag("span"), S.nth_child(2, 1))),
+    (":root", S.root),
+    ("span:only-child",
+     S.and_(S.tag("span"), S.and_(S.first_child, S.last_child))),
+    ("span:only-of-type",
+     S.and_(S.tag("span"), S.nth_of_type(0, 1, "span"),
+            S.nth_last_of_type(0, 1, "span"))),
     # whitespace-insensitive combinator spelling
     ("body>div  span", S.descendant(
         S.child(S.tag("body"), S.tag("div")), S.tag("span"))),
 ]
 
 
-#: fixture-empty selectors (every div in HTML1/2 has class cool) —
+#: fixture-empty selectors (every div in HTML1/2 has class cool;
+#: no fixture element is an only-child/only-of-type span) —
 #: equivalence still graded, just no non-empty guard
-_EMPTY_OK = {"div:not(.cool)"}
+_EMPTY_OK = {"div:not(.cool)", "span:only-child", "span:only-of-type"}
 
 
 @pytest.mark.parametrize("css_str,hand", EQUIV, ids=[c for c, _ in EQUIV])
@@ -112,6 +119,24 @@ def _positions(css_str):
 ])
 def test_nth_css_exact(css_str, expect):
     assert _positions(css_str) == expect, css_str
+
+
+ONLY = as_hickory(parse(
+    '<div><p id="p1">1</p><span id="s">s</span>'
+    '<p id="p2">2</p><em id="e">e</em></div>'
+))
+
+
+@pytest.mark.parametrize("css_str,expect", [
+    ("span:only-of-type", {"s"}),
+    ("em:only-of-type", {"e"}),
+    ("p:only-of-type", set()),
+    ("p:only-child", set()),
+])
+def test_only_pseudos(css_str, expect):
+    got = {loc.doc.attrs[loc.i]["id"]
+           for loc in S.select_locs(css(css_str), ONLY)}
+    assert got == expect, css_str
 
 
 def test_nth_expansion_guard():
@@ -179,7 +204,8 @@ def test_attr_operators(css_str, expect):
 @pytest.mark.parametrize("bad", [
     "", "  ", ",a", "a,,b", "a >", "div::before", "p:hover",
     "[href", "[=x]", "p:nth-child()", "p:nth-child(2m+1)",
-    "*:nth-of-type(2)", ":not(", "a:not(b", "a b )", "p:nth-child(2n+1",
+    "*:nth-of-type(2)", "*:only-of-type", ":not(", "a:not(b", "a b )",
+    "p:nth-child(2n+1",
 ])
 def test_rejects_unsupported(bad):
     with pytest.raises(CssError):
@@ -208,6 +234,7 @@ CROSS = [
     # ~= lockstep repros: empty operand, edge-padded value, and a
     # NON-ASCII (U+00A0) separator that Java \s would not split on
     '[data-k~=""]', "[data-k~=x]", "[class~=m]", ".m",
+    ":root", "a:only-child", "span:only-of-type", "em:only-of-type",
 ]
 
 
@@ -226,6 +253,7 @@ def test_cross_engine_agreement():
         # class uses U+00A0: NOT a separator under the
         # Java/reference \\s, so neither engine may match '.m' here
         "pad": '<div><a data-k=" x" class="m n">t</a></div>',
+        "only": '<div><p>1</p><span>s</span><p>2</p><em>e</em></div>',
     }
     pages = spark.createDataFrame(
         [(n, h.encode("utf-8")) for n, h in docs.items()],
