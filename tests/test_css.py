@@ -271,3 +271,98 @@ def test_cross_engine_agreement():
             for loc in S.select_locs(css(s), tree):
                 interp.add((name, loc.i))
         assert rel == interp, f"css engines diverge on {s!r}"
+
+
+# ---------------------------------------------------------------------------
+# parser property: random ASTs render to strings that re-parse to the
+# SAME AST (hypothesis over the full supported grammar)
+# ---------------------------------------------------------------------------
+
+def _render_simple(sm):
+    k = sm[0]
+    if k == "tag":
+        return sm[1]
+    if k == "universal":
+        return "*"
+    if k == "id":
+        return "#" + sm[1]
+    if k == "class":
+        return "." + sm[1]
+    if k == "attr":
+        _, name, op, val = sm
+        return f"[{name}]" if op is None else f'[{name}{op}"{val}"]'
+    if k in ("first-child", "last-child", "only-child", "root",
+             "only-of-type"):
+        return ":" + k
+    if k == "not":
+        return ":not(" + _render_compound(sm[1]) + ")"
+    # nth family: (name, A, B)
+    _, A, B = sm
+    return f":{k}({A}n{'+' if B >= 0 else '-'}{abs(B)})"
+
+
+def _render_compound(simples):
+    return "".join(_render_simple(s) for s in simples)
+
+
+def _render_ast(ast):
+    assert ast[0] == "or"
+    outs = []
+    for _, head, chain in ast[1]:
+        s = _render_compound(head)
+        for comb, comp in chain:
+            s += (" " if comb == " " else f" {comb} ") + _render_compound(comp)
+        outs.append(s)
+    return ", ".join(outs)
+
+
+def test_parser_roundtrips_generated_asts():
+    from hypothesis import given, settings, strategies as st
+
+    ident = st.sampled_from(["a", "div", "nav2", "x-y", "B_c"])
+    value = st.sampled_from(["", "v", "two words", "a'b", ")", "~=", ","])
+    nth = st.tuples(st.integers(-3, 3), st.integers(-2, 8))
+    leaf = st.one_of(
+        st.builds(lambda t: ("tag", t), ident),
+        st.just(("universal",)),
+        st.builds(lambda v: ("id", v), ident),
+        st.builds(lambda v: ("class", v), ident),
+        st.builds(lambda n: ("attr", n, None, None), ident),
+        st.builds(lambda n, o, v: ("attr", n, o, v), ident,
+                  st.sampled_from(["=", "~=", "|=", "^=", "$=", "*="]), value),
+        st.sampled_from([("first-child",), ("last-child",),
+                         ("only-child",), ("root",)]),
+        st.builds(lambda ab: ("nth-child", *ab), nth),
+        st.builds(lambda ab: ("nth-last-child", *ab), nth),
+    )
+    # compound: optional tag first, then non-tag simples (parser rule);
+    # :not nests one level with a single simple
+    notp = st.builds(lambda s: ("not", [s]), leaf.filter(
+        lambda s: s[0] != "tag"))
+
+    def mk_compound(tag, rest):
+        out = ([("tag", tag)] if tag else [])
+        out += [s for s in rest if s[0] != "tag"]
+        return out or [("universal",)]
+
+    compound = st.builds(
+        mk_compound,
+        st.one_of(st.none(), ident),
+        st.lists(st.one_of(leaf, notp), min_size=0, max_size=3),
+    )
+    complex_ = st.builds(
+        lambda h, ch: ("chain", h, ch),
+        compound,
+        st.lists(st.tuples(st.sampled_from([" ", ">", "+", "~"]), compound),
+                 min_size=0, max_size=3),
+    )
+    selector = st.builds(lambda cs: ("or", cs),
+                         st.lists(complex_, min_size=1, max_size=3))
+
+    @settings(max_examples=300, deadline=None)
+    @given(selector)
+    def check(ast):
+        s = _render_ast(ast)
+        assert parse_css(s) == ast, s
+
+    check()
