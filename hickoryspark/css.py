@@ -19,7 +19,12 @@ wrong results):
 - ``:first-child``, ``:last-child``, ``:only-child``, ``:root``,
   ``:nth-child(An+B|odd|even|k)``, ``:nth-last-child(..)``,
   ``:nth-of-type(..)``, ``:nth-last-of-type(..)``, ``:only-of-type``,
-  ``:not(compound)``
+  ``:first-of-type``, ``:last-of-type``, ``:empty``,
+  ``:not(compound)``, ``:is(compound, ...)`` / ``:where(compound, ...)``
+  (compound branches only — a complex selector inside raises), and
+  ``:has(rel, ...)`` with relative compounds ``X`` / ``> X`` / ``+ X``
+  / ``~ X`` (maps to the reference's has-descendant / has-child /
+  precede-adjacent / precede, select.cljc:531-723)
 - combinators: descendant (space), ``>``, ``+``, ``~``; ``,`` for OR
 
 Semantics notes:
@@ -38,9 +43,14 @@ Semantics notes:
   (``<html>``'s parent is the document, so ``html:nth-child(1)`` does
   not match — select.cljc:265-274). Attr VALUES in ``[a=v]`` compare
   case-sensitively (CSS default).
-- ``:nth-of-type`` variants need the compound's type selector (the
-  engine's nth-of-type is tag-parameterized, select.cljc:329-351);
-  ``*:nth-of-type(2)`` raises.
+- ``:nth-of-type`` variants (incl. ``:first-of-type``/``:last-of-type``)
+  need the compound's type selector (the engine's nth-of-type is
+  tag-parameterized, select.cljc:329-351); ``*:nth-of-type(2)`` raises.
+- ``:empty`` is CSS-exact: any element or text child makes the element
+  non-empty; comment children are ignored (their data string is a
+  child of the COMMENT node, never of the element).
+- ``:where`` compiles identically to ``:is`` (they differ only in
+  specificity, which selection does not use).
 
 Relational compilation collapses every Column-level simple of a
 compound into ONE ``where`` conjunction — pushed into the scan inside
@@ -77,6 +87,7 @@ _ELEMENT_PSEUDOS = {
     "first-child", "last-child", "only-child", "root",
     "nth-child", "nth-last-child",
     "nth-of-type", "nth-last-of-type", "only-of-type",
+    "first-of-type", "last-of-type",
 }
 
 
@@ -198,7 +209,8 @@ class _Parser:
     def _pseudo(self) -> tuple:
         name = self._ident("pseudo-class name").lower()
         if name in ("first-child", "last-child", "only-child", "root",
-                    "only-of-type"):
+                    "only-of-type", "first-of-type", "last-of-type",
+                    "empty"):
             return (name,)
         if name in ("nth-child", "nth-last-child",
                     "nth-of-type", "nth-last-of-type"):
@@ -215,7 +227,60 @@ class _Parser:
                 raise self.err("unclosed :not(")
             self.i += 1
             return ("not", inner)
+        if name in ("is", "where"):
+            return ("is", self._compound_list(f":{name}"))
+        if name == "has":
+            return ("has", self._relative_list())
         raise CssError(f"unsupported pseudo-class :{name}")
+
+    def _compound_list(self, what: str) -> list:
+        """Comma-separated COMPOUND branches inside parentheses (the
+        supported :is/:where subset; a complex selector raises)."""
+        if self.peek() != "(":
+            raise self.err(f"{what} needs parentheses")
+        self.i += 1
+        branches = []
+        while True:
+            self.skip_ws()
+            branches.append(self.parse_compound())
+            self.skip_ws()
+            ch = self.peek()
+            if ch == ",":
+                self.i += 1
+                continue
+            if ch == ")":
+                self.i += 1
+                return branches
+            raise self.err(
+                f"{what} supports compound branches only (expected , or ))")
+
+    def _relative_list(self) -> list:
+        """:has argument: comma-separated relative compounds, each an
+        optional leading combinator (>, +, ~; default descendant) plus
+        ONE compound."""
+        if self.peek() != "(":
+            raise self.err(":has needs parentheses")
+        self.i += 1
+        branches = []
+        while True:
+            self.skip_ws()
+            comb = " "
+            if self.peek() in ">+~":
+                comb = self.peek()
+                self.i += 1
+                self.skip_ws()
+            branches.append((comb, self.parse_compound()))
+            self.skip_ws()
+            ch = self.peek()
+            if ch == ",":
+                self.i += 1
+                continue
+            if ch == ")":
+                self.i += 1
+                return branches
+            raise self.err(
+                ":has supports one relative compound per branch "
+                "(expected , or ))")
 
     def _paren_raw(self) -> str:
         if self.peek() != "(":
@@ -304,6 +369,13 @@ def _never(loc):
     return None
 
 
+def _non_comment(loc):
+    """any child node EXCEPT a comment — the CSS :empty notion of
+    content (a comment's data string is the comment's own child, so it
+    never reaches a direct-child walk of the element)."""
+    return None if loc.type_name() == "comment" else loc
+
+
 def _nth_terms_interp(base, exact, A: int, B: int):
     """base(A,B)/exact(k) are the engine's nth constructors; returns
     the CSS-exact selector list to AND (or a single or-selector)."""
@@ -366,9 +438,38 @@ def _compile_simple_interp(simple: tuple, comp_tag: str | None):
         return _nth_terms_interp(
             lambda a, b: ctor(a, b, comp_tag),
             lambda p: ctor(0, p, comp_tag), simple[1], simple[2])
+    if k in ("first-of-type", "last-of-type"):
+        if comp_tag is None:
+            raise CssError(
+                f":{k} needs a type selector in its compound (the "
+                "engine's nth-of-type is tag-parameterized)")
+        ctor = S.nth_of_type if k == "first-of-type" else S.nth_last_of_type
+        return ctor(0, 1, comp_tag)
+    if k == "empty":
+        return S.not_(S.has_child(_non_comment))
     if k == "not":
         return S.not_(_compile_compound_interp(simple[1]))
+    if k == "is":
+        sels = [_compile_compound_interp(c) for c in simple[1]]
+        return sels[0] if len(sels) == 1 else S.or_(*sels)
+    if k == "has":
+        sels = [_compile_has_branch_interp(comb, comp)
+                for comb, comp in simple[1]]
+        return sels[0] if len(sels) == 1 else S.or_(*sels)
     raise CssError(f"unsupported simple selector {k!r}")
+
+
+def _compile_has_branch_interp(comb: str, comp: list):
+    inner = _compile_compound_interp(comp)
+    if comb == " ":
+        return S.has_descendant(inner)
+    if comb == ">":
+        return S.has_child(inner)
+    # sibling forms anchor at the candidate itself (always an element —
+    # the compound compiler conjoins element-ness)
+    if comb == "+":
+        return S.precede_adjacent(S.element, inner)
+    return S.precede(S.element, inner)
 
 
 def _compile_compound_interp(simples: list):
@@ -410,7 +511,8 @@ def css(s: str):
 
 def _ast_uses_of_type(ast) -> bool:
     if isinstance(ast, tuple) and ast and isinstance(ast[0], str):
-        if ast[0] in ("nth-of-type", "nth-last-of-type", "only-of-type"):
+        if ast[0] in ("nth-of-type", "nth-last-of-type", "only-of-type",
+                      "first-of-type", "last-of-type"):
             return True
     if isinstance(ast, (tuple, list)):
         return any(_ast_uses_of_type(x) for x in ast)
@@ -508,9 +610,54 @@ def css_rel(s: str):
                     else R.p_nth_last_of_type)
             return nth_col(
                 lambda a, b: ctor(a, b, comp_tag), simple[1], simple[2])
-        if k == "not":
+        if k in ("first-of-type", "last-of-type"):
+            if comp_tag is None:
+                raise CssError(
+                    f":{k} needs a type selector in its compound (the "
+                    "engine's nth-of-type is tag-parameterized)")
+            ctor = (R.p_nth_of_type if k == "first-of-type"
+                    else R.p_nth_last_of_type)
+            return ctor(0, 1, comp_tag)
+        if k == "is":
+            # fuses to one OR Column when every branch is pure-column;
+            # None sends the compound to the join algebra
+            return is_cols(simple[1])
+        if k in ("not", "has", "empty"):
             return None
         raise CssError(f"unsupported simple selector {k!r}")
+
+    def is_cols(branches):
+        """One OR Column for :is(...) when every branch compiles to
+        Column conjunctions (no :not/:has/:empty anywhere), else None."""
+        outs = []
+        for comp in branches:
+            conj = None
+            if not any(_implies_element(x) for x in comp):
+                conj = R.p_element()
+            ct = _compound_tag(comp)
+            for sm in comp:
+                if sm[0] in ("not", "has", "empty"):
+                    return None
+                col = simple_col(sm, ct)  # nested :is recurses here
+                if col is None:
+                    return None
+                conj = col if conj is None else conj & col
+            outs.append(conj)
+        out = outs[0]
+        for col in outs[1:]:
+            out = out | col
+        return out
+
+    def has_branch_rel(comb, comp):
+        inner = compile_compound(comp)
+        if comb == " ":
+            return R.has_descendant_rel(inner)
+        if comb == ">":
+            return R.has_child_rel(inner)
+        anchor = R.where(R.p_element())
+        if comb == "+":
+            return R.precede_adjacent_rel(anchor, inner)
+        return R.precede_rel(anchor, inner)
 
     def compile_compound(simples):
         comp_tag = _compound_tag(simples)
@@ -521,8 +668,21 @@ def css_rel(s: str):
             col = simple_col(sm, comp_tag)
             if col is not None:
                 cols.append(col)
-            else:  # :not — anti-join in the algebra
+            elif sm[0] == "not":  # anti-join in the algebra
                 joins.append(R.not_rel(compile_compound(sm[1])))
+            elif sm[0] == "empty":
+                joins.append(R.not_rel(R.has_child_rel(
+                    R.where(~R.p_node_type("comment")))))
+            elif sm[0] == "is":  # some branch needs the join algebra
+                branch_sels = [compile_compound(c) for c in sm[1]]
+                joins.append(branch_sels[0] if len(branch_sels) == 1
+                             else R.or_rel(*branch_sels))
+            elif sm[0] == "has":
+                branch_sels = [has_branch_rel(c, comp) for c, comp in sm[1]]
+                joins.append(branch_sels[0] if len(branch_sels) == 1
+                             else R.or_rel(*branch_sels))
+            else:  # pragma: no cover — parser emits no other join kind
+                raise CssError(f"unsupported simple selector {sm[0]!r}")
         sels = []
         if cols:
             conj = cols[0]

@@ -139,6 +139,75 @@ def test_only_pseudos(css_str, expect):
     assert got == expect, css_str
 
 
+# ---------------------------------------------------------------------------
+# :has / :is / :where / :empty / :first-of-type / :last-of-type
+# ---------------------------------------------------------------------------
+
+HASDOC_HTML = (
+    '<div id="d1"><span id="s1">x</span><p id="p1"></p>'
+    '<p id="p2"><!--c--></p><em id="e1">e</em></div>'
+    '<div id="d2"><b id="b1">t</b><p id="p3"> </p></div>'
+)
+HASDOC = as_hickory(parse(HASDOC_HTML))
+
+
+def _has_ids(sel):
+    out = set()
+    for loc in S.select_locs(sel, HASDOC):
+        a = loc.doc.attrs[loc.i]
+        if a and "id" in a:
+            out.add(a["id"])
+    return out
+
+
+@pytest.mark.parametrize("css_str,expect", [
+    # :empty — CSS-exact: comment child ignored (p2), whitespace text
+    # child counts (p3 non-empty)
+    ("p:empty", {"p1", "p2"}),
+    ("span:not(:empty)", {"s1"}),
+    ("div:has(span)", {"d1"}),
+    ("div:has(> span)", {"d1"}),
+    ("div:has(> b, > span)", {"d1", "d2"}),
+    ("span:has(+ p)", {"s1"}),
+    ("p:has(+ p)", {"p1"}),
+    ("p:has(~ em)", {"p1", "p2"}),
+    ("b:has(+ span)", set()),
+    ("p:first-of-type", {"p1", "p3"}),
+    ("p:last-of-type", {"p2", "p3"}),
+    (":is(span, em)", {"s1", "e1"}),
+    (":where(span, em)", {"s1", "e1"}),
+    (":is(p:first-of-type, b)", {"p1", "p3", "b1"}),
+    ("div:is(#d2)", {"d2"}),
+    ("div:has(p:empty)", {"d1"}),
+], ids=lambda v: v if isinstance(v, str) else None)
+def test_has_is_empty_pseudos(css_str, expect):
+    assert _has_ids(css(css_str)) == expect, css_str
+
+
+EQUIV_HAS = [
+    ("div:has(span)",
+     S.and_(S.tag("div"), S.has_descendant(S.tag("span")))),
+    ("div:has(> span)",
+     S.and_(S.tag("div"), S.has_child(S.tag("span")))),
+    ("span:has(+ p)",
+     S.and_(S.tag("span"), S.precede_adjacent(S.element, S.tag("p")))),
+    ("p:has(~ em)",
+     S.and_(S.tag("p"), S.precede(S.element, S.tag("em")))),
+    (":is(span, em)",
+     S.and_(S.element, S.or_(S.tag("span"), S.tag("em")))),
+    ("p:first-of-type", S.and_(S.tag("p"), S.nth_of_type(0, 1, "p"))),
+    ("p:last-of-type", S.and_(S.tag("p"), S.nth_last_of_type(0, 1, "p"))),
+]
+
+
+@pytest.mark.parametrize("css_str,hand", EQUIV_HAS,
+                         ids=[c for c, _ in EQUIV_HAS])
+def test_has_equivalent_to_hand_built(css_str, hand):
+    got = _has_ids(css(css_str))
+    assert got == _has_ids(hand), css_str
+    assert got, f"{css_str} matched nothing — fixture drifted?"
+
+
 def test_nth_expansion_guard():
     with pytest.raises(CssError):
         css("p:nth-child(-n+100000)")
@@ -206,6 +275,11 @@ def test_attr_operators(css_str, expect):
     "[href", "[=x]", "p:nth-child()", "p:nth-child(2m+1)",
     "*:nth-of-type(2)", "*:only-of-type", ":not(", "a:not(b", "a b )",
     "p:nth-child(2n+1",
+    # :is/:where/:has subset boundaries — complex selectors inside
+    # raise, never silently mis-select
+    ":is()", ":has()", ":is(a b)", ":is(a > b)", ":has(a b)",
+    ":has(+ )", ":is(a,)", ":where(a,", "a:has(b", "*:first-of-type",
+    "*:last-of-type",
 ])
 def test_rejects_unsupported(bad):
     with pytest.raises(CssError):
@@ -235,6 +309,15 @@ CROSS = [
     # NON-ASCII (U+00A0) separator that Java \s would not split on
     '[data-k~=""]', "[data-k~=x]", "[class~=m]", ".m",
     ":root", "a:only-child", "span:only-of-type", "em:only-of-type",
+    # :has / :is / :empty family (the hasdoc fixture exercises comment
+    # vs whitespace-text children and all four :has combinators)
+    "p:empty", "span:not(:empty)", "div:has(span)", "div:has(> span)",
+    "div:has(> b, > span)", "span:has(+ p)", "p:has(~ em)",
+    "div:has(p:empty)", "p:first-of-type", "span:last-of-type",
+    ":is(span, em)", ":where(div.cool, b)",
+    # :not inside a branch forces the relational :is onto the
+    # join-algebra path (is_cols returns None)
+    ":is(span:not(.cool), em)", "div:is(.cool):has(span)",
 ]
 
 
@@ -254,6 +337,7 @@ def test_cross_engine_agreement():
         # Java/reference \\s, so neither engine may match '.m' here
         "pad": '<div><a data-k=" x" class="m n">t</a></div>',
         "only": '<div><p>1</p><span>s</span><p>2</p><em>e</em></div>',
+        "hasdoc": HASDOC_HTML,
     }
     pages = spark.createDataFrame(
         [(n, h.encode("utf-8")) for n, h in docs.items()],
@@ -292,10 +376,16 @@ def _render_simple(sm):
         _, name, op, val = sm
         return f"[{name}]" if op is None else f'[{name}{op}"{val}"]'
     if k in ("first-child", "last-child", "only-child", "root",
-             "only-of-type"):
+             "only-of-type", "first-of-type", "last-of-type", "empty"):
         return ":" + k
     if k == "not":
         return ":not(" + _render_compound(sm[1]) + ")"
+    if k == "is":
+        return ":is(" + ", ".join(_render_compound(c) for c in sm[1]) + ")"
+    if k == "has":
+        return ":has(" + ", ".join(
+            ("" if comb == " " else comb + " ") + _render_compound(c)
+            for comb, c in sm[1]) + ")"
     # nth family: (name, A, B)
     _, A, B = sm
     return f":{k}({A}n{'+' if B >= 0 else '-'}{abs(B)})"
@@ -331,7 +421,8 @@ def test_parser_roundtrips_generated_asts():
         st.builds(lambda n, o, v: ("attr", n, o, v), ident,
                   st.sampled_from(["=", "~=", "|=", "^=", "$=", "*="]), value),
         st.sampled_from([("first-child",), ("last-child",),
-                         ("only-child",), ("root",)]),
+                         ("only-child",), ("root",), ("empty",),
+                         ("first-of-type",), ("last-of-type",)]),
         st.builds(lambda ab: ("nth-child", *ab), nth),
         st.builds(lambda ab: ("nth-last-child", *ab), nth),
     )
@@ -345,10 +436,24 @@ def test_parser_roundtrips_generated_asts():
         out += [s for s in rest if s[0] != "tag"]
         return out or [("universal",)]
 
+    base_compound = st.builds(
+        mk_compound,
+        st.one_of(st.none(), ident),
+        st.lists(st.one_of(leaf, notp), min_size=0, max_size=2),
+    )
+    # :is/:where branches and :has relative branches reuse the base
+    # compound one level deep (the supported nesting)
+    isp = st.builds(lambda cs: ("is", cs),
+                    st.lists(base_compound, min_size=1, max_size=2))
+    hasp = st.builds(
+        lambda bs: ("has", bs),
+        st.lists(st.tuples(st.sampled_from([" ", ">", "+", "~"]),
+                           base_compound), min_size=1, max_size=2))
+
     compound = st.builds(
         mk_compound,
         st.one_of(st.none(), ident),
-        st.lists(st.one_of(leaf, notp), min_size=0, max_size=3),
+        st.lists(st.one_of(leaf, notp, isp, hasp), min_size=0, max_size=3),
     )
     complex_ = st.builds(
         lambda h, ch: ("chain", h, ch),
