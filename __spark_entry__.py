@@ -662,6 +662,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out["sel_css"] = q_sel_css
 
+    # round-5 CSS pseudo additions (:has with all four relative
+    # combinators via precede/precede-adjacent/has-descendant, and
+    # :first-of-type) in ONE selector string; the four arms hit
+    # disjoint tag sets (p / td / a / tr), so the oracle is the sum of
+    # their closed forms: p:has(~ a) = the sel_precede form
+    # (np*has_link main paras + the footer fine-print p), td:has(+ td)
+    # = 1 on the nested-table nav's outer row (variant 1),
+    # tr:first-of-type = both single-tr tbodies (variant 1), a:has(b)
+    # = the l5 nested-markup anchor (variant 3).
+    def q_sel_css_has(spark, sf_dir):
+        from hickoryspark.css import css_rel
+
+        return _sel_count_query(
+            lambda: css_rel("p:has(~ a), td:has(+ td), a:has(b), tr:first-of-type")
+        )(spark, sf_dir)
+
+    out["sel_css_has"] = q_sel_css_has
+
     # parse / render / extract (§2.1, §2.6, north rule)
     out["parse_node_stats"] = _q_parse_node_stats
     out["render_roundtrip"] = _q_render_roundtrip
@@ -1575,6 +1593,9 @@ _GATE_PRIORITY = [
     # the page template does not contain) and which was driver-green
     # in r4
     "sel_css",
+    # sel_css_has is NEW (late round 5): :has / :is / :empty /
+    # :first/:last-of-type landed in css.py after the r5 verdict items
+    "sel_css_has",
     "sel_any",
     "sel_element_child",
     "sel_first_child",
@@ -1765,6 +1786,10 @@ def oracle_sql() -> dict[str, str]:
         # css front-end: "body > div > p, h1 ~ a" = sel_child ∪
         # sel_follow over disjoint tag sets → sum of their closed forms
         "sel_css": c(f"np + 1 + {_L}"),
+        # css :has/:first-of-type — disjoint-tag arm sum (see the
+        # query's derivation comment); independently re-derived in
+        # tools/independent_oracle_check.py
+        "sel_css_has": c(f"1 + np * {_L} + {_dv([0, 3, 0, 1])}"),
         "sel_precede": c(f"np * {_L} + 1"),
         "sel_interp_combo": c("(np+1)//2"),
         "sel_interp_descendant": c(_L),

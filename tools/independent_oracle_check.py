@@ -478,6 +478,16 @@ SEL_PREDICATES = {
         p_child(p_tag("body"), p_tag("div"), p_tag("p")),
         p_follow(p_tag("h1"), p_tag("a")),
     ),
+    # sel_css_has gates the round-5 pseudo additions
+    # "p:has(~ a), td:has(+ td), a:has(b), tr:first-of-type" — the
+    # four :has relative forms map to precede / precede-adjacent /
+    # has-descendant and first-of-type to exact nth-of-type(0,1)
+    "sel_css_has": p_or(
+        p_precede(p_tag("p"), p_tag("a")),
+        p_precede_adjacent(p_tag("td"), p_tag("td")),
+        p_and(p_tag("a"), p_has_descendant(p_tag("b"))),
+        p_nth_of_type(0, 1, "tr"),
+    ),
 }
 
 
