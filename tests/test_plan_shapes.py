@@ -276,3 +276,25 @@ def test_extract_links_single_url_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     spark.catalog.clearCache()
+
+
+def test_css_is_fuses_to_one_filter_and_has_equi_joins(spark):
+    """css_rel: a compound whose :is branches are all pure-column must
+    compile to a SINGLE Filter over the node scan — no join, no
+    exchange beyond what the node table itself needs (the fused-OR
+    claim in css.py's docstring); :has compounds join but must stay
+    equi-joins (never BroadcastNestedLoopJoin)."""
+    from hickoryspark.css import css_rel
+    from hickoryspark.spark.nodes_table import explode_nodes
+    from hickoryspark.spark.pages import load_pages
+
+    nodes = explode_nodes(load_pages(spark, SF_DIR))
+    base_plan = _plan(nodes.where("type = 1"))
+    fused = _plan(css_rel("div:is(.content, .footer)[id]")(nodes))
+    assert "Join" not in fused, fused
+    assert fused.count("Exchange") == base_plan.count("Exchange"), fused
+    assert fused.count("Filter") == base_plan.count("Filter"), fused
+
+    for s in ("div:has(> a)", "td:has(+ td)", "p:empty"):
+        plan = _plan(css_rel(s)(nodes))
+        assert "BroadcastNestedLoopJoin" not in plan, (s, plan)
