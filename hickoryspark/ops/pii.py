@@ -1,0 +1,122 @@
+"""PII detection / redaction over text columns: emails, IPv4
+addresses, phone numbers.
+
+The standard web-corpus scrubbing pass (C4/refined-web style): match
+conservative ASCII patterns and replace with typed placeholder tokens.
+Everything is ``regexp_replace`` / ``regexp_extract_all`` column
+expressions — whole-stage codegen, zero Python, no shuffle — with an
+exact DuckDB mirror (``duckdb_redact_sql`` / ``duckdb_count_sql``) for
+the correctness oracle.
+
+Dialect rules (the ops/urls.py lesson): every pattern must mean the
+same thing to Java regex (Spark) and RE2 (DuckDB) — explicit ``[0-9]``
+classes, no ``$`` / ``.``-tails, no backreferences; ``\\b`` is the
+ASCII word boundary in both. Alternation is avoided entirely (the two
+phone shapes are two sequential rules) so leftmost-first vs
+leftmost-longest can never diverge. Rules apply IN ORDER — emails
+first so an address's numeric fragments can't half-match as a phone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "PII_RULES", "redact_pii_col", "redact_pii", "pii_counts",
+    "pii_report", "duckdb_redact_sql", "duckdb_count_sql",
+]
+
+_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+#: international numbers, separated ("+12 345 6789") then compact
+#: ("+123456789") — two rules, not one alternation (see module doc)
+_PHONE_SEP = r"\+[0-9]{1,3}(?:[ -][0-9]{2,5}){2,5}"
+_PHONE_COMPACT = r"\+[0-9]{7,15}"
+
+#: (kind, pattern, replacement) applied in order
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", _EMAIL, "<EMAIL>"),
+    ("ip", _IPV4, "<IP>"),
+    ("phone", _PHONE_SEP, "<PHONE>"),
+    ("phone", _PHONE_COMPACT, "<PHONE>"),
+]
+
+
+def redact_pii_col(col: Column) -> Column:
+    """The redaction chain as a single Column expression."""
+    for _, pat, repl in PII_RULES:
+        col = F.regexp_replace(col, pat, repl)
+    return col
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "text_redacted") -> DataFrame:
+    """All input columns plus ``out_col`` with PII placeholders."""
+    return df.withColumn(out_col, redact_pii_col(F.col(text_col)))
+
+
+def _count_cols(col: Column) -> dict[str, Column]:
+    """Non-overlapping match counts per kind on the ORIGINAL text
+    (phone counts the separated form first, then compact matches in
+    the remainder, mirroring the redaction order)."""
+    sep_removed = F.regexp_replace(col, _PHONE_SEP, " ")
+    return {
+        "n_email": F.size(F.regexp_extract_all(col, F.lit(_EMAIL), 0)),
+        "n_ip": F.size(F.regexp_extract_all(col, F.lit(_IPV4), 0)),
+        "n_phone": (
+            F.size(F.regexp_extract_all(col, F.lit(_PHONE_SEP), 0))
+            + F.size(
+                F.regexp_extract_all(sep_removed, F.lit(_PHONE_COMPACT), 0)
+            )
+        ),
+    }
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_email, n_ip, n_phone)."""
+    cols = _count_cols(F.col(text_col))
+    return df.select(
+        "doc_id", *(c.cast("long").alias(k) for k, c in cols.items())
+    )
+
+
+def pii_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_email, n_ip, n_phone, text_redacted) — counts and
+    redaction in ONE projection over the scan (no join, no second
+    pass)."""
+    col = F.col(text_col)
+    cols = _count_cols(col)
+    return df.select(
+        "doc_id",
+        *(c.cast("long").alias(k) for k, c in cols.items()),
+        redact_pii_col(col).alias("text_redacted"),
+    )
+
+
+def _sql_quote(pat: str) -> str:
+    return "'" + pat.replace("'", "''") + "'"
+
+
+def duckdb_redact_sql(expr: str) -> str:
+    """DuckDB expression mirroring ``redact_pii_col`` over ``expr``
+    (RE2 + 'g' flag; Spark's regexp_replace is global by default)."""
+    for _, pat, repl in PII_RULES:
+        expr = f"regexp_replace({expr}, {_sql_quote(pat)}, '{repl}', 'g')"
+    return expr
+
+
+def duckdb_count_sql(expr: str) -> dict[str, str]:
+    """DuckDB expressions mirroring ``pii_counts`` over ``expr``."""
+    sep_removed = (
+        f"regexp_replace({expr}, {_sql_quote(_PHONE_SEP)}, ' ', 'g')"
+    )
+    return {
+        "n_email": f"len(regexp_extract_all({expr}, {_sql_quote(_EMAIL)}))",
+        "n_ip": f"len(regexp_extract_all({expr}, {_sql_quote(_IPV4)}))",
+        "n_phone": (
+            f"len(regexp_extract_all({expr}, {_sql_quote(_PHONE_SEP)}))"
+            f" + len(regexp_extract_all({sep_removed},"
+            f" {_sql_quote(_PHONE_COMPACT)}))"
+        ),
+    }
