@@ -626,22 +626,31 @@ def css_rel(s: str):
             return None
         raise CssError(f"unsupported simple selector {k!r}")
 
+    def fuse_cols(simples):
+        """The compound-to-Column recipe, single-sourced for standalone
+        compounds AND :is branches: one AND conjunction (element-ness
+        added when no simple implies it), or None when any simple needs
+        the join algebra (:not/:has/:empty or a join-needing nested
+        :is)."""
+        conj = None
+        if not any(_implies_element(x) for x in simples):
+            conj = R.p_element()
+        ct = _compound_tag(simples)
+        for sm in simples:
+            col = simple_col(sm, ct)  # nested :is recurses here
+            if col is None:
+                return None
+            conj = col if conj is None else conj & col
+        return conj
+
     def is_cols(branches):
-        """One OR Column for :is(...) when every branch compiles to
-        Column conjunctions (no :not/:has/:empty anywhere), else None."""
+        """One OR Column for :is(...) when every branch fuses, else
+        None."""
         outs = []
         for comp in branches:
-            conj = None
-            if not any(_implies_element(x) for x in comp):
-                conj = R.p_element()
-            ct = _compound_tag(comp)
-            for sm in comp:
-                if sm[0] in ("not", "has", "empty"):
-                    return None
-                col = simple_col(sm, ct)  # nested :is recurses here
-                if col is None:
-                    return None
-                conj = col if conj is None else conj & col
+            conj = fuse_cols(comp)
+            if conj is None:
+                return None
             outs.append(conj)
         out = outs[0]
         for col in outs[1:]:
@@ -660,6 +669,9 @@ def css_rel(s: str):
         return R.precede_rel(anchor, inner)
 
     def compile_compound(simples):
+        conj = fuse_cols(simples)
+        if conj is not None:  # pure-column compound: one pushed filter
+            return R.where(conj)
         comp_tag = _compound_tag(simples)
         cols, joins = [], []
         if not any(_implies_element(x) for x in simples):

@@ -57,20 +57,19 @@ def redact_pii(df: DataFrame, text_col: str = "text",
 
 
 def _count_cols(col: Column) -> dict[str, Column]:
-    """Non-overlapping match counts per kind on the ORIGINAL text
-    (phone counts the separated form first, then compact matches in
-    the remainder, mirroring the redaction order)."""
-    sep_removed = F.regexp_replace(col, _PHONE_SEP, " ")
-    return {
-        "n_email": F.size(F.regexp_extract_all(col, F.lit(_EMAIL), 0)),
-        "n_ip": F.size(F.regexp_extract_all(col, F.lit(_IPV4), 0)),
-        "n_phone": (
-            F.size(F.regexp_extract_all(col, F.lit(_PHONE_SEP), 0))
-            + F.size(
-                F.regexp_extract_all(sep_removed, F.lit(_PHONE_COMPACT), 0)
-            )
-        ),
-    }
+    """Match counts per kind following the EXACT redaction order: each
+    rule counts on the text with all earlier rules already applied, so
+    ``n_<kind>`` always equals the number of ``<KIND>`` placeholders in
+    ``redact_pii_col``'s output (an IP inside an already-redacted email
+    is not an IP; a phone fragment swallowed by an email is not a
+    phone)."""
+    counts: dict[str, Column] = {}
+    for kind, pat, repl in PII_RULES:
+        n = F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+        key = f"n_{kind}"
+        counts[key] = counts[key] + n if key in counts else n
+        col = F.regexp_replace(col, pat, repl)
+    return counts
 
 
 def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -107,16 +106,12 @@ def duckdb_redact_sql(expr: str) -> str:
 
 
 def duckdb_count_sql(expr: str) -> dict[str, str]:
-    """DuckDB expressions mirroring ``pii_counts`` over ``expr``."""
-    sep_removed = (
-        f"regexp_replace({expr}, {_sql_quote(_PHONE_SEP)}, ' ', 'g')"
-    )
-    return {
-        "n_email": f"len(regexp_extract_all({expr}, {_sql_quote(_EMAIL)}))",
-        "n_ip": f"len(regexp_extract_all({expr}, {_sql_quote(_IPV4)}))",
-        "n_phone": (
-            f"len(regexp_extract_all({expr}, {_sql_quote(_PHONE_SEP)}))"
-            f" + len(regexp_extract_all({sep_removed},"
-            f" {_sql_quote(_PHONE_COMPACT)}))"
-        ),
-    }
+    """DuckDB expressions mirroring ``pii_counts`` over ``expr`` (same
+    progressive-redaction counting order)."""
+    counts: dict[str, str] = {}
+    for kind, pat, repl in PII_RULES:
+        n = f"len(regexp_extract_all({expr}, {_sql_quote(pat)}))"
+        key = f"n_{kind}"
+        counts[key] = f"{counts[key]} + {n}" if key in counts else n
+        expr = f"regexp_replace({expr}, {_sql_quote(pat)}, '{repl}', 'g')"
+    return counts

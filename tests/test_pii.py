@@ -26,7 +26,9 @@ CASES = [
     ("mail bob.smith+tag@sub.example.co.uk now",
      "mail <EMAIL> now"),
     ("at 192.168.0.1 and 10.0.0.255.", "at <IP> and <IP>."),
-    # versions are not IPs (\b guards both ends, 5 octets break it)
+    # '.' is a non-word char, so \b does NOT stop the first four
+    # octets of a 5-octet version string from matching — the
+    # false-positive redaction is accepted, documented behavior
     ("v 1.2.3.4.5 stays", "v <IP>.5 stays"),
     ("call +44 20 7946 0958 or +4915123456789",
      "call <PHONE> or <PHONE>"),
@@ -59,6 +61,31 @@ def test_counts(spark):
         "doc_id long, text string")
     row = pii_counts(df).collect()[0]
     assert (row["n_email"], row["n_ip"], row["n_phone"]) == (2, 1, 2)
+
+
+def test_counts_follow_redaction_order(spark):
+    """Counts mirror the progressive redaction: a kind swallowed by an
+    earlier rule is NOT counted, so n_<kind> always equals the number
+    of <KIND> placeholders in text_redacted (review repro: counting on
+    the original text reported an <IP> that no placeholder backs)."""
+    from hickoryspark.ops.pii import pii_report
+
+    rows = {r["doc_id"]: r for r in pii_report(spark.createDataFrame(
+        [
+            (1, "ping u@1.2.3.4.net ok"),      # the IP is email domain
+            (2, "x +12 34 56@example.com y"),  # phone tail is email local
+        ],
+        "doc_id long, text string")).collect()}
+    r1 = rows[1]
+    assert r1["text_redacted"] == "ping <EMAIL> ok"
+    assert (r1["n_email"], r1["n_ip"], r1["n_phone"]) == (1, 0, 0)
+    r2 = rows[2]
+    assert r2["text_redacted"] == "x +12 34 <EMAIL> y"
+    assert (r2["n_email"], r2["n_ip"], r2["n_phone"]) == (1, 0, 0)
+    for r in rows.values():
+        for kind in ("EMAIL", "IP", "PHONE"):
+            assert r[f"n_{kind.lower()}"] == \
+                r["text_redacted"].count(f"<{kind}>")
 
 
 def test_duckdb_mirror_matches_spark(spark):
