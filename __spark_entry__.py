@@ -1630,12 +1630,6 @@ _GATE_PRIORITY = [
     # the page template does not contain) and which was driver-green
     # in r4
     "sel_css",
-    # NEW (late round 5): :has / :is / :empty / :first/:last-of-type
-    # landed in css.py after the r5 verdict items, and the decontam /
-    # pii training-data ops are new modules
-    "sel_css_has",
-    "decontam_overlap",
-    "pii_redact",
     "sel_any",
     "sel_element_child",
     "sel_first_child",
@@ -1645,6 +1639,17 @@ _GATE_PRIORITY = [
     # this round (charset_extract yields the slot: charset code is
     # untouched this round and it was driver-green in r4)
     "sel_nth_last_child",
+    # -- positions 51+ (outside the driver's 50-query window) --
+    # NEW (late round 5): :has/:is/:empty/:first/:last-of-type landed
+    # in css.py after the r5 verdict items, and decontam/pii are new
+    # ops. Deliberately BEHIND the 50 slots above: the r4 verdict's
+    # rotation of the 37 stale queries plus this round's
+    # changed-oracle queries fills the driver window exactly; these
+    # three are parity-verified at sf0.001/0.01/0.1 this session and
+    # rotate to the front for r6.
+    "sel_css_has",
+    "decontam_overlap",
+    "pii_redact",
 ]
 
 
