@@ -1,0 +1,110 @@
+"""Page-level metadata extraction — title / meta / canonical / lang.
+
+The head-section complement to the link extractor: one row per page
+with its ``<title>`` text, declared charset, ``meta`` description,
+OpenGraph title/description, ``link rel=canonical`` target and
+``<html lang>`` — the fields a crawl index, dedup-by-canonical pass,
+or language router reads before touching body content.
+
+Pure JVM-side DataFrame program over the exploded node table
+(spark/nodes_table.py): a filter to the handful of head-ish node
+shapes, then ONE ``groupBy(url)`` with conditional aggregates — a
+single shuffle, and a co-partitioned (shuffle-free) one when the node
+table is bucketed by url at cluster scale. No Python in the path.
+
+Field semantics (fixed so oracles can reproduce them):
+
+- ``title``: the concatenation of all text children of ``<title>``
+  elements in document order (the parser's RCDATA rule yields one
+  text child per title; multiple/invalid titles concatenate).
+- ``charset``: first ``<meta charset=...>`` value in document order,
+  lowercased (labels are ASCII case-insensitive, WHATWG encoding §4.2).
+- ``meta_description`` / ``og_title`` / ``og_description``: first
+  matching ``<meta name=...>`` / ``<meta property=...>`` content in
+  document order; name/property match ASCII case-insensitively.
+- ``canonical``: first ``<link>`` whose ``rel`` token list (split on
+  ASCII whitespace, matched case-insensitively) contains
+  ``canonical``; value is its ``href`` as written.
+- ``html_lang``: the ``lang`` attribute of the first ``<html>``
+  element, as written (BCP 47 tags compare case-insensitively but
+  are not case-normalized on extraction).
+- ``n_meta``: count of all ``<meta>`` elements on the page.
+
+Every "first in document order" is a ``min(struct(pre_ord, value))``
+aggregate — deterministic under any partitioning, no window needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hickoryspark.nodes import TYPE_ELEMENT, TYPE_TEXT
+
+#: Java-regex ASCII whitespace class (NOT \s — the engines' pinned
+#: tokenization rule, see css.py ~= and select.py cls)
+_ASCII_WS = "[ \\t\\n\\x0B\\f\\r]+"
+
+METADATA_COLS = [
+    "url", "title", "charset", "meta_description", "og_title",
+    "og_description", "canonical", "html_lang", "n_meta",
+]
+
+
+def _first(cond: Column, value: Column) -> Column:
+    """Value of the first (document-order) row satisfying cond; NULL
+    when none — min over (pre_ord, value) structs, nulls excluded."""
+    return F.min(F.when(cond & value.isNotNull(),
+                        F.struct(F.col("pre_ord"), value.alias("v"))))["v"]
+
+
+def page_metadata(nodes: DataFrame) -> DataFrame:
+    """node table → one metadata row per url (single shuffle)."""
+    a = F.col("attrs")
+    is_elem = F.col("type") == TYPE_ELEMENT
+    is_meta = is_elem & (F.col("tag") == "meta")
+    is_link = is_elem & (F.col("tag") == "link")
+    title_text = (F.col("type") == TYPE_TEXT) & (
+        F.col("parent_tag") == "title"
+    ) & (F.col("parent_type") == TYPE_ELEMENT)
+    rel_tokens = F.filter(
+        F.split(F.lower(F.coalesce(a["rel"], F.lit(""))), _ASCII_WS),
+        lambda t: t != "",
+    )
+
+    # prune to the rows any aggregate can use BEFORE the shuffle —
+    # title texts, metas, links, and the html element
+    pruned = nodes.where(
+        title_text
+        | is_meta
+        | is_link
+        | (is_elem & (F.col("tag") == "html"))
+    ).select("url", "pre_ord", "type", "tag", "parent_tag",
+             "parent_type", "attrs", "text")
+
+    return pruned.groupBy("url").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(title_text,
+                               F.struct(F.col("pre_ord"), F.col("text")))
+                    )
+                ),
+                lambda s: s["text"],
+            ),
+            "",
+        ).alias("title"),
+        F.lower(_first(is_meta, a["charset"])).alias("charset"),
+        _first(is_meta & (F.lower(a["name"]) == "description"),
+               a["content"]).alias("meta_description"),
+        _first(is_meta & (F.lower(a["property"]) == "og:title"),
+               a["content"]).alias("og_title"),
+        _first(is_meta & (F.lower(a["property"]) == "og:description"),
+               a["content"]).alias("og_description"),
+        _first(is_link & F.array_contains(rel_tokens, "canonical"),
+               a["href"]).alias("canonical"),
+        _first(is_elem & (F.col("tag") == "html"), a["lang"])
+        .alias("html_lang"),
+        F.sum(F.when(is_meta, 1).otherwise(0)).cast("long").alias("n_meta"),
+    ).select(*METADATA_COLS)

@@ -1,0 +1,115 @@
+"""Page metadata extraction (ops/metadata.py): field semantics —
+first-in-document-order picks, case-insensitive name/property/rel
+matching, title concatenation, lang as-written."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from hickoryspark.spark.session import get_spark
+
+    s = get_spark(4, app_name="hickoryspark-metadata-tests", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _meta(spark, html, url="https://ex.test/p"):
+    from hickoryspark.ops.metadata import page_metadata
+    from hickoryspark.spark.nodes_table import explode_nodes
+
+    pages = spark.createDataFrame([(url, html)], "url string, html string")
+    rows = page_metadata(explode_nodes(pages)).collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_full_head(spark):
+    r = _meta(
+        spark,
+        '<html lang="en-US"><head><meta charset="UTF-8">'
+        "<title>Hello</title>"
+        '<meta name="Description" content="a page">'
+        '<meta property="OG:Title" content="OG Hello">'
+        '<meta property="og:description" content="og desc">'
+        '<link rel=" stylesheet  CANONICAL" href="https://ex.test/c">'
+        "</head><body>x</body></html>",
+    )
+    assert r["title"] == "Hello"
+    assert r["charset"] == "utf-8"  # lowercased label
+    assert r["meta_description"] == "a page"  # name matched case-insens.
+    assert r["og_title"] == "OG Hello"
+    assert r["og_description"] == "og desc"
+    assert r["canonical"] == "https://ex.test/c"  # rel token list match
+    assert r["html_lang"] == "en-US"  # as written, not normalized
+    assert r["n_meta"] == 4
+
+
+def test_first_in_document_order_wins(spark):
+    r = _meta(
+        spark,
+        '<meta name="description" content="first">'
+        '<meta name="description" content="second">'
+        '<link rel="canonical" href="/one">'
+        '<link rel="canonical" href="/two">'
+        '<meta charset="B"><meta charset="A">',
+    )
+    assert r["meta_description"] == "first"
+    assert r["canonical"] == "/one"
+    assert r["charset"] == "b"
+    assert r["n_meta"] == 4
+
+
+def test_missing_fields_are_null_and_title_concat(spark):
+    r = _meta(spark, "<title>a</title><p>x</p><title>b</title>")
+    # the parser's RCDATA rule yields one text child per title;
+    # multiple titles concatenate in document order
+    assert r["title"] == "ab"
+    for f in ("charset", "meta_description", "og_title",
+              "og_description", "canonical", "html_lang"):
+        assert r[f] is None
+    assert r["n_meta"] == 0
+
+
+def test_rel_without_canonical_token_not_matched(spark):
+    r = _meta(spark, '<link rel="canonicalish" href="/no">'
+                     '<link rel="alternate" href="/also-no">')
+    assert r["canonical"] is None
+
+
+def test_meta_without_content_skipped(spark):
+    # valueless content must not shadow a later real one (_first
+    # excludes null values, not just non-matching rows)
+    r = _meta(
+        spark,
+        '<meta name="description">'
+        '<meta name="description" content="real">',
+    )
+    assert r["meta_description"] == "real"
+    assert r["n_meta"] == 2
+
+
+def test_empty_title_and_pages_without_head(spark):
+    r = _meta(spark, "<p>bare body</p>")
+    assert r["title"] == "" and r["n_meta"] == 0
+
+
+def test_one_row_per_url(spark):
+    from hickoryspark.ops.metadata import page_metadata
+    from hickoryspark.spark.nodes_table import explode_nodes
+
+    pages = spark.createDataFrame(
+        [("u1", "<title>t1</title>"), ("u2", "<title>t2</title>")],
+        "url string, html string",
+    )
+    rows = sorted(page_metadata(explode_nodes(pages)).collect(),
+                  key=lambda r: r["url"])
+    assert [(r["url"], r["title"]) for r in rows] == [("u1", "t1"),
+                                                      ("u2", "t2")]
