@@ -298,3 +298,45 @@ def test_css_is_fuses_to_one_filter_and_has_equi_joins(spark):
     for s in ("div:has(> a)", "td:has(+ td)", "p:empty"):
         plan = _plan(css_rel(s)(nodes))
         assert "BroadcastNestedLoopJoin" not in plan, (s, plan)
+
+
+def test_page_metadata_single_shuffle_and_prefilter(spark):
+    """page_metadata: ONE url exchange total (the groupBy), with the
+    head-shape Filter applied BEFORE it (partial aggregation over the
+    pruned rows, not a shuffle of the whole node table), and no Python
+    evaluation — the aggregate is pure JVM expressions."""
+    from hickoryspark.ops.metadata import page_metadata
+    from hickoryspark.spark.nodes_table import explode_nodes
+    from hickoryspark.spark.pages import load_pages
+
+    df = page_metadata(explode_nodes(load_pages(spark, SF_DIR)))
+    df.count()
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the node-table mapInPandas is the only Python in the path
+    assert plan.count("PythonMapInArrow") + plan.count("MapInPandas") <= 1, plan
+    assert "Filter" in plan, plan
+    # the filter must sit below the exchange: everything after the
+    # shuffle is aggregate-only (cheap string check on plan order —
+    # the first Exchange line appears ABOVE the Filter line in the
+    # top-down tree rendering)
+    assert plan.index("Exchange hashpartitioning") < plan.index(
+        "Filter"
+    ), plan
+    spark.catalog.clearCache()
+
+
+def test_jsonld_join_is_equi_and_jvm_side(spark):
+    """extract_jsonld: the script↔payload join must be an equi-join
+    (never BroadcastNestedLoopJoin), and the only Python in the path
+    is the node-table parse — field extraction is JVM get_json_object."""
+    from hickoryspark.ops.structured import extract_jsonld
+    from hickoryspark.spark.nodes_table import explode_nodes
+    from hickoryspark.spark.pages import load_pages
+
+    df = extract_jsonld(explode_nodes(load_pages(spark, SF_DIR)))
+    df.count()
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    spark.catalog.clearCache()
