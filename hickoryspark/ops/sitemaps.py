@@ -77,7 +77,10 @@ def parse_sitemap(payload: bytes) -> list[dict]:
     """Sitemap bytes (plain or gzip) -> entry dicts in document order:
     {is_index, loc, lastmod, changefreq, priority, entry_pos}."""
     if payload[:2] == b"\x1f\x8b":
-        payload = gzip.decompress(payload)
+        try:
+            payload = gzip.decompress(payload)
+        except (OSError, EOFError):
+            return []  # truncated/corrupt archive: degrade, never fail
     text = payload.decode("utf-8", "replace")
     out = []
     for m in _ENTRY_RE.finditer(text):
