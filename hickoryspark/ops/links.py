@@ -103,7 +103,7 @@ def extract_links(
     subtree_text: bool = False,
 ) -> DataFrame:
     """Node table -> one row per ``<a href>``:
-    (url, link_pos, href, resolved, anchor_text).
+    (url, link_pos, href, resolved, anchor_text, rel_nofollow).
 
     ``link_pos`` is the anchor's 1-based document-order position within
     its page; ``anchor_text`` concatenates the anchor's DIRECT text
@@ -119,6 +119,12 @@ def extract_links(
     parent equi-key (the descendant_rel pattern, selectors_rel.py —
     url-equi join, never a nested-loop). Comment data strings inside
     an anchor count as text here, matching the zipper walk.
+
+    ``rel_nofollow``: whether the anchor's ``rel`` token list (split
+    on ASCII whitespace, matched case-insensitively — the same token
+    rule ops/metadata.py applies to ``link rel``) contains
+    ``nofollow``; a crawler drops these edges before frontier
+    admission (REP's per-link complement to robots.txt).
 
     ``pre_partitioned``: set True when ``nodes`` is already
     hash-partitioned/bucketed by url (materialize_nodes) — the explicit
@@ -137,6 +143,7 @@ def extract_links(
             F.col("pre_ord").alias("a_ord"),
             F.col("subtree_end").alias("a_end"),
             F.col("attrs")["href"].alias("href"),
+            F.col("attrs")["rel"].alias("rel"),
         )
     )
     texts = nodes.where(F.col("type") == TYPE_TEXT).select(
@@ -161,7 +168,7 @@ def extract_links(
         joined = joined.repartition("url")
     atext = (
         joined
-        .groupBy("url", "a_id", "a_ord", "href")
+        .groupBy("url", "a_id", "a_ord", "href", "rel")
         .agg(
             F.array_join(
                 # struct sort orders by the first field: document order
@@ -182,4 +189,9 @@ def extract_links(
         "href",
         resolve_href(F.col("url"), F.col("href")).alias("resolved"),
         "anchor_text",
+        F.array_contains(
+            F.split(F.lower(F.coalesce(F.col("rel"), F.lit(""))),
+                    "[ \\t\\n\\x0B\\f\\r]+"),
+            "nofollow",
+        ).alias("rel_nofollow"),
     )

@@ -28,6 +28,9 @@ Field semantics (fixed so oracles can reproduce them):
 - ``html_lang``: the ``lang`` attribute of the first ``<html>``
   element, as written (BCP 47 tags compare case-insensitively but
   are not case-normalized on extraction).
+- ``meta_robots``: first ``<meta name="robots">`` content in document
+  order, as written (directive tokenization — noindex/nofollow — is
+  the caller's policy; ops/links.py handles the per-anchor rel side).
 - ``n_meta``: count of all ``<meta>`` elements on the page.
 
 Every "first in document order" is a ``min(struct(pre_ord, value))``
@@ -47,7 +50,7 @@ _ASCII_WS = "[ \\t\\n\\x0B\\f\\r]+"
 
 METADATA_COLS = [
     "url", "title", "charset", "meta_description", "og_title",
-    "og_description", "canonical", "html_lang", "n_meta",
+    "og_description", "canonical", "html_lang", "meta_robots", "n_meta",
 ]
 
 
@@ -106,5 +109,7 @@ def page_metadata(nodes: DataFrame) -> DataFrame:
                a["href"]).alias("canonical"),
         _first(is_elem & (F.col("tag") == "html"), a["lang"])
         .alias("html_lang"),
+        _first(is_meta & (F.lower(a["name"]) == "robots"),
+               a["content"]).alias("meta_robots"),
         F.sum(F.when(is_meta, 1).otherwise(0)).cast("long").alias("n_meta"),
     ).select(*METADATA_COLS)

@@ -209,3 +209,16 @@ def test_dot_segment_hrefs_resolve_folded(spark):
         "https://ex.test/src/sib.html",
         "https://o.site/a/../b",
     ]
+
+
+def test_rel_nofollow_token_matching(spark):
+    rows = _links(
+        spark,
+        '<a href="/a">p</a>'
+        '<a href="/b" rel="nofollow">q</a>'
+        '<a href="/c" rel="external\tNOFOLLOW x">r</a>'
+        '<a href="/d" rel="nofollower">s</a>',
+    )
+    assert [(r["href"], r["rel_nofollow"]) for r in rows] == [
+        ("/a", False), ("/b", True), ("/c", True), ("/d", False),
+    ]

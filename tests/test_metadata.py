@@ -113,3 +113,14 @@ def test_one_row_per_url(spark):
                   key=lambda r: r["url"])
     assert [(r["url"], r["title"]) for r in rows] == [("u1", "t1"),
                                                       ("u2", "t2")]
+
+
+def test_meta_robots_first_as_written_case_insensitive_name(spark):
+    r = _meta(
+        spark,
+        '<meta name="ROBOTS" content="NOINDEX, nofollow">'
+        '<meta name="robots" content="all">',
+    )
+    assert r["meta_robots"] == "NOINDEX, nofollow"
+    r2 = _meta(spark, "<title>t</title>")
+    assert r2["meta_robots"] is None
