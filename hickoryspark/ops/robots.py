@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _HOST_RE = r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)"
@@ -209,3 +209,46 @@ def robots_filter(
             )
 
     return joined.mapInPandas(gen, "url string, allowed boolean, matched_rule string")
+
+
+def robots_sitemaps(robots: DataFrame) -> DataFrame:
+    """robots(host, content) -> (host, sitemap_pos, sitemap_url):
+    the ``Sitemap:`` directive values in file order.
+
+    RFC 9309 §2.2.4 carries these as "other records" valid anywhere in
+    the file, and sitemaps.org defines them host-wide — independent of
+    any user-agent group, which is why ``parse_robots`` ignores them
+    (they end an agent-line run but never scope to it). Comments strip
+    from the first ``#``; key matching is case-insensitive with
+    optional whitespace around the colon; empty values drop.
+
+    Pure JVM column program (explode → filter → window): one host
+    shuffle for the position numbering, feeding parse_sitemaps_df
+    (ops/sitemaps.py) once the caller fetches the payloads.
+    """
+    ws = F.lit(" \t\r")
+    lines = robots.select(
+        "host",
+        F.posexplode(F.split(F.col("content"), "\n")).alias(
+            "line_no", "line"
+        ),
+    )
+    clean = F.btrim(F.regexp_replace("line", r"#[\s\S]*", ""), ws)
+    vals = (
+        lines.select("host", "line_no", clean.alias("clean"))
+        .where(F.lower(F.col("clean")).rlike(r"^sitemap[ \t]*:"))
+        .select(
+            "host",
+            "line_no",
+            F.btrim(
+                F.expr("substring(clean, instr(clean, ':') + 1)"), ws
+            ).alias("sitemap_url"),
+        )
+        .where(F.col("sitemap_url") != "")
+    )
+    w = Window.partitionBy("host").orderBy("line_no")
+    return vals.select(
+        "host",
+        F.row_number().over(w).cast("long").alias("sitemap_pos"),
+        "sitemap_url",
+    )

@@ -187,3 +187,29 @@ def test_chunk_matcher_agrees_with_regex_semantics():
                 for path in paths:
                     got = evaluate([(False, value)], path)[0] is False
                     assert got == re_match(value, path), (value, path)
+
+
+def test_robots_sitemaps_extraction(spark):
+    from hickoryspark.ops.robots import robots_sitemaps
+
+    content = (
+        "User-agent: *\r\n"
+        "Disallow: /tmp\r\n"
+        "sitemap: https://h.test/s1.xml\r\n"
+        "# Sitemap: https://h.test/commented.xml\r\n"
+        "  SITEMAP :\thttps://h.test/s2.xml # trailing comment\r\n"
+        "Sitemap:\r\n"
+        "sitemapish: https://h.test/not.xml\r\n"
+    )
+    df = spark.createDataFrame(
+        [("h.test", content), ("empty.test", "User-agent: *\nAllow: /")],
+        "host string, content string",
+    )
+    rows = sorted(
+        robots_sitemaps(df).collect(),
+        key=lambda r: (r["host"], r["sitemap_pos"]),
+    )
+    assert [(r["host"], r["sitemap_pos"], r["sitemap_url"]) for r in rows] == [
+        ("h.test", 1, "https://h.test/s1.xml"),
+        ("h.test", 2, "https://h.test/s2.xml"),
+    ]
