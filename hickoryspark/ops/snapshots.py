@@ -1,0 +1,53 @@
+"""Crawl snapshot diffing — what changed between two crawls.
+
+Recrawl scheduling, incremental corpus refresh, and CDX-style change
+tracking all reduce to the same primitive: join two (url, payload)
+snapshots and classify every url as added / removed / changed /
+unchanged by content hash. This is the batch complement to the
+streaming first-seen dedup (spark/streaming.py).
+
+Spark-first shape: one full-outer equi-join on url — a single shuffle
+each side (co-partitioned and shuffle-free when both snapshots are
+bucketed by url), hashes computed JVM-side with ``md5`` before the
+join so the shuffle carries 32-byte digests instead of page bodies.
+At 100 TB that hash-early projection is the difference between
+shuffling checksums and shuffling the crawl.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DELTA_COLS = ["url", "status", "old_hash", "new_hash"]
+
+
+def _hashed(df: DataFrame, payload_col: str, out: str) -> DataFrame:
+    return df.select(
+        "url", F.md5(F.col(payload_col).cast("binary")).alias(out)
+    )
+
+
+def crawl_delta(
+    old: DataFrame, new: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """(url, payload) x2 → (url, status, old_hash, new_hash).
+
+    ``status`` ∈ {'added', 'removed', 'changed', 'unchanged'};
+    old_hash/new_hash are the lowercase md5 hex digests of the payload
+    bytes (NULL on the absent side). Each snapshot must be unique by
+    url — enforce upstream (the extract pipeline's sink is); duplicate
+    urls would cross-join ambiguously here.
+    """
+    o = _hashed(old, payload_col, "old_hash")
+    n = _hashed(new, payload_col, "new_hash")
+    joined = o.join(n, "url", "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), "added")
+        .when(F.col("new_hash").isNull(), "removed")
+        .when(F.col("old_hash") == F.col("new_hash"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(
+        "url", status.alias("status"), "old_hash", "new_hash"
+    )

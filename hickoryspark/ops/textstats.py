@@ -186,3 +186,45 @@ def fingerprint(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
         F.md5(F.col("text")).alias("content_hash"),
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fp_min"),
     )
+
+
+def readability(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_sentences, n_words, n_syllables, flesch_milli) —
+    Flesch reading ease in milli-points, all-integer arithmetic so the
+    value is bit-identical across engines (the quality_score rule).
+
+    Pinned approximations (documented so oracles can reproduce them):
+    sentences = maximal runs of ``[.!?]`` (min 1); words = whitespace
+    tokens (the house ``split(text, ' ')`` convention, min 1);
+    syllables = maximal vowel-group runs ``[aeiouyAEIOUY]+`` (min 1).
+    flesch_milli = 206835 - (1015·words) div sentences
+                 - (84600·syllables) div words.
+    Pure JVM column expressions — no shuffle, no Python.
+    """
+    n_sent = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
+    ).cast("long")
+    n_words = F.greatest(F.lit(1), F.size(_toks())).cast("long")
+    n_syl = F.greatest(
+        F.lit(1),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[aeiouyAEIOUY]+"), 0)
+        ),
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syl.alias("n_syllables"),
+    ).select(
+        "doc_id",
+        "n_sentences",
+        "n_words",
+        "n_syllables",
+        (
+            F.lit(206835)
+            - F.expr("(1015 * n_words) div n_sentences")
+            - F.expr("(84600 * n_syllables) div n_words")
+        ).cast("long").alias("flesch_milli"),
+    )

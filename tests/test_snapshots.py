@@ -1,0 +1,80 @@
+"""Snapshot diffing (ops/snapshots.py) and readability scoring
+(ops/textstats.py readability)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from hickoryspark.spark.session import get_spark
+
+    s = get_spark(4, app_name="hickoryspark-snapshots-tests",
+                  shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_crawl_delta_statuses(spark):
+    from hickoryspark.ops.snapshots import crawl_delta
+
+    old = spark.createDataFrame(
+        [("u1", "same"), ("u2", "before"), ("u3", "gone")],
+        "url string, payload string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "same"), ("u2", "after"), ("u4", "fresh")],
+        "url string, payload string",
+    )
+    rows = {r["url"]: r for r in crawl_delta(old, new).collect()}
+    assert rows["u1"]["status"] == "unchanged"
+    assert rows["u2"]["status"] == "changed"
+    assert rows["u3"]["status"] == "removed"
+    assert rows["u4"]["status"] == "added"
+    assert rows["u3"]["new_hash"] is None
+    assert rows["u4"]["old_hash"] is None
+    assert rows["u1"]["old_hash"] == rows["u1"]["new_hash"] == hashlib.md5(
+        b"same"
+    ).hexdigest()
+
+
+def test_crawl_delta_shuffles_digests_not_payloads(spark):
+    """hash-early projection: the exchanges must carry (url, md5)
+    only — no payload column above a shuffle."""
+    from hickoryspark.ops.snapshots import crawl_delta
+
+    old = spark.createDataFrame([("u", "x" * 100)],
+                                "url string, payload string")
+    new = spark.createDataFrame([("u", "y" * 100)],
+                                "url string, payload string")
+    df = crawl_delta(old, new)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "payload" not in head, plan
+
+
+def test_readability_pinned_arithmetic(spark):
+    from hickoryspark.ops.textstats import readability
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat. it sat! why?"), (2, "zzz pfft"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in readability(docs).collect()}
+    r = rows[1]
+    # sentences: '.', '!', '?' -> 3; words: 6; vowel runs:
+    # e,a,a,i,a,y -> 6
+    assert (r["n_sentences"], r["n_words"], r["n_syllables"]) == (3, 6, 6)
+    assert r["flesch_milli"] == 206835 - (1015 * 6) // 3 - (84600 * 6) // 6
+    # no vowels / no sentence marks clamp to 1, never divide by zero
+    assert (rows[2]["n_sentences"], rows[2]["n_syllables"]) == (1, 1)
+    assert rows[3]["n_words"] == 1  # split('') yields one empty token
