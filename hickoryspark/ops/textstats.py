@@ -41,7 +41,7 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
+def quality_score(docs: DataFrame, extra_cols: tuple = ()) -> DataFrame:
     """Deterministic quality score in micro-points (0..1,000,000):
     500000·type_token_ratio + 300000·min(1, n_tokens/64) +
     200000·stopword_ratio — computed entirely in *integer* arithmetic
@@ -59,7 +59,9 @@ def quality_score(docs: DataFrame) -> DataFrame:
         + F.least(F.lit(300000), F.floor(n * 300000 / 64))
         + F.floor(stop_hits * 200000 / n)
     )
-    return docs.select("doc_id", score.cast("long").alias("quality_ppm"))
+    return docs.select(
+        "doc_id", *extra_cols, score.cast("long").alias("quality_ppm")
+    )
 
 
 def lang_id(docs: DataFrame, threshold: float = 0.05) -> DataFrame:

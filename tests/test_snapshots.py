@@ -78,3 +78,28 @@ def test_readability_pinned_arithmetic(spark):
     # no vowels / no sentence marks clamp to 1, never divide by zero
     assert (rows[2]["n_sentences"], rows[2]["n_syllables"]) == (1, 1)
     assert rows[3]["n_words"] == 1  # split('') yields one empty token
+
+
+def test_build_corpus_composition(spark):
+    """extract → score → threshold → dedup keep-min-url, end to end
+    on literal pages (scores hand-checked: 10 distinct types of 12
+    tokens vs all-stopword filler)."""
+    from hickoryspark.ops.corpus import build_corpus
+
+    body = ("<div id='main'><p>alpha beta gamma delta epsilon zeta "
+            "eta theta iota the the the</p></div>")
+    junk = "<div id='main'><p>" + "the " * 39 + "the</p></div>"
+    pages = spark.createDataFrame(
+        [("u2", body), ("u1", body), ("u3", junk)],
+        "url string, html string",
+    )
+    rows = build_corpus(pages, min_quality_ppm=500000).collect()
+    # junk: 1 distinct of 40 tokens -> 500000//40 + floor(40*300000/64)
+    #       + 200000 = 12500 + 187500 + 200000 = 400000 -> filtered
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["url"] == "u1"  # min url wins the dup group
+    assert r["n_dups"] == 2
+    assert r["quality_ppm"] == (10 * 500000) // 12 + (12 * 300000) // 64 + (
+        3 * 200000
+    ) // 12
