@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import gzip
 import re
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -93,8 +94,11 @@ def parse_feed(payload: bytes) -> list[dict]:
     if payload[:2] == b"\x1f\x8b":
         try:
             payload = gzip.decompress(payload)
-        except (OSError, EOFError):
-            return []  # truncated/corrupt archive: degrade, never fail
+        except (OSError, EOFError, zlib.error):
+            # truncated header/trailer raises OSError/EOFError but a
+            # corrupt DEFLATE body raises zlib.error — catch all three
+            # or one hostile archive still kills the task
+            return []
     text = payload.decode("utf-8", "replace")
 
     first_entry = _ENTRY_RE.search(text)
@@ -147,6 +151,8 @@ def parse_feeds_df(feeds: DataFrame) -> DataFrame:
         for b in batches:
             rows: dict[str, list] = {k: [] for k in ["host", *cols]}
             for host, payload in zip(b["host"], b["payload"]):
+                if payload is None:
+                    continue  # failed fetch: degrade, never fail
                 for e in parse_feed(bytes(payload)):
                     rows["host"].append(host)
                     for k in cols:

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hickoryspark.nodes import TYPE_ELEMENT, TYPE_TEXT
+from hickoryspark.ops.metadata import ASCII_WS_RE
 
 # authority ends at "/", "?", or "#" — [^/]+ alone would swallow
 # the query string of a path-less url (https://h?k=x/y)
@@ -191,7 +192,7 @@ def extract_links(
         "anchor_text",
         F.array_contains(
             F.split(F.lower(F.coalesce(F.col("rel"), F.lit(""))),
-                    "[ \\t\\n\\x0B\\f\\r]+"),
+                    ASCII_WS_RE),
             "nofollow",
         ).alias("rel_nofollow"),
     )

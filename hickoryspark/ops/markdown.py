@@ -130,10 +130,13 @@ def markdown_doc(doc: Doc) -> str:
         if p >= 0:
             children[p].append(i)
 
-    # pipe-table grids, grouped by the table element's pre position
+    # pipe-table grids, grouped by the table element's pre position —
+    # skipped entirely for the common table-less page (tables_doc
+    # costs three extra O(n) sweeps; this is a hot map stage)
     grid: dict[int, dict[int, list[tuple[int, bool, str]]]] = {}
-    for _, tp, r, c, _, _, hd, txt in tables_doc(doc):
-        grid.setdefault(tp, {}).setdefault(r, []).append((c, hd, txt))
+    if "table" in tags:
+        for _, tp, r, c, _, _, hd, txt in tables_doc(doc):
+            grid.setdefault(tp, {}).setdefault(r, []).append((c, hd, txt))
 
     def render_tables(t: int) -> str:
         out = []
@@ -192,15 +195,36 @@ def markdown_doc(doc: Doc) -> str:
             ]
             return [("li", "\n".join([blocks[0], *rest]))]
         if tag in ("ul", "ol"):
-            items = [s for k, s in parts if k == "li"]
-            if not items:
+            # non-li children are legal HTML (e.g. <ul><p>…</p><li>…)
+            # — render them as plain lines in place rather than
+            # silently dropping their text
+            lines: list[str] = []
+            run: list[str] = []
+            n_item = 0
+
+            def _flush() -> None:
+                t = _block_text(run)
+                run.clear()
+                if t:
+                    lines.append(t)
+
+            for k, s in parts:
+                if k == "li":
+                    _flush()
+                    n_item += 1
+                    head, *cont = s.split("\n")
+                    mark = "- " if tag == "ul" else f"{n_item}. "
+                    lines.append(mark + head)
+                    lines.extend(cont)
+                elif k == "i":
+                    run.append(s)
+                else:
+                    _flush()
+                    if s:
+                        lines.append(s)
+            _flush()
+            if not lines:
                 return []
-            lines = []
-            for i, item in enumerate(items):
-                head, *cont = item.split("\n")
-                mark = "- " if tag == "ul" else f"{i + 1}. "
-                lines.append(mark + head)
-                lines.extend(cont)
             return [("b", "\n".join(lines))]
         if tag == "blockquote":
             body = "\n\n".join(_coalesce(parts))

@@ -14,9 +14,13 @@ table is bucketed by url at cluster scale. No Python in the path.
 
 Field semantics (fixed so oracles can reproduce them):
 
-- ``title``: the concatenation of all text children of ``<title>``
-  elements in document order (the parser's RCDATA rule yields one
-  text child per title; multiple/invalid titles concatenate).
+- ``title``: the concatenation of all text children of HEAD-scoped
+  ``<title>`` elements (parent is ``<head>``) in document order — the
+  parser's RCDATA rule yields one text child per title; multiple
+  head titles concatenate. SVG ``<title>`` descriptions and stray
+  body-level titles are excluded (document.title semantics exclude
+  them by namespace; the node table tracks no namespace, so the
+  head-parent scope is the pinned equivalent).
 - ``charset``: first ``<meta charset=...>`` value in document order,
   lowercased (labels are ASCII case-insensitive, WHATWG encoding §4.2).
 - ``meta_description`` / ``og_title`` / ``og_description``: first
@@ -45,8 +49,11 @@ from pyspark.sql import functions as F
 from hickoryspark.nodes import TYPE_ELEMENT, TYPE_TEXT
 
 #: Java-regex ASCII whitespace class (NOT \s — the engines' pinned
-#: tokenization rule, see css.py ~= and select.py cls)
-_ASCII_WS = "[ \\t\\n\\x0B\\f\\r]+"
+#: tokenization rule, see css.py ~= and select.py cls). Shared with
+#: ops/links.py's rel_nofollow so the two rel-token matchers can
+#: never desynchronize.
+ASCII_WS_RE = "[ \\t\\n\\x0B\\f\\r]+"
+_ASCII_WS = ASCII_WS_RE
 
 METADATA_COLS = [
     "url", "title", "charset", "meta_description", "og_title",
@@ -67,6 +74,15 @@ def page_metadata(nodes: DataFrame) -> DataFrame:
     is_elem = F.col("type") == TYPE_ELEMENT
     is_meta = is_elem & (F.col("tag") == "meta")
     is_link = is_elem & (F.col("tag") == "link")
+    # head-scope needs the GRANDPARENT of the text node, which no row
+    # carries — so collect head-title element ids and title texts as
+    # two aggregates over the same shuffle and intersect them after
+    is_head_title = (
+        is_elem
+        & (F.col("tag") == "title")
+        & (F.col("parent_tag") == "head")
+        & (F.col("parent_type") == TYPE_ELEMENT)
+    )
     title_text = (F.col("type") == TYPE_TEXT) & (
         F.col("parent_tag") == "title"
     ) & (F.col("parent_type") == TYPE_ELEMENT)
@@ -76,28 +92,25 @@ def page_metadata(nodes: DataFrame) -> DataFrame:
     )
 
     # prune to the rows any aggregate can use BEFORE the shuffle —
-    # title texts, metas, links, and the html element
+    # title elements + texts, metas, links, and the html element
     pruned = nodes.where(
         title_text
+        | is_head_title
         | is_meta
         | is_link
         | (is_elem & (F.col("tag") == "html"))
-    ).select("url", "pre_ord", "type", "tag", "parent_tag",
-             "parent_type", "attrs", "text")
+    ).select("url", "node_id", "parent_id", "pre_ord", "type", "tag",
+             "parent_tag", "parent_type", "attrs", "text")
 
-    return pruned.groupBy("url").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(title_text,
-                               F.struct(F.col("pre_ord"), F.col("text")))
-                    )
-                ),
-                lambda s: s["text"],
-            ),
-            "",
-        ).alias("title"),
+    agged = pruned.groupBy("url").agg(
+        F.collect_list(
+            F.when(is_head_title, F.col("node_id"))
+        ).alias("_title_ids"),
+        F.collect_list(
+            F.when(title_text,
+                   F.struct(F.col("pre_ord"), F.col("parent_id"),
+                            F.col("text")))
+        ).alias("_title_texts"),
         F.lower(_first(is_meta, a["charset"])).alias("charset"),
         _first(is_meta & (F.lower(a["name"]) == "description"),
                a["content"]).alias("meta_description"),
@@ -112,4 +125,19 @@ def page_metadata(nodes: DataFrame) -> DataFrame:
         _first(is_meta & (F.lower(a["name"]) == "robots"),
                a["content"]).alias("meta_robots"),
         F.sum(F.when(is_meta, 1).otherwise(0)).cast("long").alias("n_meta"),
-    ).select(*METADATA_COLS)
+    )
+    title = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.filter(
+                    F.col("_title_texts"),
+                    lambda s: F.array_contains(
+                        F.col("_title_ids"), s["parent_id"]
+                    ),
+                )
+            ),
+            lambda s: s["text"],
+        ),
+        "",
+    )
+    return agged.withColumn("title", title).select(*METADATA_COLS)

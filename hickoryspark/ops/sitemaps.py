@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import gzip
 import re
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -79,8 +80,11 @@ def parse_sitemap(payload: bytes) -> list[dict]:
     if payload[:2] == b"\x1f\x8b":
         try:
             payload = gzip.decompress(payload)
-        except (OSError, EOFError):
-            return []  # truncated/corrupt archive: degrade, never fail
+        except (OSError, EOFError, zlib.error):
+            # truncated header/trailer raises OSError/EOFError but a
+            # corrupt DEFLATE body raises zlib.error — catch all three
+            # or one hostile archive still kills the task
+            return []
     text = payload.decode("utf-8", "replace")
     out = []
     for m in _ENTRY_RE.finditer(text):
@@ -125,6 +129,8 @@ def parse_sitemaps_df(sitemaps: DataFrame) -> DataFrame:
                 "changefreq": [], "priority": [], "entry_pos": [],
             }
             for host, payload in zip(b["host"], b["payload"]):
+                if payload is None:
+                    continue  # failed fetch: degrade, never fail
                 for e in parse_sitemap(bytes(payload)):
                     rows["host"].append(host)
                     for k in ("is_index", "loc", "lastmod", "changefreq",

@@ -22,9 +22,14 @@ from pyspark.sql import functions as F
 DELTA_COLS = ["url", "status", "old_hash", "new_hash"]
 
 
-def _hashed(df: DataFrame, payload_col: str, out: str) -> DataFrame:
+def _hashed(df: DataFrame, payload_col: str, out: str, flag: str) -> DataFrame:
+    # presence is a column of its own: a NULL payload (failed fetch)
+    # must still count as "url was in this snapshot", so status can
+    # never be inferred from hash nullness alone
     return df.select(
-        "url", F.md5(F.col(payload_col).cast("binary")).alias(out)
+        "url",
+        F.md5(F.col(payload_col).cast("binary")).alias(out),
+        F.lit(True).alias(flag),
     )
 
 
@@ -35,17 +40,22 @@ def crawl_delta(
 
     ``status`` ∈ {'added', 'removed', 'changed', 'unchanged'};
     old_hash/new_hash are the lowercase md5 hex digests of the payload
-    bytes (NULL on the absent side). Each snapshot must be unique by
-    url — enforce upstream (the extract pipeline's sink is); duplicate
-    urls would cross-join ambiguously here.
+    bytes (NULL on the absent side — and also for a present-but-NULL
+    payload, e.g. a failed fetch; presence is tracked separately, and
+    two NULL payloads for the same url compare 'unchanged'). Each
+    snapshot must be unique by url — enforce upstream (the extract
+    pipeline's sink is); duplicate urls would cross-join ambiguously
+    here.
     """
-    o = _hashed(old, payload_col, "old_hash")
-    n = _hashed(new, payload_col, "new_hash")
+    o = _hashed(old, payload_col, "old_hash", "in_old")
+    n = _hashed(new, payload_col, "new_hash", "in_new")
     joined = o.join(n, "url", "full_outer")
     status = (
-        F.when(F.col("old_hash").isNull(), "added")
-        .when(F.col("new_hash").isNull(), "removed")
-        .when(F.col("old_hash") == F.col("new_hash"), "unchanged")
+        F.when(F.col("in_old").isNull(), "added")
+        .when(F.col("in_new").isNull(), "removed")
+        .when(
+            F.col("old_hash").eqNullSafe(F.col("new_hash")), "unchanged"
+        )
         .otherwise("changed")
     )
     return joined.select(

@@ -126,3 +126,29 @@ def test_sitemap_truncated_gzip_degrades_not_fails():
                       b"</urlset>")
     assert parse_sitemap(full)[0]["loc"] == "https://x.test/"
     assert parse_sitemap(full[:15]) == []
+
+
+def test_corrupt_deflate_body_degrades_not_fails():
+    import gzip as g
+
+    from hickoryspark.ops.sitemaps import parse_sitemap
+
+    blob = bytearray(g.compress(RSS))
+    blob[12:16] = b"\xff\xfe\xfd\xfc"  # valid header, corrupt DEFLATE
+    assert parse_feed(bytes(blob)) == []
+    assert parse_sitemap(bytes(blob)) == []
+
+
+def test_null_payload_rows_skip(spark):
+    from hickoryspark.ops.feeds import parse_feeds_df
+    from hickoryspark.ops.sitemaps import parse_sitemaps_df
+
+    feeds = spark.createDataFrame(
+        [("a.test", None), ("c.test", bytearray(RSS))],
+        "host string, payload binary",
+    )
+    assert parse_feeds_df(feeds).count() == 2  # only c.test's items
+    sm = spark.createDataFrame(
+        [("a.test", None)], "host string, payload binary"
+    )
+    assert parse_sitemaps_df(sm).count() == 0

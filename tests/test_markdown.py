@@ -133,3 +133,8 @@ def test_to_markdown_spark_path(spark):
     )
     rows = {r["url"]: r["markdown"] for r in to_markdown(pages).collect()}
     assert rows == {"u1": "# T\n\nx", "u2": ""}
+
+
+def test_list_with_non_li_children_keeps_their_text():
+    assert md("<ul><p>intro</p><li>item</li></ul>") == "intro\n- item"
+    assert md("<ol><li>a</li>tail</ol>") == "1. a\ntail"

@@ -68,9 +68,9 @@ def test_first_in_document_order_wins(spark):
 
 
 def test_missing_fields_are_null_and_title_concat(spark):
-    r = _meta(spark, "<title>a</title><p>x</p><title>b</title>")
+    r = _meta(spark, "<title>a</title><title>b</title><p>x</p>")
     # the parser's RCDATA rule yields one text child per title;
-    # multiple titles concatenate in document order
+    # multiple HEAD titles concatenate in document order
     assert r["title"] == "ab"
     for f in ("charset", "meta_description", "og_title",
               "og_description", "canonical", "html_lang"):
@@ -124,3 +124,13 @@ def test_meta_robots_first_as_written_case_insensitive_name(spark):
     assert r["meta_robots"] == "NOINDEX, nofollow"
     r2 = _meta(spark, "<title>t</title>")
     assert r2["meta_robots"] is None
+
+
+def test_svg_and_body_titles_excluded_from_page_title(spark):
+    r = _meta(
+        spark,
+        "<head><title>Home</title></head>"
+        "<body><svg><title>Q3 revenue chart</title></svg>"
+        "<p>x</p><title>stray</title></body>",
+    )
+    assert r["title"] == "Home"

@@ -103,3 +103,19 @@ def test_build_corpus_composition(spark):
     assert r["quality_ppm"] == (10 * 500000) // 12 + (12 * 300000) // 64 + (
         3 * 200000
     ) // 12
+
+
+def test_crawl_delta_null_payloads_track_presence(spark):
+    from hickoryspark.ops.snapshots import crawl_delta
+
+    old = spark.createDataFrame(
+        [("u1", None), ("u2", None)], "url string, payload string"
+    )
+    new = spark.createDataFrame(
+        [("u1", "body"), ("u2", None)], "url string, payload string"
+    )
+    rows = {r["url"]: r for r in crawl_delta(old, new).collect()}
+    # a failed fetch is still presence: never 'added'/'removed'
+    assert rows["u1"]["status"] == "changed"
+    assert rows["u2"]["status"] == "unchanged"
+    assert rows["u1"]["old_hash"] is None
