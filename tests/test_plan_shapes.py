@@ -340,3 +340,19 @@ def test_jsonld_join_is_equi_and_jvm_side(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     spark.catalog.clearCache()
+
+
+def test_robots_sitemaps_single_host_shuffle_jvm_only(spark):
+    """robots_sitemaps: explode → filter → window must cost exactly
+    one hash exchange (the host window) with zero Python evaluation."""
+    from hickoryspark.ops.robots import robots_sitemaps
+
+    robots = spark.createDataFrame(
+        [("h.test", "Sitemap: https://h.test/s.xml\nUser-agent: *")],
+        "host string, content string",
+    )
+    df = robots_sitemaps(robots)
+    df.count()
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
