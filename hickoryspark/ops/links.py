@@ -196,3 +196,58 @@ def extract_links(
             "nofollow",
         ).alias("rel_nofollow"),
     )
+
+
+def aggregate_anchors(links: DataFrame,
+                      anchor_cap: int | None = 64) -> DataFrame:
+    """Per-target inlink profile over ``extract_links`` edge rows:
+    ``(target, n_links, n_pages, anchors)`` — the anchor-text corpus
+    view (what a page is *called* by the pages that link to it).
+
+    - ``n_links``: total edges pointing at the target;
+    - ``n_pages``: DISTINCT referring page urls;
+    - ``anchors``: the distinct anchor texts in lexicographic order,
+      ``'|'``-joined, capped at the ``anchor_cap`` lexicographically
+      smallest (``None`` = exact/unbounded).
+
+    Scale shape: ONE linear pipeline over ONE shuffle — an explicit
+    ``repartition(target)``, one partition-local sort serving both
+    window functions (their orderings are prefix-compatible), and one
+    final groupBy. Deliberately NOT the counts-join-anchors two-branch
+    form: a diamond over the expensive ``links`` lineage re-executes
+    the whole upstream parse per branch (the two exchanges column-
+    prune differently, so ReuseExchange never fires), and the equi-join
+    makes Catalyst infer ``isnotnull(target)`` and push the caller's
+    entire ``resolved`` expression (resolve_href's regex program) down
+    into the anchor filter — evaluating it twice and overflowing
+    whole-stage codegen's 64 KB method limit. The anchor list is the
+    unbounded-group-frame hazard (a homepage linked by millions of
+    pages), so the cap is applied AT AGGREGATION — each row's anchor
+    contributes only when it is the group's first occurrence
+    (row_number==1 over (target, anchor)) AND within the cap
+    (dense_rank over target ordered by anchor), so ``collect_list``
+    never holds more than ``anchor_cap`` strings — the same rule
+    ops/dedup.py pins for group members, never a post-hoc slice.
+    """
+    base = links.select(
+        F.col("resolved").alias("target"), "url", "anchor_text"
+    ).repartition("target")
+    w_first = Window.partitionBy("target", "anchor_text").orderBy("url")
+    w_rank = Window.partitionBy("target").orderBy("anchor_text")
+    in_cap = F.lit(True) if anchor_cap is None else (
+        F.dense_rank().over(w_rank) <= anchor_cap
+    )
+    flagged = base.select(
+        "target", "url", "anchor_text",
+        F.when(
+            (F.row_number().over(w_first) == 1) & in_cap,
+            F.col("anchor_text"),
+        ).alias("contrib"),
+    )
+    return flagged.groupBy("target").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.count_distinct("url").cast("long").alias("n_pages"),
+        F.array_join(
+            F.array_sort(F.collect_list("contrib")), "|"
+        ).alias("anchors"),
+    )

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hickoryspark.nodes import TYPE_ELEMENT, TYPE_TEXT
+from hickoryspark.ops.metadata import ASCII_WS_RE
 
 JSONLD_MIME = "application/ld+json"
 
@@ -57,6 +58,182 @@ DEFAULT_JSONLD_FIELDS = {
     "author_name": "$.author.name",
     "date_published": "$.datePublished",
 }
+
+
+#: HTML microdata value source per element tag (spec §5.2.4 "property
+#: value"): these tags read an ATTRIBUTE; every other tag reads the
+#: element's subtree text. ``time`` falls back to subtree text when
+#: its ``datetime`` attribute is absent.
+_MD_ATTR_TAGS = {
+    "meta": "content",
+    "audio": "src", "embed": "src", "iframe": "src", "img": "src",
+    "source": "src", "track": "src", "video": "src",
+    "a": "href", "area": "href", "link": "href",
+    "object": "data",
+    "data": "value", "meter": "value",
+}
+
+
+def extract_microdata(nodes: DataFrame) -> DataFrame:
+    """HTML microdata (itemscope/itemprop) → flat property rows:
+    ``(url, item_idx, itemtype, prop_name, prop_pos, prop_value,
+    nested_item)``.
+
+    The markup-annotation complement to ``extract_jsonld`` — the other
+    way schema.org entities ship on real pages. Semantics pinned for
+    the oracles:
+
+    - an ITEM is any element carrying ``itemscope`` (presence test —
+      the attribute is valueless); ``item_idx`` is its 0-based
+      document-order index within the page; ``itemtype`` is the
+      ``itemtype`` attribute verbatim (NULL when absent);
+    - a PROPERTY is any element carrying ``itemprop``; the attribute
+      splits on ASCII whitespace into one row per token (an
+      ``itemprop=""`` yields no rows); each property belongs to its
+      NEAREST ancestor item (strictly containing — an element with
+      both attributes is a property of the item above it, never of
+      itself); properties outside every item are dropped (``itemref``
+      indirection is out of scope, recorded in COVERAGE.md);
+    - ``prop_pos``: 0-based (document order, then token order) index
+      among the owning item's property rows;
+    - ``prop_value``: per the spec's tag table (``meta``→content,
+      media tags→src, ``a``/``area``/``link``→href, ``object``→data,
+      ``data``/``meter``→value, ``time``→datetime with subtree-text
+      fallback, everything else→subtree text, i.e. all descendant
+      text nodes concatenated in document order); a missing value
+      attribute reads as ``''`` (spec), never NULL;
+    - a property that is itself an item (``itemscope`` + ``itemprop``)
+      gets ``prop_value`` NULL and ``nested_item`` = its own
+      ``item_idx`` (the structural edge a KG loader follows).
+
+    Spark shape: every join and window is url-local — item indexing is
+    one url window; ownership is a url-equi join with the
+    ``pre_ord``/``subtree_end`` interval residual (the descendant_rel
+    pattern) reduced by ``max(struct(...))`` to the nearest ancestor;
+    subtree text is the same interval join against text rows,
+    restricted to the properties whose tag actually reads text. With
+    the node table bucketed by url all of it is co-partitioned.
+    """
+    elems = nodes.where(F.col("type") == TYPE_ELEMENT)
+    a = F.col("attrs")
+    items = elems.where(a["itemscope"].isNotNull()).select(
+        "url",
+        F.col("pre_ord").alias("i_ord"),
+        F.col("subtree_end").alias("i_end"),
+        a["itemtype"].alias("itemtype"),
+    )
+    w_items = Window.partitionBy("url").orderBy("i_ord")
+    items = items.withColumn(
+        "item_idx", (F.row_number().over(w_items) - 1).cast("int")
+    )
+
+    # <time> reads its datetime attr WITHOUT the ''-coalesce: when the
+    # attr is absent the NULL falls through to the subtree-text branch
+    attr_val = F.when(F.col("tag") == "time", a["datetime"]).otherwise(
+        F.lit(None).cast("string")
+    )
+    for tag, attr in _MD_ATTR_TAGS.items():
+        attr_val = F.when(F.col("tag") == tag,
+                          F.coalesce(a[attr], F.lit(""))).otherwise(attr_val)
+    props = elems.where(a["itemprop"].isNotNull()).select(
+        "url",
+        F.col("pre_ord").alias("p_ord"),
+        F.col("subtree_end").alias("p_end"),
+        a["itemprop"].alias("itemprop"),
+        a["itemscope"].isNotNull().alias("is_nested"),
+        attr_val.alias("attr_value"),
+        # subtree text is needed unless an attribute fully determines
+        # the value: nested items are NULL, attr tags read the attr;
+        # <time> keeps the text join alive for its missing-datetime
+        # fallback
+        (
+            a["itemscope"].isNull()
+            & ~F.col("tag").isin(*_MD_ATTR_TAGS)
+        ).alias("needs_text"),
+    )
+
+    texts = nodes.where(F.col("type") == TYPE_TEXT).select(
+        F.col("url").alias("t_url"),
+        F.col("pre_ord").alias("t_ord"),
+        F.col("text").alias("t_text"),
+    )
+    need = props.where(F.col("needs_text"))
+    stext = (
+        need.join(
+            texts,
+            (need["url"] == texts["t_url"])
+            & (texts["t_ord"] > need["p_ord"])
+            & (texts["t_ord"] <= need["p_end"]),
+            "left",
+        )
+        .groupBy("url", "p_ord")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("t_ord", "t_text"))),
+                    lambda s: s["t_text"],
+                ),
+                "",
+            ).alias("subtree_text")
+        )
+    )
+    props = props.join(stext, ["url", "p_ord"], "left")
+
+    # nearest strictly-containing item: max i_ord among ancestors
+    owned = (
+        props.join(
+            items,
+            (props["url"] == items["url"])
+            & (items["i_ord"] < props["p_ord"])
+            & (props["p_ord"] <= items["i_end"]),
+        )
+        .drop(items["url"])
+        .groupBy("url", "p_ord")
+        .agg(
+            F.max(F.struct("i_ord", "item_idx", "itemtype")).alias("owner"),
+            F.first("itemprop").alias("itemprop"),
+            F.first("is_nested").alias("is_nested"),
+            F.first("attr_value").alias("attr_value"),
+            F.first("subtree_text").alias("subtree_text"),
+        )
+    )
+
+    nested = items.select(
+        "url",
+        F.col("i_ord").alias("p_ord"),
+        F.col("item_idx").alias("nested_item"),
+    )
+    rows = (
+        owned.join(nested, ["url", "p_ord"], "left")
+        .select(
+            "url",
+            "p_ord",
+            F.col("owner")["item_idx"].alias("item_idx"),
+            F.col("owner")["itemtype"].alias("itemtype"),
+            F.posexplode(
+                F.filter(
+                    F.split(F.col("itemprop"), ASCII_WS_RE),
+                    lambda t: t != "",
+                )
+            ).alias("tok_pos", "prop_name"),
+            F.when(F.col("is_nested"), F.lit(None).cast("string"))
+            .otherwise(
+                F.coalesce("attr_value", "subtree_text", F.lit(""))
+            )
+            .alias("prop_value"),
+            F.when(F.col("is_nested"), F.col("nested_item"))
+            .cast("int")
+            .alias("nested_item"),
+        )
+    )
+    w_props = Window.partitionBy("url", "item_idx").orderBy(
+        "p_ord", "tok_pos"
+    )
+    return rows.select(
+        "url", "item_idx", "itemtype", "prop_name",
+        (F.row_number().over(w_props) - 1).cast("int").alias("prop_pos"),
+        "prop_value", "nested_item",
+    )
 
 
 def extract_jsonld(

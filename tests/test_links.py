@@ -222,3 +222,40 @@ def test_rel_nofollow_token_matching(spark):
     assert [(r["href"], r["rel_nofollow"]) for r in rows] == [
         ("/a", False), ("/b", True), ("/c", True), ("/d", False),
     ]
+
+
+def test_aggregate_anchors_counts_and_distinct_pages(spark):
+    from pyspark.sql import Row
+
+    from hickoryspark.ops.links import aggregate_anchors
+
+    edges = spark.createDataFrame([
+        Row(url="https://a/1", resolved="https://t/x", anchor_text="one"),
+        Row(url="https://a/1", resolved="https://t/x", anchor_text="one"),
+        Row(url="https://a/2", resolved="https://t/x", anchor_text="uno"),
+        Row(url="https://a/2", resolved="https://t/y", anchor_text="why"),
+    ])
+    out = {r["target"]: r for r in aggregate_anchors(edges).collect()}
+    x = out["https://t/x"]
+    assert x["n_links"] == 3       # total edges
+    assert x["n_pages"] == 2       # distinct referring urls
+    assert x["anchors"] == "one|uno"  # distinct, lexicographic
+    y = out["https://t/y"]
+    assert (y["n_links"], y["n_pages"], y["anchors"]) == (1, 1, "why")
+
+
+def test_aggregate_anchors_cap_keeps_lexicographic_head(spark):
+    from pyspark.sql import Row
+
+    from hickoryspark.ops.links import aggregate_anchors
+
+    edges = spark.createDataFrame([
+        Row(url=f"https://a/{i}", resolved="https://t/x",
+            anchor_text=f"t{i:02d}")
+        for i in range(10)
+    ])
+    capped = aggregate_anchors(edges, anchor_cap=3).collect()[0]
+    assert capped["anchors"] == "t00|t01|t02"
+    assert capped["n_links"] == 10 and capped["n_pages"] == 10
+    exact = aggregate_anchors(edges, anchor_cap=None).collect()[0]
+    assert exact["anchors"] == "|".join(f"t{i:02d}" for i in range(10))
