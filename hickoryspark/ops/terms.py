@@ -1,0 +1,120 @@
+"""Corpus term statistics — TF-IDF keyword extraction and unigram
+language-model surprisal scoring.
+
+Two classic corpus-level signals over the same token relation:
+
+- ``tfidf_top_terms``: the k most TF-IDF-salient terms per document
+  (search indexing, weak labeling, topic sampling);
+- ``unigram_surprisal``: per-document mean negative log-probability
+  under the corpus's own unigram distribution — the cheap stand-in for
+  the KenLM perplexity filter CCNet-style pipelines use to rank
+  fluency (high surprisal = rare-token soup; low = repetitive).
+
+Pinned semantics (oracle-reproducible):
+
+- TOKENS: ASCII-whitespace split, empties removed, NO case folding
+  (JVM vs DuckDB Unicode lowercasing disagree on edge casings — and
+  the key rule here must be byte-exact across engines);
+- idf = ln((N + 1) / (df + 1)) + 1 (smoothed, sklearn-style), where N
+  is the corpus document count and df the number of DISTINCT documents
+  containing the term;
+- score = tf * idf, ROUNDED to 6 decimals BEFORE ranking so the
+  engines rank identical values; rank orders by (score DESC, term ASC)
+  — the term tiebreak makes top-k deterministic;
+- surprisal(term) = ln(total_tokens / corpus_count(term));
+  ``avg_surprisal`` is the token-weighted mean, rounded to 6.
+
+Scale shape: all JVM-side. The term-frequency base is one
+(doc_id, term) aggregation; document frequency and corpus counts are
+WINDOW sums over that base (re-clustering by term) rather than a
+groupBy + self-join — one exchange each, no join, no driver scalar
+(the corpus totals ride a broadcast one-row aggregate). Top-k is a
+per-doc window with the rank filter pushed as WindowGroupLimit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hickoryspark.ops.chunking import ASCII_WS_SPLIT_RE
+
+__all__ = ["term_frequencies", "tfidf_top_terms", "unigram_surprisal"]
+
+
+def term_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(doc_id, term, tf)`` — one row per distinct term per doc."""
+    toks = F.filter(
+        F.split(F.col(text_col), ASCII_WS_SPLIT_RE), lambda t: t != ""
+    )
+    return (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5,
+                    text_col: str = "text") -> DataFrame:
+    """Top-k TF-IDF terms per document:
+    ``(doc_id, term, tf, score, rank)``."""
+    tf = term_frequencies(docs, text_col)
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    w_term = Window.partitionBy("term")
+    scored = (
+        tf.join(F.broadcast(n_docs))
+        .withColumn("df", F.count("*").over(w_term))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                6,
+            ),
+        )
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_doc))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "score",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document unigram-LM fluency score:
+    ``(doc_id, n_tokens, avg_surprisal)``; zero-token docs are absent
+    (no distribution to score under)."""
+    tf = term_frequencies(docs, text_col)
+    w_term = Window.partitionBy("term")
+    with_counts = tf.withColumn(
+        "term_total", F.sum("tf").over(w_term)
+    )
+    # the corpus-total scalar comes from a SECOND, cheap scan of the
+    # raw docs (size of the token array — text column only, no explode
+    # shuffle) rather than re-aggregating the tf lineage: a diamond
+    # over tf would re-execute the whole token groupBy per branch
+    toks = F.filter(
+        F.split(F.col(text_col), ASCII_WS_SPLIT_RE), lambda t: t != ""
+    )
+    totals = docs.agg(
+        F.sum(F.size(toks)).cast("long").alias("corpus_total")
+    )
+    return (
+        with_counts.join(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("corpus_total") / F.col("term_total"))
+                )
+                / F.sum("tf"),
+                6,
+            ).alias("avg_surprisal"),
+        )
+    )
