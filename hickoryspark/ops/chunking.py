@@ -31,10 +31,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hickoryspark.ops.metadata import ASCII_WS_RE
+
 __all__ = ["chunk_tokens", "ASCII_WS_SPLIT_RE"]
 
-#: ASCII whitespace run — Java \s semantics, valid RE2 (DuckDB mirror)
-ASCII_WS_SPLIT_RE = "[ \t\n\x0b\f\r]+"
+#: ASCII whitespace run — Java \s semantics, valid RE2. Single-sourced
+#: from ops.metadata (the repo-wide pinned class); re-exported under
+#: the historical name for ops.terms and callers.
+ASCII_WS_SPLIT_RE = ASCII_WS_RE
 
 
 def chunk_tokens(docs: DataFrame, max_tokens: int = 512,

@@ -232,20 +232,30 @@ def aggregate_anchors(links: DataFrame,
     base = links.select(
         F.col("resolved").alias("target"), "url", "anchor_text"
     ).repartition("target")
+    # pre-aggregate to (target, url, anchor) grain BEFORE the windows:
+    # the map-side partial combine collapses repeated edges, so the
+    # window sort sees distinct triples, not raw edge rows (a homepage
+    # linked by millions of pages with the same 'Home' anchor funnels
+    # distinct urls, not every edge, through its window task — the
+    # residual per-target funnel is the exact-contract floor, same as
+    # ops/dedup.py's group windows)
+    g1 = base.groupBy("target", "url", "anchor_text").agg(
+        F.count("*").alias("n_e")
+    )
     w_first = Window.partitionBy("target", "anchor_text").orderBy("url")
     w_rank = Window.partitionBy("target").orderBy("anchor_text")
     in_cap = F.lit(True) if anchor_cap is None else (
         F.dense_rank().over(w_rank) <= anchor_cap
     )
-    flagged = base.select(
-        "target", "url", "anchor_text",
+    flagged = g1.select(
+        "target", "url", "n_e",
         F.when(
             (F.row_number().over(w_first) == 1) & in_cap,
             F.col("anchor_text"),
         ).alias("contrib"),
     )
     return flagged.groupBy("target").agg(
-        F.count("*").cast("long").alias("n_links"),
+        F.sum("n_e").cast("long").alias("n_links"),
         F.count_distinct("url").cast("long").alias("n_pages"),
         F.array_join(
             F.array_sort(F.collect_list("contrib")), "|"

@@ -25,11 +25,15 @@ Pinned semantics (oracle-reproducible):
   ``avg_surprisal`` is the token-weighted mean, rounded to 6.
 
 Scale shape: all JVM-side. The term-frequency base is one
-(doc_id, term) aggregation; document frequency and corpus counts are
-WINDOW sums over that base (re-clustering by term) rather than a
-groupBy + self-join — one exchange each, no join, no driver scalar
-(the corpus totals ride a broadcast one-row aggregate). Top-k is a
-per-doc window with the rank filter pushed as WindowGroupLimit.
+(doc_id, term) aggregation; document frequency and corpus term totals
+are groupBy-by-term aggregates equi-joined back (map-side partial
+combine + AQE-skew-splittable join — a window over partitionBy(term)
+would funnel a stopword's every row through one unsplittable
+WindowExec task). The shared tf child is written so both consumers
+prune identical columns and ReuseExchange fires (verified by the plan
+test). Corpus document/token totals ride broadcast one-row aggregates
+off cheap second scans. Top-k is a per-doc window with the rank filter
+pushed as WindowGroupLimit.
 """
 
 from __future__ import annotations
@@ -60,10 +64,22 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5,
     ``(doc_id, term, tf, score, rank)``."""
     tf = term_frequencies(docs, text_col)
     n_docs = docs.agg(F.count("*").alias("n_docs"))
-    w_term = Window.partitionBy("term")
+    # document frequency via groupBy + equi-join, NOT a window over
+    # partitionBy(term): a stopword's rows all land in ONE WindowExec
+    # task (AQE can split skewed join partitions but never window
+    # partitions), while the aggregate partial-combines map-side and
+    # the join stays AQE-skew-splittable. df must CONSUME the tf column
+    # (sum of tf>0, which equals the row count since tf >= 1): a plain
+    # count(*) — or count("tf"), which the optimizer rewrites to
+    # count(1) — would prune tf out of this branch's child aggregate,
+    # making the two tf subtrees differ and killing the ReusedExchange
+    # that keeps the token explode single-pass (plan-guarded).
+    df_rel = tf.groupBy("term").agg(
+        F.sum((F.col("tf") > 0).cast("long")).alias("df")
+    )
     scored = (
-        tf.join(F.broadcast(n_docs))
-        .withColumn("df", F.count("*").over(w_term))
+        tf.join(df_rel, "term")
+        .join(F.broadcast(n_docs))
         .withColumn(
             "score",
             F.round(
@@ -89,10 +105,13 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ``(doc_id, n_tokens, avg_surprisal)``; zero-token docs are absent
     (no distribution to score under)."""
     tf = term_frequencies(docs, text_col)
-    w_term = Window.partitionBy("term")
-    with_counts = tf.withColumn(
-        "term_total", F.sum("tf").over(w_term)
+    # corpus term totals via groupBy + join (same skew rationale as
+    # tfidf_top_terms: a mega-term must stay out of a single
+    # WindowExec task)
+    term_totals = tf.groupBy("term").agg(
+        F.sum("tf").alias("term_total")
     )
+    with_counts = tf.join(term_totals, "term")
     # the corpus-total scalar comes from a SECOND, cheap scan of the
     # raw docs (size of the token array — text column only, no explode
     # shuffle) rather than re-aggregating the tf lineage: a diamond

@@ -356,3 +356,54 @@ def test_robots_sitemaps_single_host_shuffle_jvm_only(spark):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_terms_tf_exchange_reused_single_token_pass(spark):
+    """tfidf/surprisal consume the tf relation twice (rows + per-term
+    aggregate); the shared child must land as ONE exchange reused by
+    both branches — otherwise the token explode runs twice. Guarded on
+    the AQE final plan (reuse materializes at stage submission)."""
+    from hickoryspark.ops.terms import tfidf_top_terms, unigram_surprisal
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (tfidf_top_terms(docs, 3), unigram_surprisal(docs)):
+        df.collect()
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        ).split("== Initial Plan ==")[0]
+        assert "isFinalPlan=true" in plan
+        assert plan.count("ReusedExchange") >= 1, plan
+        # exactly 2 source scans: the tf lineage + the cheap
+        # one-row corpus/doc-count aggregate
+        assert plan.count("FileScan parquet") == 2, plan
+
+
+def test_aggregate_anchors_linear_preagg_no_codegen_overflow(spark):
+    """aggregate_anchors must (a) pre-aggregate to (target, url,
+    anchor) grain BEFORE its windows so the sort sees distinct triples
+    rather than raw edges, (b) stay a single linear pipeline (no
+    second scan of the links lineage), and (c) keep the giant
+    resolve_href expression out of any pushed-down filter (the
+    isnotnull(CASE ...) form that overflowed 64 KB codegen)."""
+    from pyspark.sql import Row
+
+    from hickoryspark.ops.links import aggregate_anchors
+
+    edges = spark.createDataFrame([
+        Row(url=f"u{i % 5}", resolved=f"t{i % 3}", anchor_text=f"a{i % 4}")
+        for i in range(40)
+    ])
+    out = aggregate_anchors(edges)
+    plan = _plan(out)
+    # pre-agg grain: the edge-count partial aggregate (count(1) keyed
+    # by target+url+anchor) sits BELOW the windows in the printed tree
+    # (string position AFTER them); the distinct-url partial above the
+    # windows prints as partial_count(distinct ...), not count(1)
+    w = plan.find("Window")
+    pre = plan.find("partial_count(1)")
+    assert w != -1 and pre > w, plan
+    assert "isnotnull(CASE" not in plan
+    # counts stay exact: sum of edge multiplicities + distinct urls
+    rows = {r["target"]: r for r in out.collect()}
+    assert rows["t0"]["n_links"] == 14  # i%3==0 over range(40)
+    assert rows["t0"]["n_pages"] == 5
