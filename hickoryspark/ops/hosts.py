@@ -1,0 +1,108 @@
+"""Host-level corpus controls — URL blocklist filtering and per-host
+rollup statistics.
+
+The domain-hygiene step every web-corpus pipeline runs (RefinedWeb /
+CCNet ship UT1-style blocklists; C4 filtered on bad-word domains):
+drop every page whose host — or any parent domain of it — appears on a
+blocklist, and summarize the surviving corpus per registrable host so
+curators can rank/spot-check domains.
+
+Pinned semantics:
+
+- the HOST of a url is the authority with any ``user:pass@`` prefix
+  and ``:port`` suffix removed, ASCII-lowercased (the same fold
+  ops/robots.py applies before its host join); urls with no
+  ``scheme://authority`` have no host and are NEVER matched by a
+  blocklist (kept) but aggregate under host NULL in ``host_stats``;
+- a blocklist entry blocks the exact host AND every subdomain of it
+  (``example.com`` blocks ``a.b.example.com``); entries are matched
+  after the same lowercase fold;
+- subdomain matching is implemented by exploding each url's host into
+  its DOT-SUFFIX CHAIN (``a.b.c`` → ``a.b.c``, ``b.c``, ``c``) and
+  equi-joining the chain against the blocklist — a plain broadcastable
+  semi-join instead of a non-equi "ends-with" join (which would plan a
+  nested loop). The chain length is bounded by the label count of one
+  host, and ``LABEL_CAP`` bounds hostile thousand-dot hosts.
+
+Scale shape: the blocklist is small by construction (MBs) —
+``filter_blocklist`` broadcasts it into a left-anti join evaluated
+map-side; no shuffle of the corpus. ``host_stats`` is one groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["url_host", "host_suffixes", "filter_blocklist", "host_stats"]
+
+#: max labels considered from the right when expanding suffix chains —
+#: a hostile 10k-dot host must not explode into 10k rows per url
+LABEL_CAP = 16
+
+_HOST_RE = r"(?i)^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)"
+
+
+def url_host(url):
+    """Lowercased host of ``url`` (column expr); NULL when the url has
+    no ``scheme://authority``."""
+    h = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    return F.when(h != "", h)
+
+
+def host_suffixes(host):
+    """Dot-suffix chain of ``host`` (column expr):
+    ``a.b.c`` → ``['a.b.c', 'b.c', 'c']``, capped at the LAST
+    ``LABEL_CAP`` labels (matching deeper than that is meaningless for
+    a blocklist of registrable domains)."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    start = F.greatest(F.lit(1), n - F.lit(LABEL_CAP) + 1)
+    return F.transform(
+        F.sequence(start, n),
+        lambda i: F.array_join(F.slice(labels, i, F.size(labels)), "."),
+    )
+
+
+def filter_blocklist(pages: DataFrame, blocklist: DataFrame,
+                     url_col: str = "url") -> DataFrame:
+    """Pages whose host matches no blocklist entry (exact or as a
+    subdomain). ``blocklist`` has one ``host`` column; it is folded,
+    deduped, and broadcast.
+
+    Plan shape: the hit set is computed on a URL-COLUMN-ONLY pass
+    (explode suffixes → broadcast semi-join, all map-side), then
+    anti-joined back against the full pages — two scans of the pages
+    source, but the first is pruned to one string column and the hit
+    set is small, so AQE broadcasts it and the final anti-join is
+    map-side too; the full-width corpus rows never shuffle. (A
+    single-pass per-row ``array_intersect`` against a literal list
+    would rebuild the blocklist hash per row — worse for real UT1-size
+    lists.)"""
+    blocked = blocklist.select(
+        F.lower(F.btrim(F.col("host"))).alias("b_host")
+    ).distinct()
+    expanded = pages.select(url_col).withColumn(
+        "_suffix",
+        F.explode(host_suffixes(url_host(F.col(url_col)))),
+    )
+    hit = expanded.join(
+        F.broadcast(blocked),
+        expanded["_suffix"] == blocked["b_host"],
+        "left_semi",
+    ).select(url_col)
+    return pages.join(hit, url_col, "left_anti")
+
+
+def host_stats(pages: DataFrame, url_col: str = "url",
+               payload_col: str = "html") -> DataFrame:
+    """Per-host corpus rollup: ``(host, n_pages, n_bytes)`` — the
+    ranking input for domain curation. ``host`` is NULL for
+    authority-less urls."""
+    return (
+        pages.groupBy(url_host(F.col(url_col)).alias("host"))
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.sum(F.octet_length(payload_col)).cast("long").alias("n_bytes"),
+        )
+    )

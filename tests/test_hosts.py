@@ -1,0 +1,125 @@
+"""Host blocklist filtering and rollups (ops/hosts.py): host
+extraction, suffix chains, subdomain blocking, stats."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from hickoryspark.spark.session import get_spark
+
+    s = get_spark(4, app_name="hickoryspark-hosts-tests",
+                  shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _host(spark, url):
+    from hickoryspark.ops.hosts import url_host
+    from pyspark.sql import functions as F
+
+    return spark.range(1).select(
+        url_host(F.lit(url)).alias("h")).collect()[0]["h"]
+
+
+def test_url_host_fold_port_userinfo(spark):
+    assert _host(spark, "https://EX.Test/p") == "ex.test"
+    assert _host(spark, "http://a.B.c:8080/x") == "a.b.c"
+    assert _host(spark, "ftp://user:pw@Host.NET/f") == "host.net"
+    assert _host(spark, "relative/path") is None
+    assert _host(spark, "mailto:x@y.z") is None  # no authority
+
+
+def test_host_suffix_chain(spark):
+    from hickoryspark.ops.hosts import host_suffixes
+    from pyspark.sql import functions as F
+
+    rows = spark.range(1).select(
+        host_suffixes(F.lit("a.b.example.com")).alias("s")).collect()
+    assert rows[0]["s"] == ["a.b.example.com", "b.example.com",
+                            "example.com", "com"]
+
+
+def test_suffix_chain_label_cap(spark):
+    from hickoryspark.ops.hosts import LABEL_CAP, host_suffixes
+    from pyspark.sql import functions as F
+
+    hostile = ".".join(str(i) for i in range(1000)) + ".example.com"
+    rows = spark.range(1).select(
+        host_suffixes(F.lit(hostile)).alias("s")).collect()
+    s = rows[0]["s"]
+    assert len(s) == LABEL_CAP
+    assert s[-1] == "com" and s[-2] == "example.com"
+
+
+def _filtered(spark, urls, blocked):
+    from hickoryspark.ops.hosts import filter_blocklist
+
+    pages = spark.createDataFrame([(u, "<p>x</p>") for u in urls],
+                                  "url string, html string")
+    bl = spark.createDataFrame([(b,) for b in blocked], "host string")
+    return sorted(r["url"] for r in filter_blocklist(pages, bl).collect())
+
+
+def test_blocklist_exact_and_subdomain(spark):
+    urls = [
+        "https://spam.example/a",
+        "https://sub.spam.example/b",
+        "https://notspam.example/c",      # suffix 'spam.example' is NOT
+                                          # a dot-boundary match
+        "https://ok.test/d",
+        "relative/no-host",
+    ]
+    out = _filtered(spark, urls, ["spam.example"])
+    assert out == ["https://notspam.example/c", "https://ok.test/d",
+                   "relative/no-host"]
+
+
+def test_blocklist_case_and_whitespace_folded(spark):
+    out = _filtered(spark, ["https://Bad.Site/x", "https://good/y"],
+                    ["  BAD.site "])
+    assert out == ["https://good/y"]
+
+
+def test_host_stats(spark):
+    from hickoryspark.ops.hosts import host_stats
+
+    pages = spark.createDataFrame(
+        [("https://a/1", "xx"), ("https://a:80/2", "yyy"),
+         ("noauth", "z")],
+        "url string, html string",
+    )
+    rows = {r["host"]: r for r in host_stats(pages).collect()}
+    assert rows["a"]["n_pages"] == 2 and rows["a"]["n_bytes"] == 5
+    assert rows[None]["n_pages"] == 1
+
+
+def test_blocklist_join_is_broadcast_and_corpus_unshuffled(spark):
+    from hickoryspark.ops.hosts import filter_blocklist
+
+    # the blocklist must actually hit a page: an empty hit set lets
+    # AQE eliminate the anti-join entirely (also fine, but then no
+    # join shape exists to assert on)
+    pages = spark.createDataFrame(
+        [("https://a/1", "x"), ("https://bad/2", "y")],
+        "url string, html string",
+    )
+    bl = spark.createDataFrame([("bad",)], "host string")
+    out = filter_blocklist(pages, bl)
+    out.collect()
+    # the hit set's size is only known at runtime: AQE must have
+    # re-planned the anti-join as broadcast (same final-plan assertion
+    # the dedup group guards use)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    ).split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
