@@ -2132,6 +2132,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return host_stats(_host_gate_pages(load_documents(spark, sf)))
 
+    def q_text_repetition(spark, sf):
+        # Gopher repetition signals (ops/repetition.py) over a dirty
+        # corpus: every doc gains a twice-repeated boilerplate line, a
+        # unique permalink line, and a thrice-repeated phrase so every
+        # line AND n-gram signal engages; oracle = the op's exact SQL
+        # mirror (DUCKDB_REPETITION_SQL) over the identical input
+        from hickoryspark.ops.repetition import repetition_signals
+
+        dirty = load_documents(spark, sf).select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.col("text"),
+                F.lit("subscribe now"),
+                F.lit("subscribe now"),
+                F.concat(F.lit("perma "), F.col("doc_id")),
+                F.lit("click here click here click here"),
+            ).alias("text"),
+        )
+        return repetition_signals(dirty, ngram_n=2)
+
     out.update(
         charset_extract=q_charset_extract,
         pdf_extract=q_pdf_extract,
@@ -2154,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_surprisal=q_text_surprisal,
         host_blocklist=q_host_blocklist,
         host_rollup=q_host_rollup,
+        text_repetition=q_text_repetition,
         dedup_exact=q_dedup_exact,
         dedup_minhash=q_minhash,
         dedup_lsh_pairs=q_lsh_pairs,
@@ -2320,6 +2342,7 @@ _GATE_PRIORITY = [
     "text_surprisal",
     "host_blocklist",
     "host_rollup",
+    "text_repetition",
 ]
 
 
@@ -3677,6 +3700,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_pages,
                CAST(SUM(strlen('h' || doc_id)) AS BIGINT) AS n_bytes
         FROM documents GROUP BY 1"""
+    # text_repetition: the identical dirty corpus, then the op's own
+    # SQL mirror (every ratio pinned to integer ppm on both sides)
+    from hickoryspark.ops.repetition import DUCKDB_REPETITION_SQL
+
+    oracles["text_repetition"] = (
+        """WITH dirty AS (
+          SELECT doc_id,
+                 text || chr(10) || 'subscribe now' ||
+                 chr(10) || 'subscribe now' ||
+                 chr(10) || 'perma ' || doc_id ||
+                 chr(10) || 'click here click here click here' AS text
+          FROM documents
+        ), """
+        + DUCKDB_REPETITION_SQL.format(src="dirty", n=2)
+    )
     # chunk_windows: the pinned chunking pipeline — ASCII-whitespace
     # split (the shared Java-\\s/RE2 class), empties removed,
     # stride = 32 - 8 = 24, ceil window count, 1-based inclusive

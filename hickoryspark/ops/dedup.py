@@ -234,18 +234,37 @@ def lsh_candidate_pairs(
     return intra.unionByName(inter)
 
 
-def shingles(col: Column, n: int = 3) -> Column:
-    """Token n-gram shingles as an array<string> (space-joined).
+def join_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined n-grams of a token array, built LINEARLY: a chain
+    of n-1 ``zip_with`` concats over n once-evaluated shifted slices.
 
-    Guarded for short docs: sequence(1, 0) in Spark yields the
-    DESCENDING array [1, 0] (and slice(toks, 0, n) then throws), so a
-    doc with fewer than n tokens returns an empty array instead."""
-    toks = F.split(col, " ")
+    The obvious ``transform(sequence(1, cnt), i -> array_join(
+    slice(toks, i, n)))`` form is O(tokens^2): higher-order lambdas
+    are interpreted per element, the slice copies n elements per
+    position, AND a non-attribute ``toks`` expression is re-evaluated
+    inside the lambda per element — a 100k-token page (ordinary on the
+    web) ran for minutes. Here every slice is an argument (evaluated
+    once per row) and the per-element work is one concat; both shifted
+    slices always have exactly ``cnt`` elements, so zip_with never
+    NULL-pads. Guarded for short docs: sequence/slice underflow never
+    happens because docs shorter than n take the empty branch."""
     cnt = F.size(toks) - (n - 1)
-    return F.when(cnt >= 1, F.transform(
-        F.sequence(F.lit(1), cnt),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )).otherwise(F.array().cast("array<string>"))
+    grams = F.slice(toks, 1, cnt)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, cnt),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(cnt >= 1, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Token n-gram shingles as an array<string> (space-joined),
+    linear-time (see join_ngrams)."""
+    return join_ngrams(F.split(col, " "), n)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:

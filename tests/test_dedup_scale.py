@@ -242,3 +242,34 @@ def test_simhash_max_hamming_zero_single_64bit_band(spark):
     got = {(r["doc_a"], r["doc_b"]) for r in
            simhash_pairs_from_sigs(df, 64, 0).collect()}
     assert got == {(1, 2), (3, 4)}
+
+
+def test_join_ngrams_matches_python_and_is_linear_scale(spark):
+    # join_ngrams replaced the O(tokens^2) transform(sequence, slice)
+    # form (interpreted lambda + per-element slice + re-split). Pin
+    # (a) exact equality with the naive Python construction across n,
+    # and (b) that a 100k-token doc completes in seconds — under the
+    # quadratic form this took minutes and would time the suite out.
+    import random
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hickoryspark.ops.dedup import join_ngrams, shingles
+
+    rng = random.Random(7)
+    for n in (1, 2, 3, 5):
+        words = [f"w{rng.randrange(9)}" for _ in range(rng.randrange(0, 30))]
+        text = " ".join(words)
+        toks = text.split(" ")  # house convention: '' stays a token
+        want = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        got = spark.createDataFrame([(text,)], "text string").select(
+            shingles(F.col("text"), n).alias("g")).collect()[0]["g"]
+        assert got == want, (n, text)
+    big = " ".join(["tok"] * 100_000)
+    t0 = time.time()
+    cnt = spark.createDataFrame([(big,)], "text string").select(
+        F.size(join_ngrams(F.split("text", " "), 3)).alias("k")
+    ).collect()[0]["k"]
+    assert cnt == 99_998
+    assert time.time() - t0 < 60, "n-gram build is no longer linear"

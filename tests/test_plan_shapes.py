@@ -407,3 +407,22 @@ def test_aggregate_anchors_linear_preagg_no_codegen_overflow(spark):
     rows = {r["target"]: r for r in out.collect()}
     assert rows["t0"]["n_links"] == 14  # i%3==0 over range(40)
     assert rows["t0"]["n_pages"] == 5
+
+
+def test_repetition_signals_jvm_only_no_nested_loop(spark):
+    """repetition_signals is a pure-JVM two-tree aggregation: no
+    Python evaluation anywhere, no nested-loop/cartesian join (the
+    doc_id stitches are equi-joins), and the n-gram top pick must ride
+    a Window over the aggregated relation — never a self-join of the
+    gram counts."""
+    from hickoryspark.ops.repetition import repetition_signals
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(repetition_signals(docs))
+    assert "Python" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # column pruning: only doc_id + text reach the scan
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "lang" not in scan[0] and "source" not in scan[0]
