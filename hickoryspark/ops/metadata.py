@@ -141,3 +141,32 @@ def page_metadata(nodes: DataFrame) -> DataFrame:
         "",
     )
     return agged.withColumn("title", title).select(*METADATA_COLS)
+
+
+#: ASCII whitespace characters trimmed around robots-meta directives
+#: (the same class ASCII_WS_RE matches)
+_DIRECTIVE_TRIM = " \t\n\x0b\f\r"
+
+
+def meta_robots_flags(meta: DataFrame,
+                      col: str = "meta_robots") -> DataFrame:
+    """Adds boolean ``noindex`` / ``nofollow`` columns parsed from the
+    as-written robots meta content per the Google/Bing robots-meta
+    rules: comma-separated directives, each ASCII-whitespace-trimmed
+    and compared case-insensitively; ``none`` means noindex AND
+    nofollow; a NULL / absent content is indexable and followable
+    (the crawler default — robots meta is opt-out). Unknown
+    directives are ignored. Pure column expressions; composes with
+    ``page_metadata`` output (``df.where(~F.col("noindex"))`` is the
+    corpus-admission filter every index pipeline runs)."""
+    toks = F.transform(
+        F.split(F.lower(F.coalesce(F.col(col), F.lit(""))), ","),
+        lambda t: F.btrim(t, F.lit(_DIRECTIVE_TRIM)),
+    )
+
+    def has(d: str) -> Column:
+        return F.array_contains(toks, d)
+
+    return meta.withColumn(
+        "noindex", has("noindex") | has("none")
+    ).withColumn("nofollow", has("nofollow") | has("none"))

@@ -134,3 +134,29 @@ def test_svg_and_body_titles_excluded_from_page_title(spark):
         "<p>x</p><title>stray</title></body>",
     )
     assert r["title"] == "Home"
+
+
+def test_meta_robots_flags_parsing(spark):
+    from pyspark.sql import functions as F
+
+    from hickoryspark.ops.metadata import meta_robots_flags
+
+    cases = [
+        (0, None, False, False),          # absent -> crawler default
+        (1, "noindex", True, False),
+        (2, " NOFOLLOW ,\tNoIndex ", True, True),
+        (3, "none", True, True),
+        (4, "index, follow", False, False),
+        (5, "", False, False),            # empty content
+        (6, ",", False, False),           # empty tokens only
+        (7, "noindexx", False, False),    # unknown directive ignored
+        (8, "max-snippet:-1, noindex", True, False),
+        (9, "\x0bnone\f", True, True),    # full ASCII-ws trim set
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c, *_ in cases], "doc_id long, meta_robots string"
+    )
+    got = {r["doc_id"]: (r["noindex"], r["nofollow"])
+           for r in meta_robots_flags(df).collect()}
+    for i, _, ni, nf in cases:
+        assert got[i] == (ni, nf), i
