@@ -170,3 +170,60 @@ def meta_robots_flags(meta: DataFrame,
     return meta.withColumn(
         "noindex", has("noindex") | has("none")
     ).withColumn("nofollow", has("nofollow") | has("none"))
+
+
+def canonical_targets(meta: DataFrame, url_col: str = "url",
+                      canonical_col: str = "canonical") -> DataFrame:
+    """Adds ``canonical_target``: the page's canonical dedup key — the
+    declared ``rel=canonical`` href resolved against the page url
+    (ops/links.resolve_href handles relative and dot-segment forms)
+    and normalized (ops/urls.normalize_url), falling back to the
+    page's own normalized url when no canonical is declared. Pure
+    column expressions; composes directly over ``page_metadata``."""
+    from hickoryspark.ops.links import resolve_href
+    from hickoryspark.ops.urls import normalize_url
+
+    u, c = F.col(url_col), F.col(canonical_col)
+    # normalize ONCE over the branch result — normalize(when(...)) and
+    # when(normalize, normalize) are equivalent, and the single
+    # application keeps the (large) regexp program out of the 64 KB
+    # codegen cliff when callers compose further expressions
+    target = normalize_url(F.when(c.isNull(), u).otherwise(
+        resolve_href(u, c)
+    ))
+    return meta.withColumn("canonical_target", target)
+
+
+def canonical_clusters(meta: DataFrame, url_col: str = "url",
+                       canonical_col: str = "canonical") -> DataFrame:
+    """Canonical-URL cluster rollup: ``(canonical_target, n_pages,
+    n_self)`` — the rel=canonical dedup step an index pipeline runs
+    before content dedup. ``n_self`` counts pages whose own normalized
+    url IS the target (the cluster has an in-corpus representative;
+    clusters with ``n_self = 0`` point at an uncrawled canonical).
+
+    Scale shape: one map-side project then ONE groupBy with map-side
+    partial aggregation — no join, no window; a mega-cluster key is
+    just one cheap count group. Codegen note: any stage containing
+    resolve_href's regex program exceeds the 64 KB whole-stage-codegen
+    limit and runs interpreted (true of resolve_href ALONE — verified
+    with probes — so extract_links / crawl_frontier share the class;
+    splitting projects or inserting exchanges cannot fix it because
+    subexpression elimination hoists one giant unsplittable method).
+    The compiled java.util.regex Patterns dominate the cost either
+    way; normalize_url alone DOES fit codegen, which is why
+    canonical_targets applies it once over the branch result."""
+    from hickoryspark.ops.urls import normalize_url
+
+    with_t = canonical_targets(meta, url_col, canonical_col)
+    is_self = (
+        F.col("canonical_target") == normalize_url(F.col(url_col))
+    ).cast("int")
+    return (
+        with_t.select("canonical_target", is_self.alias("_self"))
+        .groupBy("canonical_target")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.sum("_self").cast("long").alias("n_self"),
+        )
+    )

@@ -160,3 +160,42 @@ def test_meta_robots_flags_parsing(spark):
            for r in meta_robots_flags(df).collect()}
     for i, _, ni, nf in cases:
         assert got[i] == (ni, nf), i
+
+
+def test_canonical_targets_resolution(spark):
+    from hickoryspark.ops.metadata import canonical_targets
+
+    cases = [
+        # (url, canonical, expected target)
+        ("https://M.EX/p/1", None, "https://m.ex/p/1"),
+        ("https://m.ex/p/2",
+         "HTTPS://M.EX:443/c/9?utm_source=x#f", "https://m.ex/c/9"),
+        ("https://m.ex/p/3", "/c/7", "https://m.ex/c/7"),
+        ("https://m.ex/p/4", "x/../c/5", "https://m.ex/p/c/5"),
+        ("https://m.ex/p/5/", None, "https://m.ex/p/5"),
+    ]
+    df = spark.createDataFrame(
+        [(u, c) for u, c, _ in cases], "url string, canonical string"
+    )
+    got = {r["url"]: r["canonical_target"]
+           for r in canonical_targets(df).collect()}
+    for u, _, want in cases:
+        assert got[u] == want, (u, got[u])
+
+
+def test_canonical_clusters_rollup(spark):
+    from hickoryspark.ops.metadata import canonical_clusters
+
+    df = spark.createDataFrame(
+        [
+            ("https://m.ex/a", None),            # self cluster
+            ("https://m.ex/b", "/a"),            # joins /a's cluster
+            ("https://m.ex/c", "https://x.ex/z"),  # uncrawled target
+            ("https://m.ex/d", "https://x.ex/z"),
+        ],
+        "url string, canonical string",
+    )
+    rows = {r["canonical_target"]: (r["n_pages"], r["n_self"])
+            for r in canonical_clusters(df).collect()}
+    assert rows["https://m.ex/a"] == (2, 1)
+    assert rows["https://x.ex/z"] == (2, 0)
