@@ -426,3 +426,24 @@ def test_repetition_signals_jvm_only_no_nested_loop(spark):
     # column pruning: only doc_id + text reach the scan
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan and "lang" not in scan[0] and "source" not in scan[0]
+
+
+def test_extract_images_equi_joins_and_bounded_exchanges(spark):
+    """extract_images: every join is url-equi with interval residuals
+    (never BroadcastNestedLoop/cartesian), and after the input
+    relations' own url exchanges NOTHING downstream reshuffles — the
+    groupBys key on (url, m_id, ...) with url-subset satisfaction and
+    the media_pos window rides the same url partitioning, so the
+    hash-exchange count stays at the input-side bound (4: media,
+    figures, texts, figcaps)."""
+    from hickoryspark.ops.media import extract_images
+    from hickoryspark.spark.nodes_table import explode_nodes
+    from hickoryspark.spark.pages import load_pages
+
+    df = extract_images(explode_nodes(load_pages(spark, SF_DIR)))
+    df.count()
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 4, plan
+    spark.catalog.clearCache()
