@@ -227,3 +227,44 @@ def canonical_clusters(meta: DataFrame, url_col: str = "url",
             F.sum("_self").cast("long").alias("n_self"),
         )
     )
+
+
+def extract_hreflang(nodes: DataFrame) -> DataFrame:
+    """``(url, alt_pos, hreflang, href, resolved)`` — one row per
+    ``<link>`` whose ``rel`` token list contains ``alternate`` (the
+    page_metadata token rule: ASCII-ws split, case-insensitive) AND
+    that carries both ``hreflang`` and ``href`` — the multilingual
+    page-graph every cross-lingual corpus builder joins on.
+    ``hreflang`` is emitted as written (BCP 47 tags compare
+    case-insensitively; normalization is the caller's policy),
+    ``resolved`` is ops/links.resolve_href(url, href), ``alt_pos`` is
+    the 1-based document-order position among the page's alternates.
+    One url window; no joins."""
+    from hickoryspark.ops.links import resolve_href
+    from pyspark.sql import Window
+
+    a = F.col("attrs")
+    rel_tokens = F.filter(
+        F.split(F.lower(F.coalesce(a["rel"], F.lit(""))), _ASCII_WS),
+        lambda t: t != "",
+    )
+    alts = nodes.where(
+        (F.col("type") == TYPE_ELEMENT)
+        & (F.col("tag") == "link")
+        & F.array_contains(rel_tokens, "alternate")
+        & a["hreflang"].isNotNull()
+        & a["href"].isNotNull()
+    ).select(
+        "url",
+        F.col("pre_ord").alias("_ord"),
+        a["hreflang"].alias("hreflang"),
+        a["href"].alias("href"),
+    )
+    w = Window.partitionBy("url").orderBy("_ord")
+    return alts.select(
+        "url",
+        F.row_number().over(w).cast("long").alias("alt_pos"),
+        "hreflang",
+        "href",
+        resolve_href(F.col("url"), F.col("href")).alias("resolved"),
+    )

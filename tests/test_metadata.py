@@ -199,3 +199,28 @@ def test_canonical_clusters_rollup(spark):
             for r in canonical_clusters(df).collect()}
     assert rows["https://m.ex/a"] == (2, 1)
     assert rows["https://x.ex/z"] == (2, 0)
+
+
+def test_extract_hreflang(spark):
+    from hickoryspark.ops.metadata import extract_hreflang
+    from hickoryspark.spark.nodes_table import explode_nodes
+
+    html = (
+        "<html><head>"
+        "<link rel='alternate' hreflang='en' href='/en/p'>"
+        "<link rel='ALTERNATE stylesheet' hreflang='x-default' "
+        "href='https://x.ex/'>"
+        "<link rel='alternate' href='/no-lang'>"         # no hreflang
+        "<link rel='alternate' hreflang='de'>"           # no href
+        "<link rel='alternates' hreflang='fr' href='/f'>"  # wrong token
+        "</head><body></body></html>"
+    )
+    pages = spark.createDataFrame([("https://m.ex/p/1", html)],
+                                  "url string, html string")
+    rows = [r.asDict() for r in
+            extract_hreflang(explode_nodes(pages)).orderBy("alt_pos")
+            .collect()]
+    assert [(r["alt_pos"], r["hreflang"], r["resolved"]) for r in rows] == [
+        (1, "en", "https://m.ex/en/p"),
+        (2, "x-default", "https://x.ex/"),
+    ]
