@@ -2140,15 +2140,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mirror (DUCKDB_REPETITION_SQL) over the identical input
         from hickoryspark.ops.repetition import repetition_signals
 
+        # F.concat, not concat_ws: the oracle's '||' propagates NULL
+        # text, so the Spark input must too (mirror-exact inputs)
         dirty = load_documents(spark, sf).select(
             "doc_id",
-            F.concat_ws(
-                "\n",
+            F.concat(
                 F.col("text"),
-                F.lit("subscribe now"),
-                F.lit("subscribe now"),
-                F.concat(F.lit("perma "), F.col("doc_id")),
-                F.lit("click here click here click here"),
+                F.lit("\nsubscribe now\nsubscribe now\nperma "),
+                F.col("doc_id"),
+                F.lit("\nclick here click here click here"),
             ).alias("text"),
         )
         return repetition_signals(dirty, ngram_n=2)

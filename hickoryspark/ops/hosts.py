@@ -9,14 +9,22 @@ curators can rank/spot-check domains.
 
 Pinned semantics:
 
-- the HOST of a url is the authority with any ``user:pass@`` prefix
-  and ``:port`` suffix removed, ASCII-lowercased (the same fold
-  ops/robots.py applies before its host join); urls with no
-  ``scheme://authority`` have no host and are NEVER matched by a
+- the HOST of a url is the authority with any userinfo prefix removed
+  (up to the LAST ``@``, the WHATWG rule) and the ``:port`` suffix
+  removed, ASCII-lowercased, ONE trailing dot stripped (the
+  ``spam.example.`` FQDN spelling is the same DNS name — a classic
+  blocklist-evasion form); bracketed IPv6 literals keep their colons
+  (``[2001:db8::1]``). NOTE this is a stricter fold than
+  ops/robots.py's host key (which keeps userinfo and non-default
+  ports by design — robots.txt scope is the full origin); urls with
+  no ``scheme://authority`` have no host and are NEVER matched by a
   blocklist (kept) but aggregate under host NULL in ``host_stats``;
 - a blocklist entry blocks the exact host AND every subdomain of it
-  (``example.com`` blocks ``a.b.example.com``); entries are matched
-  after the same lowercase fold;
+  (``example.com`` blocks ``a.b.example.com``); entries are folded
+  the same way (lowercase, full ASCII-whitespace trim — CRLF-read
+  files arrive with ``\\r`` tails — one trailing dot stripped) and
+  entries that fold to '' are dropped, so a blank blocklist line can
+  never block anything;
 - subdomain matching is implemented by exploding each url's host into
   its DOT-SUFFIX CHAIN (``a.b.c`` → ``a.b.c``, ``b.c``, ``c``) and
   equi-joining the chain against the blocklist — a plain broadcastable
@@ -40,13 +48,21 @@ __all__ = ["url_host", "host_suffixes", "filter_blocklist", "host_stats"]
 #: a hostile 10k-dot host must not explode into 10k rows per url
 LABEL_CAP = 16
 
-_HOST_RE = r"(?i)^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)"
+#: userinfo strips to the LAST '@' of the authority (greedy, the
+#: WHATWG rule — 'a@b@c' hosts at 'c'); the host is a bracketed IPv6
+#: literal (colons kept) or runs to the first ':' (port) otherwise
+_HOST_RE = r"(?i)^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?(\[[^/?#\]]*\]|[^/?#:@]*)"
+
+#: full ASCII whitespace trim set for blocklist entries (CRLF-read
+#: files carry '\r' tails that a space-only trim would keep)
+_WS_TRIM = " \t\n\x0b\f\r"
 
 
 def url_host(url):
-    """Lowercased host of ``url`` (column expr); NULL when the url has
-    no ``scheme://authority``."""
+    """Lowercased host of ``url`` (column expr), one trailing dot
+    stripped; NULL when the url has no ``scheme://authority``."""
     h = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    h = F.regexp_replace(h, r"\.\z", "")
     return F.when(h != "", h)
 
 
@@ -79,9 +95,16 @@ def filter_blocklist(pages: DataFrame, blocklist: DataFrame,
     single-pass per-row ``array_intersect`` against a literal list
     would rebuild the blocklist hash per row — worse for real UT1-size
     lists.)"""
-    blocked = blocklist.select(
-        F.lower(F.btrim(F.col("host"))).alias("b_host")
-    ).distinct()
+    blocked = (
+        blocklist.select(
+            F.regexp_replace(
+                F.lower(F.btrim(F.col("host"), F.lit(_WS_TRIM))),
+                r"\.\z", "",
+            ).alias("b_host")
+        )
+        .where(F.col("b_host") != "")
+        .distinct()
+    )
     expanded = pages.select(url_col).withColumn(
         "_suffix",
         F.explode(host_suffixes(url_host(F.col(url_col)))),

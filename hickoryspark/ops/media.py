@@ -87,7 +87,12 @@ def extract_images(nodes: DataFrame) -> DataFrame:
     media = nodes.where(
         is_elem
         & F.col("tag").isin(*MEDIA_TAGS)
-        & (a["src"].isNotNull() | a["srcset"].isNotNull())
+        & (
+            a["src"].isNotNull()
+            # srcset qualifies only the elements that define it
+            | (F.col("tag").isin("img", "source")
+               & a["srcset"].isNotNull())
+        )
     ).select(
         "url",
         F.col("node_id").alias("m_id"),

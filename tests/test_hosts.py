@@ -123,3 +123,35 @@ def test_blocklist_join_is_broadcast_and_corpus_unshuffled(spark):
     assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_blocklist_crlf_and_blank_entries(spark):
+    # review fixes: a CRLF-read blocklist entry ('...\r') must still
+    # match, and a blank line must block NOTHING
+    out = _filtered(spark, ["https://bad.site/x", "https://ok.site/y"],
+                    ["bad.site\r", "   ", ""])
+    assert out == ["https://ok.site/y"]
+
+
+def test_ipv6_and_multi_at_hosts(spark):
+    # bracketed IPv6 literals keep their colons; userinfo strips to
+    # the LAST '@' (WHATWG)
+    assert _host(spark, "https://[2001:db8::1]/x") == "[2001:db8::1]"
+    assert _host(spark, "https://[2001:DB8::1]:8080/x") == "[2001:db8::1]"
+    assert _host(spark, "https://a@b@c.host/x") == "c.host"
+
+
+def test_trailing_dot_fqdn_matches_blocklist(spark):
+    # 'spam.example.' is the same DNS name — the trailing-dot spelling
+    # must not evade the blocklist, and must aggregate with the
+    # dotless host in host_stats
+    from hickoryspark.ops.hosts import host_stats
+
+    out = _filtered(spark, ["https://spam.example./x",
+                            "https://ok.test/y"], ["spam.example"])
+    assert out == ["https://ok.test/y"]
+    pages = spark.createDataFrame(
+        [("https://h.ex/1", "a"), ("https://h.ex./2", "bb")],
+        "url string, html string")
+    rows = {r["host"]: r["n_pages"] for r in host_stats(pages).collect()}
+    assert rows == {"h.ex": 2}

@@ -110,3 +110,12 @@ def test_multiple_pages_positions_are_per_page(spark):
            extract_images(explode_nodes(pages)).collect()}
     assert got == {("u1", 1): "a.png", ("u1", 2): "b.png",
                    ("u2", 1): "c.png"}
+
+
+def test_srcset_only_video_audio_excluded(spark):
+    # review fix: srcset qualifies only img/source (the pinned
+    # semantics) — a srcset-only <video> emits no row and must not
+    # shift media_pos of later elements
+    rows = _rows(spark,
+                 "<video srcset='v.webm'></video><img src='a.png'>")
+    assert [(r["media_pos"], r["tag"]) for r in rows] == [(1, "img")]
