@@ -2132,6 +2132,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return host_stats(_host_gate_pages(load_documents(spark, sf)))
 
+    def q_frontier_batches(spark, sf):
+        # per-host politeness batching (ops/hosts.py frontier_batches)
+        # over the shared host-gate urls; oracle = the same window
+        # arithmetic in SQL (ASCII url ordering agrees across engines)
+        from hickoryspark.ops.hosts import frontier_batches
+
+        return frontier_batches(
+            _host_gate_pages(load_documents(spark, sf)), per_host=4
+        )
+
     def q_text_repetition(spark, sf):
         # Gopher repetition signals (ops/repetition.py) over a dirty
         # corpus: every doc gains a twice-repeated boilerplate line, a
@@ -2360,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_surprisal=q_text_surprisal,
         host_blocklist=q_host_blocklist,
         host_rollup=q_host_rollup,
+        frontier_batches=q_frontier_batches,
         text_repetition=q_text_repetition,
         meta_noindex=q_meta_noindex,
         canonical_clusters=q_canonical_clusters,
@@ -2531,6 +2542,7 @@ _GATE_PRIORITY = [
     "text_surprisal",
     "host_blocklist",
     "host_rollup",
+    "frontier_batches",
     "text_repetition",
     "meta_noindex",
     "canonical_clusters",
@@ -3971,6 +3983,23 @@ def oracle_sql() -> dict[str, str]:
                (doc_id % 4) IN (1, 2, 3) AS noindex,
                (doc_id % 4) IN (2, 3) AS nofollow
         FROM documents"""
+    # frontier_batches: the same window arithmetic over the host-gate
+    # urls (ASCII lexicographic url order agrees across engines)
+    oracles["frontier_batches"] = """
+        WITH u AS (
+          SELECT 'https://' ||
+                 CASE doc_id % 3 WHEN 1 THEN 'www.' WHEN 2 THEN 'a.b.'
+                      ELSE '' END ||
+                 source || '.ex/p/' || doc_id AS url,
+                 lower(CASE doc_id % 3 WHEN 1 THEN 'www.'
+                            WHEN 2 THEN 'a.b.' ELSE '' END ||
+                       source || '.ex') AS host
+          FROM documents
+        )
+        SELECT url, host,
+               CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY url)
+                     - 1) // 4 AS BIGINT) AS batch
+        FROM u"""
     # text_repetition: the identical dirty corpus, then the op's own
     # SQL mirror (every ratio pinned to integer ppm on both sides)
     from hickoryspark.ops.repetition import DUCKDB_REPETITION_SQL

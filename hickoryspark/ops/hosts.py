@@ -42,7 +42,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["url_host", "host_suffixes", "filter_blocklist", "host_stats"]
+__all__ = ["url_host", "host_suffixes", "filter_blocklist",
+           "host_stats", "frontier_batches"]
 
 #: max labels considered from the right when expanding suffix chains —
 #: a hostile 10k-dot host must not explode into 10k rows per url
@@ -128,4 +129,31 @@ def host_stats(pages: DataFrame, url_col: str = "url",
             F.count("*").cast("long").alias("n_pages"),
             F.sum(F.octet_length(payload_col)).cast("long").alias("n_bytes"),
         )
+    )
+
+
+def frontier_batches(urls: DataFrame, per_host: int = 8,
+                     url_col: str = "url") -> DataFrame:
+    """Politeness batching for a crawl frontier: ``(url, host,
+    batch)`` where no batch holds more than ``per_host`` urls of the
+    same host — batch b is fetchable concurrently while touching each
+    origin at most ``per_host`` times. Urls are ranked within their
+    host by url string (deterministic under any partitioning);
+    ``batch = (rank-1) div per_host``. Authority-less urls group
+    under host NULL (one politeness bucket — they resolve nowhere).
+
+    Scale shape: ONE host-partitioned window. Ranking inside a host
+    is inherently sequential (politeness is a per-origin constraint),
+    so a mega-host is one window partition — bounded by that host's
+    own url count, the same frame every per-host scheduler carries."""
+    if per_host < 1:
+        raise ValueError("per_host must be >= 1")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(url_col)
+    return (
+        urls.select(F.col(url_col), url_host(F.col(url_col)).alias("host"))
+        .withColumn("_rn0", (F.row_number().over(w) - 1).cast("long"))
+        .withColumn("batch", F.expr(f"_rn0 div {int(per_host)}"))
+        .drop("_rn0")
     )

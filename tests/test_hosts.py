@@ -155,3 +155,27 @@ def test_trailing_dot_fqdn_matches_blocklist(spark):
         "url string, html string")
     rows = {r["host"]: r["n_pages"] for r in host_stats(pages).collect()}
     assert rows == {"h.ex": 2}
+
+
+def test_frontier_batches_politeness(spark):
+    from hickoryspark.ops.hosts import frontier_batches
+
+    urls = [f"https://h.ex/{i}" for i in range(10)] + [
+        "https://solo.ex/a", "relative/x", "relative/y"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = [r.asDict() for r in frontier_batches(df, per_host=4).collect()]
+    # no batch holds more than 4 urls of one host
+    from collections import Counter
+
+    per = Counter((r["host"], r["batch"]) for r in rows)
+    assert max(per.values()) <= 4
+    # h.ex: 10 urls -> batches 0,0,0,0,1,1,1,1,2,2 in url order
+    h = sorted((r["url"], r["batch"]) for r in rows if r["host"] == "h.ex")
+    assert [b for _, b in h] == [0, 0, 0, 0, 1, 1, 1, 1, 2, 2]
+    # authority-less urls bucket under NULL host together
+    assert {r["batch"] for r in rows if r["host"] is None} == {0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        frontier_batches(df, per_host=0)
