@@ -2132,6 +2132,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return host_stats(_host_gate_pages(load_documents(spark, sf)))
 
+    def q_word_filter(spark, sf):
+        # C4-style badword filtering (ops/wordfilter.py badword_hits)
+        # with corpus-vocabulary words so hits engage + one
+        # never-matching word; oracle = the full SQL mirror
+        from hickoryspark.ops.wordfilter import badword_hits
+
+        wl = spark.createDataFrame(
+            [("scan",), (" MERGE\t",), ("zzznope",), ("",)],
+            "word string",
+        )
+        return badword_hits(load_documents(spark, sf), wl)
+
     def q_frontier_batches(spark, sf):
         # per-host politeness batching (ops/hosts.py frontier_batches)
         # over the shared host-gate urls; oracle = the same window
@@ -2371,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         host_blocklist=q_host_blocklist,
         host_rollup=q_host_rollup,
         frontier_batches=q_frontier_batches,
+        word_filter=q_word_filter,
         text_repetition=q_text_repetition,
         meta_noindex=q_meta_noindex,
         canonical_clusters=q_canonical_clusters,
@@ -2543,6 +2556,7 @@ _GATE_PRIORITY = [
     "host_blocklist",
     "host_rollup",
     "frontier_batches",
+    "word_filter",
     "text_repetition",
     "meta_noindex",
     "canonical_clusters",
@@ -3983,6 +3997,29 @@ def oracle_sql() -> dict[str, str]:
                (doc_id % 4) IN (1, 2, 3) AS noindex,
                (doc_id % 4) IN (2, 3) AS nofollow
         FROM documents"""
+    # word_filter: full SQL mirror (same fold/token/count pins)
+    oracles["word_filter"] = """
+        WITH wl AS (
+          SELECT DISTINCT trim(lower(w),
+                 ' ' || chr(9) || chr(10) || chr(11) || chr(12) ||
+                 chr(13)) AS w
+          FROM (VALUES ('scan'), (' MERGE' || chr(9)), ('zzznope'),
+                ('')) t(w)
+        ), toks AS (
+          SELECT doc_id, lower(tok) AS tok
+          FROM documents,
+               unnest(list_filter(string_split_regex(text,
+                      '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS u(tok)
+        ), h AS (
+          SELECT doc_id, COUNT(*) AS n, MIN(tok) AS fw
+          FROM toks JOIN wl ON tok = w
+          WHERE w <> '' GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+               h.fw AS first_badword,
+               COALESCE(h.n, 0) = 0 AS passes_wordfilter
+        FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"""
     # frontier_batches: the same window arithmetic over the host-gate
     # urls (ASCII lexicographic url order agrees across engines)
     oracles["frontier_batches"] = """
