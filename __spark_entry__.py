@@ -2132,6 +2132,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return host_stats(_host_gate_pages(load_documents(spark, sf)))
 
+    def q_text_sentences(spark, sf):
+        # sentence segmentation (ops/sentences.py split_sentences):
+        # punctuation injected around the (punctuation-free) corpus
+        # text so boundaries engage; oracle = the op's SQL mirror over
+        # the identical dirty input ('||' NULL semantics both sides)
+        from hickoryspark.ops.sentences import split_sentences
+
+        dirty = load_documents(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.lit("Lead one. "), F.col("text"),
+                F.lit("!\tTail two? fin"),
+            ).alias("text"),
+        )
+        return split_sentences(dirty)
+
     def q_word_filter(spark, sf):
         # C4-style badword filtering (ops/wordfilter.py badword_hits)
         # with corpus-vocabulary words so hits engage + one
@@ -2384,6 +2400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         host_rollup=q_host_rollup,
         frontier_batches=q_frontier_batches,
         word_filter=q_word_filter,
+        text_sentences=q_text_sentences,
         text_repetition=q_text_repetition,
         meta_noindex=q_meta_noindex,
         canonical_clusters=q_canonical_clusters,
@@ -2557,6 +2574,7 @@ _GATE_PRIORITY = [
     "host_rollup",
     "frontier_batches",
     "word_filter",
+    "text_sentences",
     "text_repetition",
     "meta_noindex",
     "canonical_clusters",
@@ -3997,6 +4015,18 @@ def oracle_sql() -> dict[str, str]:
                (doc_id % 4) IN (1, 2, 3) AS noindex,
                (doc_id % 4) IN (2, 3) AS nofollow
         FROM documents"""
+    # text_sentences: identical dirty input, then the op's SQL mirror
+    from hickoryspark.ops.sentences import DUCKDB_SENTENCES_SQL
+
+    oracles["text_sentences"] = (
+        """WITH dirty AS (
+          SELECT doc_id,
+                 'Lead one. ' || text || '!' || chr(9) ||
+                 'Tail two? fin' AS text
+          FROM documents
+        ), """
+        + DUCKDB_SENTENCES_SQL.format(src="dirty")
+    )
     # word_filter: full SQL mirror (same fold/token/count pins)
     oracles["word_filter"] = """
         WITH wl AS (
