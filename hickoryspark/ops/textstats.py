@@ -230,3 +230,69 @@ def readability(docs: DataFrame) -> DataFrame:
             - F.expr("(84600 * n_syllables) div n_words")
         ).cast("long").alias("flesch_milli"),
     )
+
+
+def link_density(nodes: DataFrame) -> DataFrame:
+    """``(url, n_text_chars, n_anchor_chars, anchor_char_ppm)`` — the
+    boilerpipe-style link-density signal: pages whose visible text is
+    mostly anchor text are navigation/boilerplate, not content.
+
+    Pinned semantics: ``n_text_chars`` sums the char length of every
+    text node on the page; ``n_anchor_chars`` sums the same over text
+    nodes having an ``<a>`` ANCESTOR at any depth (counted once even
+    under nested anchors — membership is a left_semi interval probe);
+    ``anchor_char_ppm = (anchor*1e6) div text`` (0 when no text).
+    Every url emits a row.
+
+    Spark shape: one url-equi interval semi-join (the descendant_rel
+    pattern) + one url groupBy riding the same partitioning — no
+    nested loop, no second shuffle of the text rows.
+    """
+    from hickoryspark.nodes import TYPE_ELEMENT as _TE, TYPE_TEXT as _TT
+
+    texts = nodes.where(F.col("type") == _TT).select(
+        "url",
+        F.col("pre_ord").alias("t_ord"),
+        F.length("text").cast("long").alias("t_len"),
+    )
+    anchors = nodes.where(
+        (F.col("type") == _TE) & (F.col("tag") == "a")
+    ).select(
+        F.col("url").alias("a_url"),
+        F.col("pre_ord").alias("a_ord"),
+        F.col("subtree_end").alias("a_end"),
+    )
+    in_anchor = texts.join(
+        anchors,
+        (texts["url"] == anchors["a_url"])
+        & (texts["t_ord"] > anchors["a_ord"])
+        & (texts["t_ord"] <= anchors["a_end"]),
+        "left_semi",
+    ).select("url", "t_ord", F.col("t_len").alias("a_len"))
+    per_url = (
+        texts.join(in_anchor, ["url", "t_ord"], "left")
+        .groupBy("url")
+        .agg(
+            F.sum("t_len").cast("long").alias("n_text_chars"),
+            F.coalesce(F.sum("a_len"), F.lit(0)).cast("long")
+            .alias("n_anchor_chars"),
+        )
+    )
+    urls = nodes.select("url").distinct()
+    return (
+        urls.join(per_url, "url", "left")
+        .select(
+            "url",
+            F.coalesce("n_text_chars", F.lit(0).cast("long"))
+            .alias("n_text_chars"),
+            F.coalesce("n_anchor_chars", F.lit(0).cast("long"))
+            .alias("n_anchor_chars"),
+        )
+        .withColumn(
+            "anchor_char_ppm",
+            F.when(
+                F.col("n_text_chars") > 0,
+                F.expr("(1000000 * n_anchor_chars) div n_text_chars"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+    )

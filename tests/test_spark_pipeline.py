@@ -324,3 +324,28 @@ def test_relational_matches_interpreter(spark, pages):
             interp_counts[k] += len(S.select(sel, tree))
 
     assert rel_counts == interp_counts
+
+
+def test_link_density_counts(spark):
+    from hickoryspark.ops.textstats import link_density
+    from hickoryspark.spark.nodes_table import explode_nodes
+
+    pages = spark.createDataFrame(
+        [
+            # anchor text 'nav' (3) + nested '<b>x</b>' text 'x' (1)
+            # counted once; body text 'hello' (5)
+            ("u1", "<p>hello</p><a href=x>nav<b>x</b></a>"),
+            ("u2", "<p>plain only</p>"),
+            ("u3", ""),  # no text nodes at all
+        ],
+        "url string, html string",
+    )
+    got = {r["url"]: r.asDict() for r in
+           link_density(explode_nodes(pages)).collect()}
+    assert got["u1"]["n_text_chars"] == 9
+    assert got["u1"]["n_anchor_chars"] == 4
+    assert got["u1"]["anchor_char_ppm"] == 4 * 1_000_000 // 9
+    assert got["u2"]["n_anchor_chars"] == 0
+    assert got["u2"]["anchor_char_ppm"] == 0
+    assert got["u3"]["n_text_chars"] == 0
+    assert got["u3"]["anchor_char_ppm"] == 0
