@@ -246,6 +246,16 @@ batch sizing (128 pages/batch). Nothing in the job is driver-bound or
 single-point: no collect(), no broadcast of large state, no global
 coordination beyond task scheduling.
 """
+    # preserve hand-maintained sections (protocol bridge tables etc.)
+    # that live between the generated tail and the design-scale note —
+    # a plain overwrite silently dropped the round-5 bridge once
+    marker = "## Design-scale note"
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            old = f.read()
+        kept = old[old.find("## Round"):old.find(marker)].rstrip()
+        if kept and "## Round" in kept and marker in body:
+            body = body.replace(marker, kept + "\n\n" + marker)
     with open(args.out, "w") as f:
         f.write(body)
     print(f"wrote {args.out}: headline={e_main:.3f} [{gate}] extra={e_extra:.3f}")
