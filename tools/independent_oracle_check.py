@@ -49,11 +49,25 @@ _TOKEN = re.compile(
     r"<!DOCTYPE[^>]*>"
     r"|<!--(.*?)-->"
     r"|</([a-zA-Z0-9]+)>"
-    r"|<([a-zA-Z0-9]+)((?:\s+[a-zA-Z-]+=\"[^\"]*\")*)\s*>"
+    # attrs: key="v" | key='v' | key=bare | bare key (the session-4
+    # gate variants use single-quoted and unquoted forms; the main
+    # template stays all double-quoted)
+    r"|<([a-zA-Z0-9]+)"
+    r"((?:\s+[a-zA-Z-]+(?:=(?:\"[^\"]*\"|'[^']*'|[^\s>]+))?)*)\s*>"
     r"|([^<]+)",
     re.S,
 )
-_ATTR = re.compile(r'([a-zA-Z-]+)="([^"]*)"')
+_ATTR = re.compile(
+    r"([a-zA-Z-]+)(?:=(\"[^\"]*\"|'[^']*'|[^\s>]+))?"
+)
+
+
+def _attr_value(raw):
+    if raw is None:
+        return ""
+    if len(raw) >= 2 and raw[0] in "\"'" and raw[-1] == raw[0]:
+        return raw[1:-1]
+    return raw
 
 
 def parse_strict(html: str) -> dict:
@@ -84,7 +98,8 @@ def parse_strict(html: str) -> dict:
             stack.pop()
         elif m.group(3) is not None:  # start tag
             tag = m.group(3).lower()
-            attrs = {k.lower(): v for k, v in _ATTR.findall(m.group(4) or "")}
+            attrs = {k.lower(): _attr_value(v)
+                     for k, v in _ATTR.findall(m.group(4) or "")}
             el = {"type": "element", "tag": tag, "attrs": attrs, "children": []}
             stack[-1]["children"].append(el)
             if tag not in VOID:
@@ -676,9 +691,217 @@ def main() -> int:
         else:
             print(f"ok   {name}")
 
+    check_session4_gates(con, oracles, failures)
+
     print(f"\n{len(failures)} failures"
           + (f": {failures}" if failures else " — all oracles independently derived"))
     return 1 if failures else 0
+
+
+# ---------------------------------------------------------------------------
+# Session-4 synthesized-variant gates: rebuild the SAME variant HTML
+# the gate generators emit (data, not engine), parse with the strict
+# parser, re-derive every output row from reference semantics, and
+# compare against the oracle SQL. urljoin is the independent resolver.
+# ---------------------------------------------------------------------------
+
+def _s4_pages(doc_ids):
+    """(doc_id -> html) for each session-4 HTML gate, duplicated
+    verbatim from the __spark_entry__ generators."""
+    ld, ip, hf, mn = {}, {}, {}, {}
+    for d in doc_ids:
+        v3, v4 = d % 3, d % 4
+        body = (f"<p>hello</p><a href=x>nav<b>{d}</b></a>" if v3 == 0
+                else f"<p>plain{d}</p>" if v3 == 1
+                else "<a href=y><i>all</i></a>")
+        ld[d] = (f"<html><head><title>t</title></head>"
+                 f"<body>{body}</body></html>")
+        if v4 == 0:
+            body = (f"<figure><img src='/i/{d}.jpg' alt='pic {d}'>"
+                    f"<figcaption>Cap <b>{d}</b></figcaption></figure>")
+        elif v4 == 1:
+            body = (f"<img srcset='/a{d}.jpg 1x, /b{d}.jpg 2x' "
+                    "width='10' height='oops'>")
+        elif v4 == 2:
+            body = (f"<video src='v{d}.mp4'>"
+                    f"<source srcset='s{d}.webm'></video>")
+        else:
+            body = f"<img src='../up/{d}.png' alt=''>"
+        ip[d] = (f"<html><head><title>t</title></head>"
+                 f"<body>{body}</body></html>")
+        if v3 == 0:
+            head = (f"<link rel='alternate' hreflang='en' href='/en/{d}'>"
+                    f"<link rel='alternate' hreflang='fr' href='fr{d}'>")
+        elif v3 == 1:
+            head = ("<link rel='ALTERNATE stylesheet' "
+                    f"hreflang='x-default' href='https://X.EX/{d}'>"
+                    "<link rel='alternate' href='/nolang'>")
+        else:
+            head = ""
+        hf[d] = (f"<html><head><title>t</title>{head}</head>"
+                 "<body></body></html>")
+        if v4 == 0:
+            m = ""
+        elif v4 == 1:
+            m = '<meta name="robots" content="noindex">'
+        elif v4 == 2:
+            m = '<meta name="ROBOTS" content=" NOFOLLOW ,\tNoIndex ">'
+        else:
+            m = '<meta name="Robots" content="none">'
+        mn[d] = (f"<html><head><title>t{d}</title>{m}</head>"
+                 "<body><p>x</p></body></html>")
+    return ld, ip, hf, mn
+
+
+_AWS = " \t\n\x0b\f\r"
+
+
+def _elems(node):
+    """Pre-order element walk of a strict-parse tree."""
+    for c in node["children"]:
+        if isinstance(c, dict) and c["type"] == "element":
+            yield c
+            yield from _elems(c)
+
+
+def check_session4_gates(con, oracles, failures):
+    from urllib.parse import urljoin
+
+    doc_ids = [r[0] for r in
+               con.execute("SELECT doc_id FROM documents").fetchall()]
+    ld_html, ip_html, hf_html, mn_html = _s4_pages(doc_ids)
+
+    def compare(name, mine):
+        theirs = sorted(
+            tuple(r) for r in con.execute(oracles[name]).fetchall())
+        mine = sorted(mine)
+        if mine != theirs:
+            diff = [(a, b) for a, b in zip(mine, theirs) if a != b][:4]
+            only_m = [r for r in mine if r not in theirs][:2]
+            only_t = [r for r in theirs if r not in mine][:2]
+            print(f"FAIL {name}: diffs {diff} +{only_m} -{only_t} "
+                  f"(counts {len(mine)} vs {len(theirs)})")
+            failures.append(name)
+        else:
+            print(f"ok   {name}: {len(mine)} rows (independent)")
+
+    # link_density: text chars vs anchor-subtree chars
+    rows = []
+    for d, h in ld_html.items():
+        t = parse_strict(h)
+        text = anchor = 0
+
+        def rec(n, in_a):
+            nonlocal text, anchor
+            for c in n["children"]:
+                if isinstance(c, str):
+                    text += len(c)
+                    if in_a:
+                        anchor += len(c)
+                elif c["type"] == "element":
+                    rec(c, in_a or c["tag"] == "a")
+
+        rec(t, False)
+        ppm = (1_000_000 * anchor) // text if text else 0
+        rows.append((d, text, anchor, ppm))
+    compare("link_density", rows)
+
+    # image_pairs: media rows + nearest-figure captions
+    def digit_prefix(v):
+        m = re.match(r"([0-9]+)", v or "")
+        return int(m.group(1)) if m else None
+
+    def srcset_urls(v):
+        out = []
+        for cand in v.split(","):
+            toks = [x for x in re.split(f"[{_AWS}]+", cand.strip(_AWS))
+                    if x]
+            if toks:
+                out.append(toks[0])
+        return "|".join(out)
+
+    rows = []
+    for d, h in ip_html.items():
+        t = parse_strict(h)
+        base = f"https://m.ex/p/{d}"
+
+        def fig_caption(fig):
+            texts = []
+
+            def rec(n, in_fc):
+                for c in n["children"]:
+                    if isinstance(c, str):
+                        if in_fc:
+                            texts.append(c)
+                    elif c["type"] == "element":
+                        rec(c, in_fc or c["tag"] == "figcaption")
+
+            rec(fig, False)
+            return "".join(texts) if texts else None
+
+        pos = 0
+
+        def walk_media(n, figs):
+            nonlocal pos
+            for c in n["children"]:
+                if not (isinstance(c, dict) and c["type"] == "element"):
+                    continue
+                a = c["attrs"]
+                if c["tag"] in ("img", "video", "audio", "source") and (
+                    "src" in a
+                    or (c["tag"] in ("img", "source") and "srcset" in a)
+                ):
+                    pos += 1
+                    src = a.get("src")
+                    rows.append((
+                        d, pos, c["tag"], src,
+                        urljoin(base, src) if src is not None else None,
+                        srcset_urls(a["srcset"]) if "srcset" in a else None,
+                        a.get("alt"),
+                        digit_prefix(a.get("width")),
+                        digit_prefix(a.get("height")),
+                        fig_caption(figs[-1]) if figs else None,
+                    ))
+                walk_media(
+                    c, figs + [c] if c["tag"] == "figure" else figs)
+
+        walk_media(t, [])
+    compare("image_pairs", rows)
+
+    # hreflang_alternates
+    rows = []
+    for d, h in hf_html.items():
+        t = parse_strict(h)
+        base = f"https://m.ex/p/{d}"
+        pos = 0
+        for el in _elems(t):
+            a = el["attrs"]
+            toks = [x.lower() for x in
+                    re.split(f"[{_AWS}]+", a.get("rel", "")) if x]
+            if (el["tag"] == "link" and "alternate" in toks
+                    and "hreflang" in a and "href" in a):
+                pos += 1
+                rows.append((d, pos, a["hreflang"], a["href"],
+                             urljoin(base, a["href"])))
+    compare("hreflang_alternates", rows)
+
+    # meta_noindex: first doc-order robots meta + directive parse
+    rows = []
+    for d, h in mn_html.items():
+        t = parse_strict(h)
+        content = None
+        for el in _elems(t):
+            if (el["tag"] == "meta"
+                    and el["attrs"].get("name", "").lower() == "robots"
+                    and "content" in el["attrs"]):
+                content = el["attrs"]["content"]
+                break
+        toks = [x.strip(" \t\n\x0b\f\r").lower()
+                for x in (content or "").split(",")]
+        rows.append((d, content,
+                     "noindex" in toks or "none" in toks,
+                     "nofollow" in toks or "none" in toks))
+    compare("meta_noindex", rows)
 
 
 if __name__ == "__main__":
