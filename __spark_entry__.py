@@ -4093,23 +4093,28 @@ def oracle_sql() -> dict[str, str]:
         ), """
         + DUCKDB_SENTENCES_SQL.format(src="dirty")
     )
-    # word_filter: full SQL mirror (same fold/token/count pins)
-    oracles["word_filter"] = """
+    # word_filter: full SQL mirror (same fold/token/count pins incl.
+    # the edge-punctuation strip, \z tails per the shared-regex rule)
+    oracles["word_filter"] = r"""
         WITH wl AS (
-          SELECT DISTINCT trim(lower(w),
-                 ' ' || chr(9) || chr(10) || chr(11) || chr(12) ||
-                 chr(13)) AS w
+          SELECT DISTINCT
+                 regexp_replace(regexp_replace(
+                   lower(trim(w, ' ' || chr(9) || chr(10) || chr(11)
+                              || chr(12) || chr(13))),
+                   '^[^a-z0-9]+', ''), '[^a-z0-9]+\z', '') AS w
           FROM (VALUES ('scan'), (' MERGE' || chr(9)), ('zzznope'),
                 ('')) t(w)
         ), toks AS (
-          SELECT doc_id, lower(tok) AS tok
+          SELECT doc_id,
+                 regexp_replace(regexp_replace(lower(tok),
+                   '^[^a-z0-9]+', ''), '[^a-z0-9]+\z', '') AS tok
           FROM documents,
                unnest(list_filter(string_split_regex(text,
                       '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS u(tok)
         ), h AS (
           SELECT doc_id, COUNT(*) AS n, MIN(tok) AS fw
           FROM toks JOIN wl ON tok = w
-          WHERE w <> '' GROUP BY doc_id
+          WHERE w <> '' AND tok <> '' GROUP BY doc_id
         )
         SELECT d.doc_id,
                CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,

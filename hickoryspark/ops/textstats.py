@@ -238,19 +238,34 @@ def link_density(nodes: DataFrame) -> DataFrame:
     mostly anchor text are navigation/boilerplate, not content.
 
     Pinned semantics: ``n_text_chars`` sums the char length of every
-    text node on the page; ``n_anchor_chars`` sums the same over text
-    nodes having an ``<a>`` ANCESTOR at any depth (counted once even
-    under nested anchors — membership is a left_semi interval probe);
-    ``anchor_char_ppm = (anchor*1e6) div text`` (0 when no text).
-    Every url emits a row.
+    VISIBLE text node on the page — script/style/noscript rawtext and
+    comment data (a text row whose parent is the comment) are
+    excluded, since 2 KB of JS would otherwise classify a pure-nav
+    page as content; ``<title>`` text stays counted. ``n_anchor_chars``
+    sums the same over text nodes having an ``<a>`` ANCESTOR at any
+    depth (counted once even under nested anchors — membership is a
+    left_semi interval probe); ``anchor_char_ppm = (anchor*1e6) div
+    text`` (0 when no text). Every url emits a row.
 
     Spark shape: one url-equi interval semi-join (the descendant_rel
     pattern) + one url groupBy riding the same partitioning — no
-    nested loop, no second shuffle of the text rows.
+    nested loop, no second shuffle of the text rows; the url universe
+    comes from the per-page document-root rows (a map-side filter,
+    not a full node-table distinct).
     """
-    from hickoryspark.nodes import TYPE_ELEMENT as _TE, TYPE_TEXT as _TT
+    from hickoryspark.nodes import (
+        TYPE_COMMENT as _TC,
+        TYPE_DOCUMENT as _TD,
+        TYPE_ELEMENT as _TE,
+        TYPE_TEXT as _TT,
+    )
 
-    texts = nodes.where(F.col("type") == _TT).select(
+    hidden = F.col("parent_tag").isin("script", "style", "noscript") | (
+        F.col("parent_type") == _TC
+    )
+    texts = nodes.where(
+        (F.col("type") == _TT) & ~F.coalesce(hidden, F.lit(False))
+    ).select(
         "url",
         F.col("pre_ord").alias("t_ord"),
         F.length("text").cast("long").alias("t_len"),
@@ -278,7 +293,7 @@ def link_density(nodes: DataFrame) -> DataFrame:
             .alias("n_anchor_chars"),
         )
     )
-    urls = nodes.select("url").distinct()
+    urls = nodes.where(F.col("type") == _TD).select("url")
     return (
         urls.join(per_url, "url", "left")
         .select(

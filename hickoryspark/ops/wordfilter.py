@@ -10,10 +10,14 @@ ops/hosts.py does for domain lists.
 Pinned semantics:
 
 - tokens are the repo-wide ASCII-whitespace split with empties
-  removed (ops/chunking.py ``ASCII_WS_SPLIT_RE``), compared
-  LOWERCASED against the word list (entries are lowercased and
-  full-ASCII-ws-trimmed like blocklist hosts; entries folding to ''
-  are dropped);
+  removed (ops/chunking.py ``ASCII_WS_SPLIT_RE``), then LOWERCASED
+  and stripped of leading/trailing ASCII non-alphanumerics — a
+  sentence-final ``spam.`` or ``spam,`` (the most common real-world
+  position) must still match the entry ``spam``; tokens that strip
+  to '' (pure punctuation) never match. Word-list entries get the
+  SAME fold (lowercase, ws-trim, edge-punctuation strip; entries
+  folding to '' are dropped), so a punctuated entry like ``"ass"``
+  keys on its core;
 - ``n_hits`` counts token OCCURRENCES that match any listed word
   (not distinct words); ``first_badword`` is the lexicographically
   smallest matched word (deterministic under any partitioning — a
@@ -42,6 +46,18 @@ __all__ = ["badword_hits"]
 
 _WS_TRIM = " \t\n\x0b\f\r"
 
+#: leading/trailing ASCII non-alphanumeric strip, applied AFTER the
+#: lowercase fold on both sides of the match (two passes — \z, never
+#: $, per the repo's Java-regex/RE2 agreement rule)
+_EDGE_PUNCT = (r"^[^a-z0-9]+", r"[^a-z0-9]+\z")
+
+
+def _fold_token(col):
+    col = F.lower(col)
+    for pat in _EDGE_PUNCT:
+        col = F.regexp_replace(col, pat, "")
+    return col
+
 
 def badword_hits(docs: DataFrame, words: DataFrame,
                  text_col: str = "text") -> DataFrame:
@@ -50,7 +66,8 @@ def badword_hits(docs: DataFrame, words: DataFrame,
     folded, deduped, and broadcast."""
     wl = (
         words.select(
-            F.lower(F.btrim(F.col("word"), F.lit(_WS_TRIM))).alias("_w")
+            _fold_token(F.btrim(F.col("word"), F.lit(_WS_TRIM)))
+            .alias("_w")
         )
         .where(F.col("_w") != "")
         .distinct()
@@ -61,7 +78,9 @@ def badword_hits(docs: DataFrame, words: DataFrame,
             F.filter(F.split(F.col(text_col), ASCII_WS_SPLIT_RE),
                      lambda t: t != "")
         ).alias("_tok"),
-    ).select("doc_id", F.lower(F.col("_tok")).alias("_tok"))
+    ).select(
+        "doc_id", _fold_token(F.col("_tok")).alias("_tok")
+    ).where(F.col("_tok") != "")
     hits = (
         toks.join(F.broadcast(wl), toks["_tok"] == wl["_w"])
         .groupBy("doc_id")

@@ -349,3 +349,21 @@ def test_link_density_counts(spark):
     assert got["u2"]["anchor_char_ppm"] == 0
     assert got["u3"]["n_text_chars"] == 0
     assert got["u3"]["anchor_char_ppm"] == 0
+
+
+def test_link_density_excludes_script_style_comment_text(spark):
+    # review fix: script/style/noscript rawtext and comment data are
+    # NOT visible text — 2 KB of JS must not classify a nav page as
+    # content
+    from hickoryspark.ops.textstats import link_density
+    from hickoryspark.spark.nodes_table import explode_nodes
+
+    pages = spark.createDataFrame(
+        [("u1", "<script>" + "j" * 2000 + "</script><!--hidden-->"
+          "<style>.x{}</style><a href=/>Home</a>")],
+        "url string, html string",
+    )
+    got = link_density(explode_nodes(pages)).collect()[0]
+    assert got["n_text_chars"] == 4           # just 'Home'
+    assert got["n_anchor_chars"] == 4
+    assert got["anchor_char_ppm"] == 1_000_000

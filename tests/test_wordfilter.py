@@ -72,3 +72,15 @@ def test_wordfilter_join_is_broadcast(spark):
     plan = spark._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "simple")
     assert "BroadcastHashJoin" in plan
+
+
+def test_punctuation_adjacent_tokens_match(spark):
+    # review fix: a sentence-final 'spam.' or 'spam,' must still hit;
+    # pure-punctuation tokens never match; entries fold the same way
+    out = _hits(spark, ["buy spam. cheap", "spam, eggs !!! ..."],
+                ['"spam"'])
+    assert out[0]["n_hits"] == 1 and out[0]["first_badword"] == "spam"
+    assert out[1]["n_hits"] == 1
+    # inner punctuation is NOT stripped: 's.o.b' stays distinct
+    out2 = _hits(spark, ["a s.o.b here"], ["s.o.b"])
+    assert out2[0]["n_hits"] == 1 and out2[0]["first_badword"] == "s.o.b"

@@ -253,7 +253,10 @@ coordination beyond task scheduling.
     if os.path.exists(args.out):
         with open(args.out) as f:
             old = f.read()
-        kept = old[old.find("## Round"):old.find(marker)].rstrip()
+        kept = (
+            old[old.find("## Round"):old.find(marker)].rstrip()
+            if marker in old else ""
+        )
         if kept and "## Round" in kept and marker in body:
             body = body.replace(marker, kept + "\n\n" + marker)
     with open(args.out, "w") as f:
