@@ -692,6 +692,7 @@ def main() -> int:
             print(f"ok   {name}")
 
     check_session4_gates(con, oracles, failures)
+    check_session4_arith(failures)
 
     print(f"\n{len(failures)} failures"
           + (f": {failures}" if failures else " — all oracles independently derived"))
@@ -902,6 +903,179 @@ def check_session4_gates(con, oracles, failures):
                      "noindex" in toks or "none" in toks,
                      "nofollow" in toks or "none" in toks))
     compare("meta_noindex", rows)
+
+
+
+
+# ---------------------------------------------------------------------------
+# Session-4 arithmetic gates (no HTML): re-derive host/frontier/
+# canonical/wordfilter closed forms in fresh Python over a RICHER
+# synthetic documents table (punctuated badwords, odd/even-length
+# sources) than the gate corpus, so the fold arithmetic is graded on
+# inputs the shipped parquet never exercises.
+# ---------------------------------------------------------------------------
+
+def _mini_normalize(u):
+    """Independent implementation of the ops/urls.normalize_url pin:
+    unsafe strip, scheme://host lowercase, RFC 3986 dot fold (stack
+    form, CPython root-pop), default-port drop, fragment drop, utm/
+    fbclid/gclid strip + separator tidy, one trailing slash drop."""
+    import re as _re
+
+    u = _re.sub(r"[\t\n\r]", "", u)
+    m = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", u)
+    pre = m.group(1) if m else ""
+    rest = u[len(pre):]
+    pre = pre.lower()
+    tm = _re.search(r"[?#]", rest)
+    path, tail = (rest[:tm.start()], rest[tm.start():]) if tm else (rest, "")
+    if "/." in path or path.startswith("."):
+        out = []
+        rooted = path.startswith("/")
+        for seg in path.split("/"):
+            if seg == ".":
+                continue
+            if seg == "..":
+                if out and out[-1] not in ("", ".."):
+                    out.pop()
+                elif out and out[-1] == "":
+                    out.pop()
+            else:
+                out.append(seg)
+        path = "/".join(out)
+        if rooted and not path.startswith("/"):
+            path = "/" + path
+        if path == "" and rooted:
+            path = "/"
+        if (u.endswith("/") or u.rstrip("/").endswith("/..")
+                or u.endswith("/.")) and not path.endswith("/"):
+            path += "/"
+    u = pre + path + tail
+    u = _re.sub(r"^(https://[^/?#]*):443(?=[/?#]|$)", r"\1", u)
+    u = _re.sub(r"^(http://[^/?#]*):80(?=[/?#]|$)", r"\1", u)
+    u = _re.sub(r"#.*$", "", u, flags=_re.S)
+    for _ in range(8):
+        u2 = _re.sub(r"([?&])(utm_[^=&#]*|fbclid|gclid)=[^&#]*&?", r"\1", u)
+        if u2 == u:
+            break
+        u = u2
+    u = _re.sub(r"\?&", "?", u)
+    u = _re.sub(r"[?&]$", "", u)
+    u = _re.sub(r"(.)/$", r"\1", u)
+    u = _re.sub(r"^([a-z][a-z0-9+.-]*://[^/?#]*)/$", r"\1", u)
+    return u
+
+
+def check_session4_arith(failures):
+    import __spark_entry__ as E
+    from urllib.parse import urljoin
+
+    oracles = E.oracle_sql()
+    con = duckdb.connect()
+    docs = []
+    for d in range(60):
+        toks = [f"w{d}k{j}" for j in range(4)]
+        if d % 4 == 0:
+            toks.append("scan.")          # punct-adjacent badword
+        if d % 4 == 1:
+            toks.append('"MERGE",')       # quoted+comma, case-varied
+        if d % 4 == 2:
+            toks.append("scans")          # near-miss must NOT hit
+        if d % 5 == 0:
+            toks.append("...")            # pure punctuation token
+        src = ("s" * (d % 5 + 2)) if d % 2 else f"even{d % 7}"
+        docs.append((d, " ".join(toks), "en", src, d % 5))
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR,"
+        " lang VARCHAR, source VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?, ?)", docs)
+
+    def compare(name, mine):
+        theirs = sorted(
+            tuple(r) for r in con.execute(oracles[name]).fetchall())
+        mine = sorted(mine)
+        if mine != theirs:
+            only_m = [r for r in mine if r not in theirs][:3]
+            only_t = [r for r in theirs if r not in mine][:3]
+            print(f"FAIL {name} (arith): +{only_m} -{only_t} "
+                  f"(counts {len(mine)} vs {len(theirs)})")
+            failures.append(name + "/arith")
+        else:
+            print(f"ok   {name}: {len(mine)} rows (independent arith)")
+
+    subs = {0: "", 1: "www.", 2: "a.b."}
+    hosts = {d: (subs[d % 3] + s + ".ex").lower()
+             for d, _, _, s, _ in docs}
+    urls = {d: f"https://{subs[d % 3]}{s}.ex/p/{d}"
+            for d, _, _, s, _ in docs}
+    sources = {d: s for d, _, _, s, _ in docs}
+
+    # host_blocklist: entries block host + subdomains via suffix chain
+    entries = {f"b.{s}.ex" for s in sources.values()} | {
+        f"{s}.ex" for s in sources.values() if len(s) % 2 == 0}
+
+    def suffixes(h):
+        labels = h.split(".")[-16:]
+        return {".".join(labels[i:]) for i in range(len(labels))}
+
+    kept = [(d, urls[d]) for d in hosts
+            if not (suffixes(hosts[d]) & entries)]
+    compare("host_blocklist", kept)
+
+    # host_rollup
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for d, h in hosts.items():
+        agg[h][0] += 1
+        agg[h][1] += len(f"h{d}")
+    compare("host_rollup", [(h, n, b) for h, (n, b) in agg.items()])
+
+    # frontier_batches: per-host url rank -> batch div 4
+    byhost = defaultdict(list)
+    for d, u in urls.items():
+        byhost[hosts[d]].append(u)
+    rows = []
+    for h, us in byhost.items():
+        for i, u in enumerate(sorted(us)):
+            rows.append((u, h, i // 4))
+    compare("frontier_batches", rows)
+
+    # canonical_clusters: independent resolve (urljoin) + normalize
+    targets = {}
+    for d in hosts:
+        base = f"https://m.ex/p/{d}"
+        v = d % 4
+        if v == 0:
+            t = _mini_normalize(base)
+        elif v == 1:
+            t = _mini_normalize(f"HTTPS://M.EX:443/c/{d % 10}?utm_source=x#f")
+        elif v == 2:
+            t = _mini_normalize(urljoin(base, f"/c/{d % 10}"))
+        else:
+            t = _mini_normalize(urljoin(base, f"x/../c/{d % 10}"))
+        targets[d] = (t, t == _mini_normalize(base))
+    cl = defaultdict(lambda: [0, 0])
+    for t, is_self in targets.values():
+        cl[t][0] += 1
+        cl[t][1] += 1 if is_self else 0
+    compare("canonical_clusters", [(t, n, s) for t, (n, s) in cl.items()])
+
+    # word_filter: fold = lower + ASCII-ws split + edge-punct strip
+    wl = {"scan", "merge", "zzznope"}
+
+    def fold(tok):
+        t = tok.lower()
+        t = re.sub(r"^[^a-z0-9]+", "", t)
+        return re.sub(r"[^a-z0-9]+$", "", t)
+
+    rows = []
+    for d, text, *_ in docs:
+        toks = [fold(t) for t in re.split(r"[ \t\n\x0b\f\r]+", text) if t]
+        hits = [t for t in toks if t and t in wl]
+        rows.append((d, len(hits), min(hits) if hits else None,
+                     not hits))
+    compare("word_filter", rows)
 
 
 if __name__ == "__main__":
