@@ -298,6 +298,48 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 3) -> DataFr
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame, pairs: DataFrame, n: int = 3
+) -> DataFrame:
+    """Asymmetric n-gram containment for given (doc_a, doc_b) pairs:
+    ``containment = |A ∩ B| / |A|`` over distinct token-n-gram sets.
+
+    Jaccard under-scores pairs where one document wholly CONTAINS the
+    other (quote inclusion, template wrapping, article + comment
+    section) — a 1k-token doc embedded verbatim in a 100k-token page
+    has Jaccard ≈ 0.01 but containment(A in B) = 1.0. Broder's
+    containment coefficient (Broder 1997, "On the resemblance and
+    containment of documents" — the same paper the reference-class
+    MinHash machinery comes from) is the standard fix; near-dup
+    pipelines (e.g. CCNet / RefinedWeb style) use it to drop the
+    contained side. Same join shape and scale behavior as
+    ``ngram_jaccard_pairs``: exact verification on a pruned candidate
+    pair set only, one equi-join per side. Emitted per ORDERED pair —
+    containment(A,B) != containment(B,A); callers wanting both
+    directions pass both orderings. 0/0 (empty A) -> NULL via
+    try_divide, matching the oracle's x/0 semantics."""
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), n)).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.try_divide(
+                    F.size(F.array_intersect("sh_a", "sh_b")),
+                    F.size("sh_a"),
+                ),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
 def consecutive_pairs(docs: DataFrame) -> DataFrame:
     """Deterministic linear pair set (doc_id, doc_id+1) — used by tests
     and oracles to exercise the pair-verifier without a quadratic or

@@ -142,3 +142,51 @@ def pack_sequences(
         )
         .select("doc_id", stratum, "n_tokens", "chunk_id")
     )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    stratum: str = "lang",
+    key: str = "doc_id",
+    salt: str = "t0",
+) -> DataFrame:
+    """Temperature-flattened stratum rebalancing (the multilingual
+    corpus-mixing rule of Conneau & Lample 2019 / mT5: target share of
+    stratum s ∝ count_s^alpha), realized DOWNSAMPLE-ONLY: keep rate
+
+        r_s = (c_min / c_s)^(1 - alpha)
+
+    so the smallest stratum keeps everything and every larger stratum
+    sheds mass toward the flattened mix (alpha=1 keeps all rows,
+    alpha=0 equalizes strata to ~c_min each). Per-row keeps are the
+    deterministic salted-md5 permille bucket (`_hash_permille`), so the
+    sample is reproducible and oracle-checkable.
+
+    Cross-engine exactness: thresholds are floor(1000 * r_s) computed
+    in IEEE doubles. For alpha = 0.5 the rate is sqrt(c_min/c_s) —
+    division, sqrt, and multiplication are all CORRECTLY-ROUNDED IEEE
+    ops, so Spark and any IEEE-conformant oracle agree bit-for-bit.
+    Other alphas go through pow(), which is NOT correctly rounded in
+    general — fine for production, but oracle parity is only pinned
+    for 0.5 (the gate uses it).
+
+    Scale: one groupBy over the stratum column (tiny result — one row
+    per language/source), a driver-free min via a window over that
+    tiny frame, and a broadcast join back; the corpus itself is
+    touched by exactly one filter pass.
+    """
+    counts = docs.groupBy(stratum).agg(
+        F.count(F.lit(1)).cast("double").alias("_cnt")
+    )
+    w_all = Window.partitionBy()
+    ratio = F.min("_cnt").over(w_all) / F.col("_cnt")
+    rate = (
+        F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    )
+    thr = counts.select(
+        stratum, F.floor(F.lit(1000.0) * rate).cast("long").alias("_thr")
+    )
+    return docs.join(F.broadcast(thr), stratum).where(
+        _hash_permille(F.col(key), salt) < F.col("_thr")
+    ).drop("_thr")

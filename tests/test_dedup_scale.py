@@ -273,3 +273,35 @@ def test_join_ngrams_matches_python_and_is_linear_scale(spark):
     ).collect()[0]["k"]
     assert cnt == 99_998
     assert time.time() - t0 < 60, "n-gram build is no longer linear"
+
+
+def test_ngram_containment_asymmetric(spark):
+    """containment(A,B)=1 when A ⊂ B; the reverse direction is the
+    size ratio — the asymmetry Jaccard can't express."""
+    from hickoryspark.ops.dedup import ngram_containment_pairs
+
+    inner = "w1 w2 w3 w4 w5"
+    outer = inner + " x1 x2 x3 x4 x5 x6 x7"
+    docs = spark.createDataFrame(
+        [(1, inner), (2, outer)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1)], "doc_a long, doc_b long"
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["containment"]
+           for r in ngram_containment_pairs(docs, pairs, 3).collect()}
+    assert got[(1, 2)] == 1.0          # inner fully contained in outer
+    assert 0 < got[(2, 1)] < 1.0       # outer only partially in inner
+    # |A∩B|/|A| with A=outer: 3 of 10 distinct trigrams shared
+    assert got[(2, 1)] == 0.3
+
+
+def test_ngram_containment_empty_side_null(spark):
+    from hickoryspark.ops.dedup import ngram_containment_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    row = ngram_containment_pairs(docs, pairs, 3).collect()[0]
+    assert row["containment"] is None  # doc 1 too short for a trigram

@@ -167,3 +167,48 @@ def test_pack_sequences_two_phase_matches_global_cumsum(spark):
             for r in pack_sequences(docs, 64, num_partitions=parts).collect()
         }
         assert got == want, f"two-phase packing diverged at {parts} partitions"
+
+
+def test_temperature_sample_rates_and_determinism(spark, docs):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hickoryspark.ops.sampling import temperature_sample
+
+    out = temperature_sample(docs, 0.5)
+    kept = out.groupBy("lang").count().collect()
+    totals = {r["lang"]: r["count"]
+              for r in docs.groupBy("lang").count().collect()}
+    cmin = min(totals.values())
+    kept_by = {r["lang"]: r["count"] for r in kept}
+    for lang, total in totals.items():
+        thr = math.floor(1000.0 * math.sqrt(cmin / total))
+        # smallest stratum keeps everything (rate exactly 1000)
+        if total == cmin:
+            assert kept_by[lang] == total
+        else:
+            # md5-permille is near-uniform: kept count within a loose
+            # band of the target rate
+            target = total * thr / 1000.0
+            assert abs(kept_by[lang] - target) <= 0.25 * total
+    # deterministic under repartitioning
+    a = {r["doc_id"] for r in out.select("doc_id").collect()}
+    b = {r["doc_id"] for r in
+         temperature_sample(docs.repartition(7), 0.5)
+         .select("doc_id").collect()}
+    assert a == b
+
+
+def test_temperature_sample_alpha_extremes(spark, docs):
+    from hickoryspark.ops.sampling import temperature_sample
+
+    # alpha=1 -> rate 1 everywhere -> identity sample
+    assert temperature_sample(docs, 1.0).count() == docs.count()
+    # alpha=0 -> every stratum flattened toward c_min
+    flat = temperature_sample(docs, 0.0).groupBy("lang").count().collect()
+    totals = {r["lang"]: r["count"]
+              for r in docs.groupBy("lang").count().collect()}
+    cmin = min(totals.values())
+    for r in flat:
+        assert r["count"] <= max(cmin * 1.5, cmin + 10)
