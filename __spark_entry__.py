@@ -1119,6 +1119,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "priority", "entry_pos")
         )
 
+    def q_boilerplate_strip(spark, sf):
+        # cross-page template detection (ops/boilerplate.py) over a
+        # synthetic text-node table built from documents IDENTICALLY
+        # on both sides (pure builtins / mirror CTE): per doc, a
+        # host-wide NAV (always boiler), a 1/3-share VARIANT block
+        # (boiler at min_frac=0.25), the doc's unique text (kept), a
+        # host-wide FOOTER (boiler), and a 1/17-share PROMO (kept —
+        # frac below threshold despite n_pages >= 3). The oracle
+        # mirrors the FULL operator: frequency threshold + doc-order
+        # string_agg. Parser-path boilerplate behavior is covered by
+        # tests/test_boilerplate.py on the real corpus.
+        from hickoryspark.ops.boilerplate import strip_boilerplate
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"))
+        base = docs.select(
+            "doc_id", "text", host.alias("host"),
+            F.concat(host, F.lit("/p/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+        )
+        e = lambda pos, txt: F.struct(
+            F.lit(pos).alias("pre_ord"), txt.alias("text")
+        )
+        entries = F.array(
+            e(0, F.lit("NAV SHARED")),
+            e(1, F.concat(F.lit("VARIANT "),
+                          (F.col("doc_id") % 3).cast("string"))),
+            e(2, F.concat(F.col("text"), F.lit(" #"),
+                          F.col("doc_id").cast("string"))),
+            e(3, F.concat(F.lit("FOOTER "), F.col("host"))),
+            e(4, F.when(F.col("doc_id") % 17 == 0, F.lit("PROMO"))),
+        )
+        texts = (
+            base.select("url", "host", F.explode(entries).alias("e"))
+            .select("url", "host", F.col("e.pre_ord").alias("pre_ord"),
+                    F.col("e.text").alias("text"))
+            .where(F.col("text").isNotNull())
+        )
+        return strip_boilerplate(texts, min_pages=3, min_frac=0.25)
+
     def q_image_ahash_pairs(spark, sf):
         # perceptual-hash near-dup over REAL pixels: images built
         # DISTRIBUTED from documents (see _AHASH_GATE_MASKS note),
@@ -2645,6 +2685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_normalize=q_text_normalize,
         mime_sniff=q_mime_sniff,
         image_ahash_pairs=q_image_ahash_pairs,
+        boilerplate_strip=q_boilerplate_strip,
         decontam_overlap=q_decontam_overlap,
         pii_redact=q_pii_redact,
         events_windowed=q_events_windowed,
@@ -3486,6 +3527,41 @@ def oracle_sql() -> dict[str, str]:
         # acute via chr(769), BEL via chr(7)) built SQL-side, then the
         # exact three-step mirror — nfc_normalize, control strip,
         # ASCII-whitespace collapse + trim
+        # FULL operator mirror over the identically-built synthetic
+        # text-node table: frequency threshold + ordered string_agg
+        "boilerplate_strip": """
+            WITH base AS (
+              SELECT doc_id, text, 'h' || (doc_id % 5) AS host,
+                     'h' || (doc_id % 5) || '/p/' || doc_id AS url
+              FROM documents),
+            t AS (
+              SELECT url, host, 0 AS pre_ord, 'NAV SHARED' AS txt FROM base
+              UNION ALL
+              SELECT url, host, 1, 'VARIANT ' || (doc_id % 3) FROM base
+              UNION ALL
+              SELECT url, host, 2, text || ' #' || doc_id FROM base
+              UNION ALL
+              SELECT url, host, 3, 'FOOTER ' || host FROM base
+              UNION ALL
+              SELECT url, host, 4, 'PROMO' FROM base WHERE doc_id % 17 = 0),
+            freq AS (SELECT host, txt, COUNT(DISTINCT url) AS n_pages
+                     FROM t GROUP BY host, txt),
+            hp AS (SELECT host, COUNT(DISTINCT url) AS host_pages
+                   FROM t GROUP BY host),
+            fl AS (SELECT host, txt,
+                          (n_pages >= 3 AND CAST(n_pages AS DOUBLE)
+                               >= 0.25 * host_pages) AS is_boiler
+                   FROM freq JOIN hp USING (host))
+            SELECT url,
+                   COALESCE(string_agg(
+                       CASE WHEN NOT is_boiler THEN txt END,
+                       ' ' ORDER BY pre_ord), '') AS kept_text,
+                   CAST(SUM(CASE WHEN is_boiler THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_kept,
+                   CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_boiler
+            FROM t JOIN fl USING (host, txt)
+            GROUP BY url""",
         # brute-force ALL-PAIRS ground truth from the generation
         # parameters (mask xor spread arithmetic — no pixels, no
         # banding), so the Spark side's decode→aHash→banded-join

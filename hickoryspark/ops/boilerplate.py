@@ -1,0 +1,126 @@
+"""Site-template boilerplate detection — cross-page text-frequency
+thresholding (the "template detection" family: Gibson/Punera/Tomkins
+WWW'05 "The volume and evolution of web page templates"; CleanEval's
+duplicated-boilerplate notion; CCNet does the same at paragraph level).
+
+A text block that appears VERBATIM on a large fraction of a host's
+pages (nav labels, footers, cookie banners, sidebars) is template
+chrome, not content. Per (host, text):
+
+    is_boiler  ⇔  n_pages >= min_pages  AND  n_pages >= min_frac * host_pages
+
+``strip_boilerplate`` then reassembles each page's residual text in
+document order — the corpus-level complement to the single-page
+structural signals in ops/textstats.link_density.
+
+Scale design (100 TB):
+- The shuffle key is ``(host, md5(text))`` and the shuffled rows carry
+  DIGESTS, never bodies (the crawl_delta lesson) — the flags frame is
+  one row per distinct (host, digest).
+- Frequencies use a two-stage exact distinct-count (groupBy
+  (host, sig, url) then (host, sig)), so map-side partial aggregation
+  absorbs within-page repeats before anything crosses the wire.
+- ``host_pages`` is one tiny row per host, joined without a hint —
+  AQE broadcasts it at runtime.
+- The final doc-order reassembly is ONE url shuffle
+  (sort_array(collect_list(struct(pre_ord, text)))).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hickoryspark.nodes import TYPE_TEXT
+from hickoryspark.ops.hosts import url_host
+
+#: tags whose text children are never content (mirrors the visible-
+#: text rule used by the extract path)
+_NON_CONTENT_PARENTS = ("script", "style", "template")
+
+
+def page_text_nodes(nodes: DataFrame) -> DataFrame:
+    """(url, host, pre_ord, text) rows for the visible text nodes of
+    the exploded node table (spark/nodes_table.py): text-type nodes
+    with non-empty trimmed text whose parent is not script/style/
+    template."""
+    return (
+        nodes.where(
+            (F.col("type") == TYPE_TEXT)
+            & ~F.col("parent_tag").isin(*_NON_CONTENT_PARENTS)
+            & (F.trim(F.col("text")) != "")
+        )
+        .select("url", url_host(F.col("url")).alias("host"),
+                "pre_ord", "text")
+    )
+
+
+def boilerplate_flags(
+    texts: DataFrame, min_pages: int = 3, min_frac: float = 0.3
+) -> DataFrame:
+    """(host, sig, n_pages, host_pages, is_boiler) per distinct
+    (host, text-digest). ``texts`` must carry (url, host, text);
+    thresholds: on at least ``min_pages`` distinct pages AND at least
+    ``min_frac`` of the host's pages (both, so tiny hosts don't flag
+    everything and giant hosts don't keep their nav)."""
+    sigs = texts.select("host", "url", F.md5("text").alias("sig"))
+    freq = (
+        sigs.groupBy("host", "sig", "url").agg(F.lit(1).alias("_one"))
+        .groupBy("host", "sig")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    host_pages = (
+        sigs.select("host", "url").distinct()
+        .groupBy("host").agg(F.count(F.lit(1)).alias("host_pages"))
+    )
+    return freq.join(host_pages, "host").select(
+        "host", "sig", "n_pages", "host_pages",
+        (
+            (F.col("n_pages") >= min_pages)
+            & (F.col("n_pages").cast("double")
+               >= min_frac * F.col("host_pages"))
+        ).alias("is_boiler"),
+    )
+
+
+def strip_boilerplate(
+    texts: DataFrame, min_pages: int = 3, min_frac: float = 0.3
+) -> DataFrame:
+    """(url, kept_text, n_kept, n_boiler): each page's text nodes with
+    host-template boilerplate removed, residual concatenated in
+    document order (space-joined). Pages whose every text node is
+    boilerplate still emit a row (empty kept_text) — a page must never
+    silently vanish from the corpus."""
+    flags = boilerplate_flags(texts, min_pages, min_frac)
+    marked = (
+        texts.withColumn("sig", F.md5("text"))
+        .join(flags.select("host", "sig", "is_boiler"), ["host", "sig"])
+    )
+    # boiler rows enter the aggregate as NULL, which collect_list
+    # SKIPS — the frame is bounded to kept nodes BEFORE aggregation
+    # (the dedup group-frame lesson), so a 99%-template page costs
+    # its content size, not its page size
+    kept = F.sort_array(
+        F.collect_list(
+            F.when(
+                ~F.col("is_boiler"),
+                F.struct(F.col("pre_ord"), F.col("text")),
+            )
+        )
+    )
+    return (
+        marked.groupBy("url")
+        .agg(
+            F.sum(F.when(~F.col("is_boiler"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).alias("n_boiler"),
+            kept.alias("_kept"),
+        )
+        .select(
+            "url",
+            F.array_join(
+                F.transform(F.col("_kept"), lambda s: s["text"]), " "
+            ).alias("kept_text"),
+            "n_kept",
+            "n_boiler",
+        )
+    )
