@@ -447,3 +447,71 @@ def test_extract_images_equi_joins_and_bounded_exchanges(spark):
     assert "CartesianProduct" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 4, plan
     spark.catalog.clearCache()
+
+
+def test_boilerplate_exchanges_key_on_digests_not_text(spark):
+    """strip_boilerplate's shuffles partition on (host, sig)/(url) —
+    never on the text body — and no join degrades to a nested loop."""
+    from hickoryspark.ops.boilerplate import strip_boilerplate
+
+    rows = [(f"h/p{i}", "h", j, t if j else "NAV")
+            for i in range(6) for j, t in enumerate(["NAV", f"c{i}" * 40])]
+    texts = spark.createDataFrame(
+        rows, "url string, host string, pre_ord int, text string"
+    )
+    df = strip_boilerplate(texts, min_pages=3, min_frac=0.5)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "text#" not in head, plan
+
+
+def test_spans_joins_are_equi_never_nested_loop(spark):
+    """duplicated_spans: bucket/diagonal/slice joins are all equi —
+    a BNLJ or cartesian over the pair set would be the 100x killer."""
+    from hickoryspark.ops.spans import duplicated_spans
+
+    block = "a shared run long enough to anchor and verify fully"
+    docs = spark.createDataFrame(
+        [(i, f"u{i:03d}" + block + f"v{i:03d}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    df = duplicated_spans(docs, k=10, w=4, min_len=20)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the verifier consumes bounded slices, not document bodies
+    assert "sl_a" in plan and "sl_b" in plan
+
+
+def test_ahash_images_is_shuffle_free(spark):
+    from hickoryspark.ops.imagehash import ahash_images
+    from hickoryspark.ops.multimodal import encode_ppm
+    import numpy as np
+
+    img = encode_ppm(np.full((16, 16, 3), 99, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(1, img)], "media_id long, payload binary"
+    )
+    df = ahash_images(media)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_temperature_sample_broadcasts_thresholds(spark):
+    """the per-stratum threshold frame is tiny: the corpus-side join
+    must be a broadcast, and the corpus is touched by one filter pass
+    (no SortMergeJoin of the full table)."""
+    from hickoryspark.ops.sampling import temperature_sample
+    from hickoryspark.spark.pages import load_documents
+
+    df = temperature_sample(load_documents(spark, SF_DIR), 0.5)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
