@@ -1,0 +1,114 @@
+"""HTTP response-head parsing — the layer between a crawler's raw
+fetch (WARC response records store the full HTTP message) and every
+downstream decision: status handling, Content-Type routing (into
+ops/mime.py's sniffer when absent/ambiguous), charset override,
+redirect chasing, cache policy.
+
+RFC 9112 (HTTP/1.1 message syntax) subset:
+
+- status line ``HTTP-version SP status-code SP [reason]``; a head
+  whose first line does not match yields NULL status (and no header
+  rows) rather than garbage.
+- header fields ``name ":" OWS value OWS``; names case-insensitive
+  (lowercased here), values OWS-trimmed. RFC 9112 §5.2 obs-fold
+  (continuation lines) is deprecated and treated as invalid — such
+  lines are dropped, as are lines without a colon or with whitespace
+  before the colon (§5.1: reject or consume-and-ignore; we ignore).
+- duplicate field names are emitted as SEPARATE rows in document
+  order (``field_pos``) — RFC 9110 §5.3's comma-combination rule is a
+  consumer decision (Set-Cookie famously must NOT be combined), so
+  the relational form keeps every occurrence.
+
+Everything is pure JVM Catalyst (split / regexp / transform /
+posexplode) — no Python in the path, one narrow map per op
+(plan-guarded in tests/test_http.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: status line: HTTP-name "/" DIGIT "." DIGIT SP 3DIGIT [SP reason]
+#: (also accepts HTTP/2-style single-digit versions)
+_STATUS_RE = r"\AHTTP/[0-9](?:\.[0-9])? ([0-9]{3})(?: [\s\S]*)?\z"
+#: field-line: token ":" OWS value — token per RFC 9110 §5.6.2
+_FIELD_RE = r"\A([!#$%&'*+.^_`|~0-9A-Za-z-]+):[ \t]*([\s\S]*?)[ \t]*\z"
+
+
+def _head(raw: Column) -> Column:
+    """Everything before the first blank line (the message head);
+    tolerates bare-LF line endings (RFC 9112 §2.2 MAY recognize)."""
+    return F.substring_index(
+        F.regexp_replace(raw, "\r\n", "\n"), "\n\n", 1
+    )
+
+
+def http_status(raw: Column) -> Column:
+    """Status code (int) from a raw response head, NULL if the first
+    line is not a valid status line."""
+    first = F.substring_index(_head(raw), "\n", 1)
+    code = F.regexp_extract(first, _STATUS_RE, 1)
+    return F.when(code != "", code.cast("int"))
+
+
+def parse_headers_df(
+    df: DataFrame, raw_col: str = "raw", id_cols: tuple = ("url",)
+) -> DataFrame:
+    """One row per valid header field: (*id_cols, status, field_pos,
+    name, value) — name lowercased, value OWS-trimmed, duplicates
+    preserved in order. Invalid field lines are dropped (module
+    docstring); a head with an invalid status line contributes no
+    rows."""
+    raw = F.col(raw_col)
+    lines = F.split(_head(raw), "\n")
+    fields = F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0)))
+    parsed = F.filter(
+        F.transform(
+            fields,
+            lambda l: F.struct(
+                F.lower(F.regexp_extract(l, _FIELD_RE, 1)).alias("name"),
+                F.regexp_extract(l, _FIELD_RE, 2).alias("value"),
+            ),
+        ),
+        lambda s: s["name"] != "",
+    )
+    base = df.select(
+        *id_cols,
+        http_status(raw).alias("status"),
+        parsed.alias("_fields"),
+    ).where(F.col("status").isNotNull())
+    return base.select(
+        *id_cols,
+        "status",
+        F.posexplode("_fields").alias("field_pos", "_f"),
+    ).select(
+        *id_cols, "status", "field_pos",
+        F.col("_f.name").alias("name"), F.col("_f.value").alias("value"),
+    )
+
+
+def content_type(raw: Column) -> Column:
+    """Lowercased media type (no parameters) of the FIRST
+    Content-Type header, NULL when absent/invalid."""
+    head = _head(raw)
+    # first matching field line anywhere after the status line
+    line = F.regexp_extract(
+        head, r"(?i)\n(content-type):[ \t]*([^\n]*)", 2
+    )
+    mt = F.lower(F.trim(F.substring_index(line, ";", 1)))
+    return F.when(mt != "", mt)
+
+
+def charset_param(raw: Column) -> Column:
+    """charset parameter of the first Content-Type header, lowercased,
+    quotes stripped; NULL when absent."""
+    head = _head(raw)
+    line = F.regexp_extract(
+        head, r"(?i)\n(content-type):[ \t]*([^\n]*)", 2
+    )
+    cs = F.regexp_extract(
+        line, r'(?i)(?:\A|;)[ \t]*charset[ \t]*=[ \t]*"?([^";\n]*)', 1
+    )
+    cs = F.lower(F.trim(cs))
+    return F.when(cs != "", cs)

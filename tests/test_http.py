@@ -1,0 +1,120 @@
+"""HTTP response-head parsing (ops/http.py): status line forms,
+header field validity, duplicate preservation, obs-fold drop,
+Content-Type / charset extraction, and the shuffle-free plan."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from hickoryspark.spark.session import get_spark
+
+    s = get_spark(4, app_name="hickoryspark-http-tests", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _parse(spark, raw):
+    from hickoryspark.ops.http import parse_headers_df
+
+    df = spark.createDataFrame([("u", raw)], "url string, raw string")
+    return [
+        (r["status"], r["field_pos"], r["name"], r["value"])
+        for r in parse_headers_df(df).orderBy("field_pos").collect()
+    ]
+
+
+def test_basic_head_and_ows_trim(spark):
+    raw = ("HTTP/1.1 200 OK\r\n"
+           "Content-Type:  text/html; charset=UTF-8 \r\n"
+           "SERVER:\tnginx\t\r\n"
+           "\r\n"
+           "Body: not-a-header\r\nIgnored: yes")
+    assert _parse(spark, raw) == [
+        (200, 0, "content-type", "text/html; charset=UTF-8"),
+        (200, 1, "server", "nginx"),
+    ]
+
+
+def test_duplicates_kept_in_order_and_bare_lf(spark):
+    raw = ("HTTP/1.0 301 Moved Permanently\n"
+           "Set-Cookie: a=1\n"
+           "Location: /x\n"
+           "Set-Cookie: b=2\n\n")
+    assert _parse(spark, raw) == [
+        (301, 0, "set-cookie", "a=1"),
+        (301, 1, "location", "/x"),
+        (301, 2, "set-cookie", "b=2"),
+    ]
+
+
+def test_invalid_lines_dropped_status_forms(spark):
+    raw = ("HTTP/2 204\r\n"
+           "X-Ok: fine\r\n"
+           "Bad Line No Colon\r\n"
+           "Spaced Name : nope\r\n"
+           " folded-continuation\r\n"
+           "empty-value:\r\n"
+           "\r\n")
+    assert _parse(spark, raw) == [
+        (204, 0, "x-ok", "fine"),
+        (204, 1, "empty-value", ""),
+    ]
+
+
+def test_invalid_status_line_yields_nothing(spark):
+    from hickoryspark.ops.http import http_status
+    from pyspark.sql import functions as F
+
+    assert _parse(spark, "ICY 200 OK\r\nA: b\r\n\r\n") == []
+    df = spark.createDataFrame(
+        [("HTTP/1.1 20 OK\r\n\r\n",), ("",), ("HTTP/1.1 500\r\n\r\n",)],
+        "raw string",
+    )
+    got = [r["s"] for r in
+           df.select(http_status(F.col("raw")).alias("s")).collect()]
+    assert got == [None, None, 500]
+
+
+def test_content_type_and_charset(spark):
+    from pyspark.sql import functions as F
+
+    from hickoryspark.ops.http import charset_param, content_type
+
+    cases = [
+        ("HTTP/1.1 200 OK\r\nContent-Type: Text/HTML; charset=UTF-8\r\n\r\n",
+         "text/html", "utf-8"),
+        ("HTTP/1.1 200 OK\r\ncontent-type: text/plain;charset=\"ISO-8859-1\"\r\n\r\n",
+         "text/plain", "iso-8859-1"),
+        ("HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n\r\n",
+         "application/json", None),
+        # first Content-Type wins; charset from the SAME (first) header
+        ("HTTP/1.1 200 OK\r\nContent-Type: a/b\r\nContent-Type: c/d; charset=x\r\n\r\n",
+         "a/b", None),
+        ("HTTP/1.1 200 OK\r\nServer: x\r\n\r\n", None, None),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "raw string")
+    got = df.select(
+        content_type(F.col("raw")).alias("ct"),
+        charset_param(F.col("raw")).alias("cs"),
+    ).collect()
+    for (_, ct, cs), r in zip(cases, got):
+        assert r["ct"] == ct and r["cs"] == cs
+
+
+def test_plan_is_narrow_map(spark):
+    from hickoryspark.ops.http import parse_headers_df
+
+    df = parse_headers_df(spark.createDataFrame(
+        [("u", "HTTP/1.1 200 OK\r\nA: b\r\n\r\n")], "url string, raw string"
+    ))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
