@@ -1305,7 +1305,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # closed-form variant -> type map. v14 is tail-only
         # (text/plain fallback), v15 leads with a NUL (binary-byte
         # fallback); v1 exercises case-insensitive tag match, v0 the
-        # whitespace skip.
+        # whitespace skip. NOTE: the synthetic when-chain payload gets
+        # inlined into every sniff reference, so THIS GATE's stage can
+        # exceed the 64 KB codegen limit and log a janino fallback —
+        # interpreted, correct, gate-only (real callers pass a plain
+        # binary column; plan-guarded shuffle-free in tests/test_mime).
         from hickoryspark.ops.mime import sniff_mime
 
         magics = _MIME_GATE_MAGICS
@@ -3528,7 +3532,8 @@ def oracle_sql() -> dict[str, str]:
                                                   / cnt)) AS BIGINT) AS thr
                   FROM c)
             SELECT d.doc_id, d.lang
-            FROM documents d JOIN t USING (lang)
+            FROM documents d
+            JOIN t ON d.lang IS NOT DISTINCT FROM t.lang
             WHERE ('0x' || substr(md5('t0:' || d.doc_id), 1, 6))::BIGINT
                       % 1000 < t.thr""",
         "sample_stratified": """

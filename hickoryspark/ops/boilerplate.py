@@ -34,24 +34,39 @@ from pyspark.sql import functions as F
 from hickoryspark.nodes import TYPE_TEXT
 from hickoryspark.ops.hosts import url_host
 
-#: tags whose text children are never content (mirrors the visible-
-#: text rule used by the extract path)
-_NON_CONTENT_PARENTS = ("script", "style", "template")
-
 
 def page_text_nodes(nodes: DataFrame) -> DataFrame:
     """(url, host, pre_ord, text) rows for the visible text nodes of
     the exploded node table (spark/nodes_table.py): text-type nodes
-    with non-empty trimmed text whose parent is not script/style/
-    template."""
-    return (
-        nodes.where(
-            (F.col("type") == TYPE_TEXT)
-            & ~F.col("parent_tag").isin(*_NON_CONTENT_PARENTS)
-            & (F.trim(F.col("text")) != "")
+    with non-empty trimmed text, excluding script/style rawtext (their
+    text is always a DIRECT child, so the parent check is exact) and
+    the ENTIRE subtree of every <template> element (template content
+    never renders; a template's descendants can be elements, so a
+    parent-only check would leak e.g. <template><li>text — excluded
+    via the url-local pre-order interval anti-join, the same pattern
+    as descendant_rel). A NULL parent_tag (detached/document-level
+    text) is kept explicitly — three-valued ~isin would drop it."""
+    base = nodes.where(
+        (F.col("type") == TYPE_TEXT)
+        & ~F.coalesce(
+            F.col("parent_tag").isin("script", "style"), F.lit(False)
         )
-        .select("url", url_host(F.col("url")).alias("host"),
-                "pre_ord", "text")
+        & (F.trim(F.col("text")) != "")
+    ).select("url", "pre_ord", "text")
+    tpl = nodes.where(F.col("tag") == "template").select(
+        F.col("url").alias("t_url"),
+        F.col("pre_ord").alias("t_start"),
+        F.col("subtree_end").alias("t_end"),
+    )
+    visible = base.join(
+        tpl,
+        (F.col("url") == F.col("t_url"))
+        & (F.col("pre_ord") > F.col("t_start"))
+        & (F.col("pre_ord") <= F.col("t_end")),
+        "left_anti",
+    )
+    return visible.select(
+        "url", url_host(F.col("url")).alias("host"), "pre_ord", "text"
     )
 
 

@@ -59,7 +59,9 @@ def parse_headers_df(
     name, value) — name lowercased, value OWS-trimmed, duplicates
     preserved in order. Invalid field lines are dropped (module
     docstring); a head with an invalid status line contributes no
-    rows."""
+    rows; a VALID head with zero (valid) fields still contributes one
+    row with NULL field_pos/name/value, so header-less 204/304
+    responses keep their status in the table."""
     raw = F.col(raw_col)
     lines = F.split(_head(raw), "\n")
     fields = F.slice(lines, 2, F.greatest(F.size(lines) - 1, F.lit(0)))
@@ -81,7 +83,7 @@ def parse_headers_df(
     return base.select(
         *id_cols,
         "status",
-        F.posexplode("_fields").alias("field_pos", "_f"),
+        F.posexplode_outer("_fields").alias("field_pos", "_f"),
     ).select(
         *id_cols, "status", "field_pos",
         F.col("_f.name").alias("name"), F.col("_f.value").alias("value"),

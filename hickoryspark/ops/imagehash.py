@@ -108,7 +108,7 @@ def ahash_images(
 def ahash_near_pairs(
     hashes: DataFrame,
     max_hamming: int = 2,
-    bits: int = 64,
+    hash_size: int = 8,
     group_cap: int | None = DEFAULT_GROUP_CAP,
     id_col: str = "media_id",
 ) -> DataFrame:
@@ -116,11 +116,19 @@ def ahash_near_pairs(
     <= max_hamming between aHash signatures — delegates to the
     pigeonhole-banded joiner shared with the text SimHash path (same
     recall guarantee, same skew caps). NULL hashes are dropped (an
-    undecodable image matches nothing)."""
+    undecodable image matches nothing).
+
+    ``hash_size`` must match the ``ahash_images`` call that produced
+    the signatures: the band count derives from the true signature
+    width hash_size², and banding a narrow signature as if it were
+    64-bit would make the high bands all-zero — every image colliding
+    in those bands, a quadratic candidate blowup."""
     sigs = hashes.where(F.col("ahash").isNotNull()).select(
         F.col(id_col).alias("doc_id"), F.col("ahash").alias("simhash")
     )
-    out = simhash_pairs_from_sigs(sigs, bits, max_hamming, group_cap)
+    out = simhash_pairs_from_sigs(
+        sigs, hash_size * hash_size, max_hamming, group_cap
+    )
     return out.select(
         F.col("doc_a").alias("id_a"),
         F.col("doc_b").alias("id_b"),

@@ -105,7 +105,11 @@ _PATTERNS: list[tuple[str, str]] = (
         ("(?:[0-9A-F]{2}){4}" + _hx(b"ftypmp4"), "video/mp4"),
         ("1F8B08", "application/x-gzip"),
         (_hx(b"PK") + "0304", "application/zip"),
-        (_hx(b"Rar ") + "1A0700", "application/x-rar-compressed"),
+        # the WHATWG table says "Rar " (0x20) — a documented spec typo
+        # (whatwg/mimesniff#63); real archives start "Rar!" (0x21), so
+        # match both or the row is dead against actual web content
+        (_hx(b"Rar") + "(?:20|21)" + "1A0700",
+         "application/x-rar-compressed"),
     ]
 )
 
@@ -125,9 +129,12 @@ def sniff_mime(payload: Column, header_bytes: int = 512) -> Column:
         cond = hx.rlike("^" + pat)
         expr = F.when(cond, mime) if expr is None else expr.when(cond, mime)
     has_binary = hx.rlike("^(?:[0-9A-F]{2})*?" + _BINARY_PAIR)
-    return expr.otherwise(
+    sniffed = expr.otherwise(
         F.when(has_binary, "application/octet-stream").otherwise("text/plain")
     )
+    # a NULL payload (failed fetch) is unknown, not text/plain — every
+    # rlike above is NULL and would fall through to the otherwise
+    return F.when(payload.isNotNull(), sniffed)
 
 
 def sniff_df(

@@ -185,8 +185,17 @@ def temperature_sample(
         F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
     )
     thr = counts.select(
-        stratum, F.floor(F.lit(1000.0) * rate).cast("long").alias("_thr")
+        F.col(stratum).alias("_ts_stratum"),
+        F.floor(F.lit(1000.0) * rate).cast("long").alias("_thr"),
     )
-    return docs.join(F.broadcast(thr), stratum).where(
-        _hash_permille(F.col(key), salt) < F.col("_thr")
-    ).drop("_thr")
+    # null-safe join: a NULL stratum (un-identified language) is a
+    # real stratum — it was counted above and must be SAMPLED at its
+    # rate, not silently deleted by equi-join NULL semantics
+    return (
+        docs.join(
+            F.broadcast(thr),
+            F.col(stratum).eqNullSafe(F.col("_ts_stratum")),
+        )
+        .where(_hash_permille(F.col(key), salt) < F.col("_thr"))
+        .drop("_ts_stratum", "_thr")
+    )

@@ -18,22 +18,29 @@ guarantee for runs >= the winnowing threshold w + k - 1):
 2. **bucket join** — anchors grouped by hash; each bucket expands to
    doc pairs (triu, vectorized). Buckets are rank-capped BEFORE the
    collect (`bucket_cap`) so a stopword-block shared by millions of
-   docs cannot OOM a task — capped buckets are reported via the
-   ``truncated`` flag frame, never silently (pass None for exact).
+   docs cannot OOM a task. The cap is a DETERMINISTIC truncation (the
+   lowest (doc_id, pos) anchors survive): pairs wholly outside the
+   cap are not formed — pass ``bucket_cap=None`` when completeness
+   matters more than the skew bound (the gate and tests do).
 3. **diagonal merge** — candidate pairs collapse by
    (doc_a, doc_b, pos_a - pos_b): every anchor of one shared run sits
    on one diagonal, so a 10k-char duplicate costs ONE verification,
-   not 2·10k/w.
-4. **verify + extend** — each side contributes a bounded substring
-   slice around its anchor cluster (JVM ``substring`` — the shuffle
-   carries slices, never whole documents); a vectorized comparison
-   extends each anchor to its maximal equal run, dedups runs within
-   the cluster, and emits (doc_a, doc_b, pos_a, pos_b, length) with
-   0-based char offsets. Hash collisions die here (no equal run =>
-   no row). Diagonal clusters wider than ``slice_cap`` chars are
-   clamped (documented bound; a single emitted span is still exact —
-   only separation of repeats >slice_cap apart on one diagonal can
-   merge their slices).
+   not 2·10k/w. Only the min/max anchor positions are aggregated —
+   the cluster state is two longs however long the run is, and
+   arbitrarily long duplicates are reported at FULL length (no
+   anchor-list or slice cap).
+4. **verify + extend** — each side contributes a substring slice
+   covering [min anchor - ext, max anchor + k + ext] (JVM
+   ``substring`` — the per-pair fan-out shuffles slices, never whole
+   documents; a slice is never longer than the doc, and is tiny
+   unless the shared material itself is large); a vectorized
+   comparison finds every maximal equal run in the aligned window and
+   emits (doc_a, doc_b, pos_a, pos_b, length) with 0-based char
+   offsets. Hash collisions die here (no equal run => no row).
+   Multiple repeats far apart on ONE diagonal of one pair share a
+   window spanning both — correctness is unaffected (all runs are
+   emitted, then distinct'd); the window is the documented worst-case
+   cost for that adversarial shape.
 
 Positions are CHARACTER offsets (the hash runs over code points, so
 offsets agree with Spark's 1-based ``substring`` minus one).
@@ -125,7 +132,7 @@ def duplicated_spans(
     w: int = 8,
     min_len: int = 30,
     bucket_cap: int | None = 4096,
-    slice_cap: int = 16384,
+    ext: int = 256,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -133,12 +140,17 @@ def duplicated_spans(
     (doc_a, doc_b, pos_a, pos_b, length), doc_a < doc_b, 0-based
     offsets. Complete for runs >= w + k - 1 (the winnowing guarantee);
     ``min_len`` must be >= that threshold so "complete above min_len"
-    holds. See module docstring for the four stages and caps."""
+    holds. ``ext`` is the slice margin beyond the outermost anchors;
+    it must cover the anchor-to-run-edge distance (< w + k - 1) plus
+    any coincidental equal tail shorter than the anchor guarantee, so
+    it is floored at 2 * (w + k). See module docstring for the four
+    stages and the bucket_cap truncation contract."""
     if min_len < w + k - 1:
         raise ValueError(
             f"min_len must be >= w+k-1 = {w + k - 1} (the winnowing "
             f"detection guarantee), got {min_len}"
         )
+    ext = max(ext, 2 * (w + k))
     anchors = winnow_anchors(docs, k, w, id_col, text_col)
     if bucket_cap is not None:
         # rank-cap INSIDE the aggregation input (bounded frames before
@@ -172,20 +184,9 @@ def duplicated_spans(
     )
     # one verification per shared run: anchors of a run share the
     # diagonal pos_a - pos_b; keep a bounded, DISTINCT anchor list
-    diag = (
-        cand.groupBy("doc_a", "doc_b", (F.col("pos_a") - F.col("pos_b"))
-                     .alias("diag"))
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_set("pos_a")), 1, 1024
-            ).alias("apos"),
-        )
-        .withColumn("lo", F.element_at("apos", 1))
-        .withColumn("hi", F.least(
-            F.element_at("apos", -1), F.element_at("apos", 1) + slice_cap
-        ))
-    )
-    ext = slice_cap
+    diag = cand.groupBy(
+        "doc_a", "doc_b", (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    ).agg(F.min("pos_a").alias("lo"), F.max("pos_a").alias("hi"))
     texts_a = docs.select(
         F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta")
     )
@@ -257,10 +258,10 @@ def duplicated_spans(
             if rows["doc_a"]:
                 yield pd.DataFrame(rows)
 
-    out = sliced.mapInPandas(
+    # rows are unique by construction: one cluster per (pair, diag),
+    # runs deduped inside the cluster, and a run's (pos_a - pos_b)
+    # pins it to exactly one diagonal — no output distinct needed
+    return sliced.mapInPandas(
         verify,
         "doc_a long, doc_b long, pos_a long, pos_b long, length long",
     )
-    # distinct: two diagonal CLUSTERS of one pair can both see a run
-    # when slices overlap (only near the slice_cap clamp)
-    return out.distinct()

@@ -95,6 +95,28 @@ def test_strip_all_boiler_page_survives(spark):
     assert out["h/p0"]["kept_text"] == "only here"
 
 
+def test_page_text_nodes_excludes_template_subtree(spark):
+    """Template CONTENT never renders: text nested below <template>
+    (whose direct parent is some inner element, not template itself)
+    must be excluded; script/style rawtext too; ordinary text kept."""
+    from hickoryspark.ops.boilerplate import page_text_nodes
+    from hickoryspark.spark.nodes_table import explode_nodes
+
+    html = ("<html><body><p>real content</p>"
+            "<template><ul><li>Promo widget</li></ul></template>"
+            "<script>var x = 'nope'</script>"
+            "<style>.a{}</style>"
+            "<div>more text</div></body></html>")
+    pages = spark.createDataFrame(
+        [("https://t.test/x", html.encode())], "url string, html binary"
+    )
+    texts = [r["text"] for r in
+             page_text_nodes(explode_nodes(pages)).collect()]
+    assert "real content" in texts and "more text" in texts
+    assert not any("Promo" in t or "nope" in t or ".a{}" in t
+                   for t in texts)
+
+
 def test_real_pages_template_stripped_content_kept(spark):
     """On the real 4-variant page corpus: template chrome (shared nav
     labels) must classify out, and every page keeps text containing

@@ -69,6 +69,15 @@ def test_invalid_lines_dropped_status_forms(spark):
     ]
 
 
+def test_headerless_valid_response_keeps_status(spark):
+    """'HTTP/1.1 304 Not Modified' with no fields must emit one row
+    (NULL field columns), not vanish (regression: posexplode dropped
+    empty-array heads)."""
+    assert _parse(spark, "HTTP/1.1 304 Not Modified\r\n\r\n") == [
+        (304, None, None, None)
+    ]
+
+
 def test_invalid_status_line_yields_nothing(spark):
     from hickoryspark.ops.http import http_status
     from pyspark.sql import functions as F

@@ -120,3 +120,33 @@ def test_ahash_near_pairs_end_to_end_recall(spark):
             if d <= 3:
                 want[(a, b)] = d
     assert got == want and len(want) > 10
+
+
+def test_near_pairs_narrow_hash_bands_scale_to_width(spark):
+    """hash_size=4 signatures band over 16 bits, not 64 (regression:
+    a fixed bits=64 made the high bands all-zero -> every image
+    collided there). Pairs must still be exactly the brute force."""
+    from hickoryspark.ops.multimodal import encode_ppm
+
+    from hickoryspark.ops.imagehash import ahash_images, ahash_near_pairs
+
+    vals = [0x0F0F, 0x0F0E, 0xF0F0, 0x1234, 0x1235, 0xFFFE]
+    imgs = []
+    for i, v in enumerate(vals):
+        bits = np.array([(v >> b) & 1 for b in range(16)]).reshape(4, 4)
+        img = np.kron(bits, np.ones((2, 2), dtype=np.int64)) * 144 + 56
+        imgs.append((i, encode_ppm(
+            np.repeat(img[:, :, None], 3, axis=2).astype(np.uint8))))
+    media = spark.createDataFrame(imgs, "media_id long, payload binary")
+    hashes = ahash_images(media, hash_size=4)
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in ahash_near_pairs(
+               hashes, max_hamming=2, hash_size=4, group_cap=None
+           ).collect()}
+    want = {}
+    for a in range(6):
+        for b in range(a + 1, 6):
+            d = bin(vals[a] ^ vals[b]).count("1")
+            if d <= 2:
+                want[(a, b)] = d
+    assert got == want and len(want) >= 2

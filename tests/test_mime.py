@@ -50,6 +50,7 @@ CASES = [
     (b"\x1f\x8b\x08\x00", "application/x-gzip"),
     (b"PK\x03\x04", "application/zip"),
     (b"Rar \x1a\x07\x00", "application/x-rar-compressed"),
+    (b"Rar!\x1a\x07\x00", "application/x-rar-compressed"),  # real-world magic
     (b"just some words\nand more", "text/plain"),
     (b"text with a nul\x00inside", "application/octet-stream"),
     (b"esc byte \x1b ok", "text/plain"),      # 0x1B is NOT a binary data byte
@@ -68,6 +69,19 @@ def test_sniff_table(spark):
     got = {r["id"]: r["mime"] for r in sniff_df(df).collect()}
     for i, (payload, want) in enumerate(CASES):
         assert got[i] == want, f"case {i} ({payload[:16]!r}): {got[i]} != {want}"
+
+
+def test_sniff_null_payload_is_null(spark):
+    """A failed fetch (payload NULL) must sniff to NULL, not
+    text/plain (regression: every when() was NULL and fell through
+    to the fallback otherwise)."""
+    from hickoryspark.ops.mime import sniff_df
+
+    df = spark.createDataFrame(
+        [(1, None), (2, b"GIF89a")], "id long, payload binary"
+    )
+    got = {r["id"]: r["mime"] for r in sniff_df(df).collect()}
+    assert got[1] is None and got[2] == "image/gif"
 
 
 def test_sniff_header_bound_and_late_magic(spark):

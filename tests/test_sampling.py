@@ -200,6 +200,21 @@ def test_temperature_sample_rates_and_determinism(spark, docs):
     assert a == b
 
 
+def test_temperature_sample_null_stratum_sampled_not_dropped(spark):
+    """Docs with a NULL stratum form a real stratum: they must be
+    sampled at that stratum's rate (regression: the equi-join deleted
+    them all)."""
+    from hickoryspark.ops.sampling import temperature_sample
+
+    rows = [(i, "en" if i < 40 else None) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = temperature_sample(docs, 0.5).groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in out}
+    # the NULL stratum is the SMALLEST (10 < 40): rate 1 -> all kept
+    assert by.get(None) == 10
+    assert 0 < by.get("en", 0) < 40
+
+
 def test_temperature_sample_alpha_extremes(spark, docs):
     from hickoryspark.ops.sampling import temperature_sample
 

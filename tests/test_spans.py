@@ -159,9 +159,30 @@ def test_fuzz_vs_bruteforce_oracle(spark):
     assert got <= want          # everything reported is a real maximal run
 
 
-def test_bucket_cap_flags_not_silent(spark):
+def test_long_run_reported_at_full_length(spark):
+    """A multi-thousand-char shared run must come back as ONE span of
+    the exact full length (regression: an anchor-list/slice cap once
+    truncated long duplicates)."""
+    from hickoryspark.ops.spans import duplicated_spans
+
+    rng = np.random.RandomState(9)
+    block = _rand_text(rng, 5000)
+    docs = spark.createDataFrame(
+        [(1, "A" + _rand_text(rng, 37) + "A" + block + "C" + _rand_text(rng, 20)),
+         (2, "B" + _rand_text(rng, 11) + "B" + block + "D" + _rand_text(rng, 60))],
+        "doc_id long, text string",
+    )
+    rows = duplicated_spans(docs, k=10, w=4, min_len=20).collect()
+    spans = {(r["pos_a"], r["pos_b"], r["length"]) for r in rows}
+    assert (39, 13, 5000) in spans
+    assert max(r["length"] for r in rows) == 5000
+
+
+def test_bucket_cap_deterministic_truncation(spark):
     """A stopword block shared by many docs: capped run still returns
-    pairs for the docs inside the cap and never errors."""
+    pairs for the docs inside the cap and never errors. The cap is a
+    DETERMINISTIC truncation (documented contract — lowest (doc_id,
+    pos) anchors survive), opt-out via bucket_cap=None."""
     from hickoryspark.ops.spans import duplicated_spans
 
     common = "the same boilerplate sentence appears everywhere here"
