@@ -617,6 +617,42 @@ _SPAN_GATE_BLOCKS = [
 ]
 
 
+def _pagerank_oracle_sql(n_iter: int = 3) -> str:
+    """Unrolled exact-integer PageRank recurrence (see
+    q_graph_pagerank) — one CTE per iteration, BIGINT floor-division
+    arithmetic identical to ops/graph.py's."""
+    sql = """
+        WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        nodes AS (SELECT doc_id AS id FROM documents),
+        edges AS (
+          SELECT doc_id AS src,
+                 (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst
+          FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 13 + 3) % (SELECT n FROM nn)
+          FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id + 17) % (SELECT n FROM nn)
+          FROM documents WHERE doc_id % 3 = 0),
+        deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        r0 AS (SELECT id, 1000000000000 // (SELECT n FROM nn) AS rank
+               FROM nodes)"""
+    for i in range(n_iter):
+        sql += f""",
+        r{i + 1} AS (
+          SELECT nodes.id,
+                 ((1000000000000 * 15) // 100) // (SELECT n FROM nn)
+                 + COALESCE(SUM((r{i}.rank * 85) // (100 * deg.d)), 0)
+                     AS rank
+          FROM nodes
+          LEFT JOIN edges ON edges.dst = nodes.id
+          LEFT JOIN deg ON deg.src = edges.src
+          LEFT JOIN r{i} ON r{i}.id = edges.src
+          GROUP BY nodes.id)"""
+    return sql + f"""
+        SELECT id, CAST(rank AS BIGINT) AS rank_e12 FROM r{n_iter}"""
+
+
 #: mime_sniff gate: variant (doc_id % 16) -> (magic prefix, expected
 #: sniffed type). The Spark side classifies magic||md5-tail BYTES; the
 #: oracle maps the variant directly (charset_extract pattern — the
@@ -1138,6 +1174,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "loc", "lastmod", "changefreq",
                     "priority", "entry_pos")
         )
+
+    def q_graph_pagerank(spark, sf):
+        # exact-integer PageRank (ops/graph.py) over a deterministic
+        # synthetic crawl graph on doc_ids 0..N-1 (contiguous): edges
+        # id->(7id+1)%N, id->(13id+3)%N, and for id%3==0 id->(id+17)%N
+        # (multi-edges possible when the formulas collide — honored by
+        # both sides). 3 power iterations; the oracle UNROLLS the same
+        # BIGINT recurrence in SQL — order-independent integer sums
+        # make the comparison exact, which float PageRank cannot be.
+        from hickoryspark.ops.graph import pagerank
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+        n = docs.count()
+        d = F.col("doc_id")
+        e1 = docs.select(d.alias("src"), ((d * 7 + 1) % n).alias("dst"))
+        e2 = docs.select(d.alias("src"), ((d * 13 + 3) % n).alias("dst"))
+        e3 = docs.where(d % 3 == 0).select(
+            d.alias("src"), ((d + 17) % n).alias("dst")
+        )
+        edges = e1.unionByName(e2).unionByName(e3)
+        nodes = docs.select(d.alias("id"))
+        return pagerank(edges, n_iter=3, nodes=nodes)
 
     def q_http_headers(spark, sf):
         # RFC 9112 response-head parsing (ops/http.py) over raw heads
@@ -2777,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         boilerplate_strip=q_boilerplate_strip,
         dedup_spans=q_dedup_spans,
         http_headers=q_http_headers,
+        graph_pagerank=q_graph_pagerank,
         decontam_overlap=q_decontam_overlap,
         pii_redact=q_pii_redact,
         events_windowed=q_events_windowed,
@@ -3619,6 +3678,10 @@ def oracle_sql() -> dict[str, str]:
         # acute via chr(769), BEL via chr(7)) built SQL-side, then the
         # exact three-step mirror — nfc_normalize, control strip,
         # ASCII-whitespace collapse + trim
+        # unrolled exact-integer PageRank recurrence (BIGINT sums are
+        # order-independent — the float formulation could never be
+        # hash-compared across engines)
+        "graph_pagerank": _pagerank_oracle_sql(3),
         # closed-form per-variant header rows; variant 5 (invalid
         # status line) contributes none, variant 3's value is the
         # doc-content md5 so the oracle is content-tied
