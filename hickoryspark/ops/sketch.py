@@ -1,0 +1,168 @@
+"""Probabilistic sketches with EXACT cross-engine arithmetic — the
+two sketches a crawl/corpus pipeline leans on:
+
+- **Bloom filter** (Bloom 1970): "have we crawled this URL / kept
+  this doc hash before?" membership against a prior crawl, without
+  shipping the prior key set. Built as (word, bits) rows — a
+  RELATIONAL bitmap: ``bit_or`` of single-bit words, mergeable across
+  shards by the same ``bit_or``, probed with one equi-join + one
+  groupBy. Bit positions are md5-derived (k salted hashes), so the
+  filter — including its false positives — is deterministic and an
+  independent engine computes the identical bitmap.
+- **HyperLogLog registers** (Flajolet et al. 2007): distinct-count
+  sketch as (bucket, register) rows, register = max rank (leading-
+  zero run + 1) per bucket. Registers are the MERGEABLE state (max
+  per bucket across shards/streams) — the part that must be exact;
+  the final cardinality estimate is one tiny float formula over m
+  rows (`hll_estimate`, driver-side or SQL, not hash-gated).
+
+Both sketches keep every step in BIGINT / bit arithmetic (md5-hex
+prefix -> integer, shift, mask, bit_or, max): no floats anywhere in
+the distributed state, so results are bit-identical across
+partitionings and engines. Bits live 32-per-word in a BIGINT so no
+shift ever touches the sign bit (portable to engines whose ``<<``
+errors on 63-bit shifts).
+
+Scale: build = one explode(k)/explode(1) + one groupBy (map-side
+combine collapses to at most m distinct words/buckets per partition);
+probe = one equi-join against the tiny word table (AQE broadcasts it)
++ one groupBy on the probe key.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: bits packed per bitmap word (32 of a BIGINT's 64 — keeps every
+#: shift far from the sign bit on both engines)
+WORD_BITS = 32
+
+
+def _md5_pos(key: Column, salt: str, mod: int) -> Column:
+    """Deterministic position in [0, mod): 48 bits of md5(salt:key).
+    Mirrored in SQL as ('0x' || substr(md5(...), 1, 12))::BIGINT %."""
+    h12 = F.substring(F.md5(F.concat(F.lit(f"{salt}:"), key)), 1, 12)
+    return F.conv(h12, 16, 10).cast("long") % mod
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str = "key", m_bits: int = 4096, k: int = 3
+) -> DataFrame:
+    """(word, bits) bitmap rows for a Bloom filter of ``m_bits`` bits
+    and ``k`` hash functions over the DISTINCT values of key_col.
+    Merge two filters (same m_bits/k) by unioning and re-bit_or-ing."""
+    key = F.col(key_col).cast("string")
+    pos = keys.select(
+        F.explode(
+            F.array(*[_md5_pos(key, f"b{i}", m_bits) for i in range(k)])
+        ).alias("pos")
+    )
+    return (
+        pos.select(
+            F.expr(f"pos div {WORD_BITS}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pos % {WORD_BITS} AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "key",
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """probes + ``maybe_present`` (1/0 BIGINT): 1 iff every one of the
+    k probe bits is set (no false negatives; false-positive rate the
+    standard (1-e^{-kn/m})^k). One join + one groupBy."""
+    key = F.col(key_col).cast("string")
+    ppos = probes.select(
+        key.alias("_k"),
+        F.explode(
+            F.array(*[_md5_pos(key, f"b{i}", m_bits) for i in range(k)])
+        ).alias("pos"),
+    )
+    hits = ppos.join(
+        bloom, F.expr(f"pos div {WORD_BITS}") == bloom["word"], "left"
+    ).select(
+        "_k",
+        F.when(
+            F.col("bits").isNotNull()
+            & (
+                F.col("bits").bitwiseAND(
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT), "
+                        f"CAST(pos % {WORD_BITS} AS INT))"
+                    )
+                )
+                != 0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("_hit"),
+    )
+    agg = hits.groupBy("_k").agg(
+        F.min("_hit").cast("long").alias("maybe_present")
+    )
+    return probes.join(
+        agg, probes[key_col].cast("string") == agg["_k"]
+    ).drop("_k")
+
+
+def hll_registers(
+    keys: DataFrame, key_col: str = "key", p: int = 6
+) -> DataFrame:
+    """(bucket, register) HLL state over key_col, m = 2**p buckets:
+    bucket = top p bits of a 32-bit md5 prefix, register = max over
+    keys of (leading-zero run of the remaining 32-p bits) + 1,
+    computed EXACTLY via the binary-string length of the remainder
+    (no log2 floats). Empty buckets are absent (their register is 0);
+    merge shards with max per bucket."""
+    if not 1 <= p <= 16:
+        raise ValueError(f"p must be 1..16, got {p}")
+    key = F.col(key_col).cast("string")
+    h32 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    rem_bits = 32 - p
+    base = keys.select(h32.alias("h32"))
+    w = F.col("h32") % (2**rem_bits)
+    # rank = leading-zero run of the rem_bits-wide remainder + 1 =
+    # rem_bits - (highest set bit index) = rem_bits - len(bin(w)) + 1;
+    # w == 0 -> all zeros -> rem_bits + 1. bin() length replaces
+    # floor(log2) so no float ever enters the state.
+    rho = F.when(w == 0, rem_bits + 1).otherwise(
+        rem_bits - F.length(F.bin(w)) + 1
+    )
+    return (
+        base.select(
+            F.expr(f"h32 div {2 ** rem_bits}").alias("bucket"),
+            rho.cast("long").alias("register"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )
+
+
+def hll_estimate(registers: list[tuple[int, int]], p: int = 6) -> float:
+    """Standard HLL estimate from (bucket, register) rows (absent
+    buckets = 0). Driver-side float math — deliberately OUTSIDE the
+    exact-state contract; includes the small-range linear count
+    correction."""
+    m = 2**p
+    regs = [0] * m
+    for b, r in registers:
+        regs[int(b)] = int(r)
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    raw = alpha * m * m / sum(2.0**-r for r in regs)
+    zeros = regs.count(0)
+    if raw <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return raw
