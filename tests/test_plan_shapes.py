@@ -515,3 +515,43 @@ def test_temperature_sample_broadcasts_thresholds(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pagerank_iterations_equi_joins_only(spark):
+    """3 power iterations: every join equi (no BNLJ/cartesian) — an
+    accidental cross join over the edge table is the 100x killer."""
+    from hickoryspark.ops.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 20) for i in range(20)], "src long, dst long"
+    )
+    df = pagerank(edges, n_iter=3)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_build_single_shuffle(spark):
+    """explode + groupBy(word): exactly one exchange, partial bit_or
+    map-side."""
+    from hickoryspark.ops.sketch import bloom_build
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(64)],
+                                 "key string")
+    df = bloom_build(keys)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "partial_bit_or" in plan or "bit_or" in plan
+
+
+def test_hll_registers_single_shuffle(spark):
+    from hickoryspark.ops.sketch import hll_registers
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(64)],
+                                 "key string")
+    df = hll_registers(keys)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
