@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hickoryspark.nodes import TYPE_TEXT
 from hickoryspark.ops.hosts import url_host
@@ -46,24 +47,35 @@ def page_text_nodes(nodes: DataFrame) -> DataFrame:
     via the url-local pre-order interval anti-join, the same pattern
     as descendant_rel). A NULL parent_tag (detached/document-level
     text) is kept explicitly — three-valued ~isin would drop it."""
-    base = nodes.where(
+    # template-subtree membership WITHOUT a second pass over the parse
+    # lineage (an interval anti-join against a template frame derived
+    # from the same uncached nodes would re-execute the mapInPandas
+    # parse): node is inside a template iff some PRECEDING template's
+    # subtree_end reaches it — a running max over one url window, so
+    # the parse runs once and the cost is the url shuffle the
+    # boilerplate path pays anyway.
+    w = (
+        Window.partitionBy("url")
+        .orderBy("pre_ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tpl_end = F.max(
+        F.when(F.col("tag") == "template", F.col("subtree_end"))
+    ).over(w)
+    flagged = nodes.select(
+        "url", "pre_ord", "type", "parent_tag", "text",
+        tpl_end.alias("_tpl_end"),
+    )
+    visible = flagged.where(
         (F.col("type") == TYPE_TEXT)
         & ~F.coalesce(
             F.col("parent_tag").isin("script", "style"), F.lit(False)
         )
         & (F.trim(F.col("text")) != "")
-    ).select("url", "pre_ord", "text")
-    tpl = nodes.where(F.col("tag") == "template").select(
-        F.col("url").alias("t_url"),
-        F.col("pre_ord").alias("t_start"),
-        F.col("subtree_end").alias("t_end"),
-    )
-    visible = base.join(
-        tpl,
-        (F.col("url") == F.col("t_url"))
-        & (F.col("pre_ord") > F.col("t_start"))
-        & (F.col("pre_ord") <= F.col("t_end")),
-        "left_anti",
+        & (
+            F.col("_tpl_end").isNull()
+            | (F.col("_tpl_end") < F.col("pre_ord"))
+        )
     )
     return visible.select(
         "url", url_host(F.col("url")).alias("host"), "pre_ord", "text"

@@ -56,14 +56,22 @@ def pagerank(
             .unionByName(edges.select(F.col("dst").alias("id")))
             .distinct()
         )
+    # NOTE: persisted because nodes feeds the count() action AND every
+    # iteration's join (otherwise the distinct shuffle re-executes
+    # n_iter+1 times inside the final action), and outdeg feeds every
+    # iteration; like the dedup group frames, the blocks live until
+    # LRU eviction or session end.
+    nodes = nodes.persist()
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_e12", F.lit(0).cast("long"))
     base = scale // n
     tele = (scale * (100 - damping_pct) // 100) // n
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("_deg")
+    ).persist()
     ranks = nodes.select("id", F.lit(base).cast("long").alias("rank_e12"))
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contrib = (
             edges.join(outdeg, "src")
             .join(ranks, F.col("src") == F.col("id"))
@@ -84,4 +92,8 @@ def pagerank(
                 .alias("rank_e12"),
             )
         )
+        # bound lineage depth for long runs: 3 joins accrue per
+        # iteration and the analyzer cost grows superlinearly
+        if (i + 1) % 10 == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint()
     return ranks

@@ -82,40 +82,44 @@ def bloom_probe(
 ) -> DataFrame:
     """probes + ``maybe_present`` (1/0 BIGINT): 1 iff every one of the
     k probe bits is set (no false negatives; false-positive rate the
-    standard (1-e^{-kn/m})^k). One join + one groupBy."""
+    standard (1-e^{-kn/m})^k). EVERY probe row survives — a NULL key
+    (e.g. a failed URL normalization) probes to 0, it is never
+    dropped. Shape: the k positions are k COLUMNS (no explode), each
+    left-joined once against the tiny word table (AQE broadcasts it),
+    so the probes lineage is scanned exactly once and no join-back or
+    groupBy on the probe key is needed (duplicates and NULLs are
+    naturally preserved)."""
     key = F.col(key_col).cast("string")
-    ppos = probes.select(
-        key.alias("_k"),
-        F.explode(
-            F.array(*[_md5_pos(key, f"b{i}", m_bits) for i in range(k)])
-        ).alias("pos"),
-    )
-    hits = ppos.join(
-        bloom, F.expr(f"pos div {WORD_BITS}") == bloom["word"], "left"
-    ).select(
-        "_k",
-        F.when(
-            F.col("bits").isNotNull()
-            & (
-                F.col("bits").bitwiseAND(
-                    F.expr(
-                        f"shiftleft(CAST(1 AS BIGINT), "
-                        f"CAST(pos % {WORD_BITS} AS INT))"
-                    )
-                )
-                != 0
-            ),
-            1,
+    out = probes
+    hits = []
+    for i in range(k):
+        out = out.withColumn(f"_p{i}", _md5_pos(key, f"b{i}", m_bits))
+        b = bloom.select(
+            F.col("word").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
         )
-        .otherwise(0)
-        .alias("_hit"),
-    )
-    agg = hits.groupBy("_k").agg(
-        F.min("_hit").cast("long").alias("maybe_present")
-    )
-    return probes.join(
-        agg, probes[key_col].cast("string") == agg["_k"]
-    ).drop("_k")
+        out = out.join(
+            b, F.expr(f"_p{i} div {WORD_BITS}") == F.col(f"_w{i}"), "left"
+        ).withColumn(
+            f"_h{i}",
+            F.when(
+                F.col(f"_b{i}").isNotNull()
+                & (
+                    F.col(f"_b{i}").bitwiseAND(
+                        F.expr(
+                            f"shiftleft(CAST(1 AS BIGINT), "
+                            f"CAST(_p{i} % {WORD_BITS} AS INT))"
+                        )
+                    )
+                    != 0
+                ),
+                1,
+            ).otherwise(0),
+        )
+        hits.append(F.col(f"_h{i}"))
+    maybe = hits[0] if k == 1 else F.least(*hits)
+    drop = [c for i in range(k) for c in (f"_p{i}", f"_w{i}", f"_b{i}",
+                                          f"_h{i}")]
+    return out.withColumn("maybe_present", maybe.cast("long")).drop(*drop)
 
 
 def hll_registers(
@@ -126,13 +130,15 @@ def hll_registers(
     keys of (leading-zero run of the remaining 32-p bits) + 1,
     computed EXACTLY via the binary-string length of the remainder
     (no log2 floats). Empty buckets are absent (their register is 0);
-    merge shards with max per bucket."""
+    merge shards with max per bucket. NULL keys are dropped — a NULL
+    contributes no distinct value, and md5(NULL)=NULL would otherwise
+    corrupt the state with a (NULL, NULL) row."""
     if not 1 <= p <= 16:
         raise ValueError(f"p must be 1..16, got {p}")
     key = F.col(key_col).cast("string")
     h32 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
     rem_bits = 32 - p
-    base = keys.select(h32.alias("h32"))
+    base = keys.where(key.isNotNull()).select(h32.alias("h32"))
     w = F.col("h32") % (2**rem_bits)
     # rank = leading-zero run of the rem_bits-wide remainder + 1 =
     # rem_bits - (highest set bit index) = rem_bits - len(bin(w)) + 1;

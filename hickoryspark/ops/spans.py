@@ -38,8 +38,10 @@ guarantee for runs >= the winnowing threshold w + k - 1):
    emits (doc_a, doc_b, pos_a, pos_b, length) with 0-based char
    offsets. Hash collisions die here (no equal run => no row).
    Multiple repeats far apart on ONE diagonal of one pair share a
-   window spanning both — correctness is unaffected (all runs are
-   emitted, then distinct'd); the window is the documented worst-case
+   window spanning both — correctness is unaffected (the window scan
+   emits every run, deduped inside the single cluster row that owns
+   that diagonal; output rows are unique by construction, no distinct
+   pass exists or is needed); the window is the documented worst-case
    cost for that adversarial shape.
 
 Positions are CHARACTER offsets (the hash runs over code points, so

@@ -172,3 +172,23 @@ def test_real_pages_nav_block_is_flagged(spark):
     assert all(r["is_boiler"] for r in chrome), chrome
     # every ~quarter-share variant block crossed the 0.2 threshold
     assert all(r["n_pages"] >= 0.2 * r["host_pages"] for r in chrome)
+
+
+def test_page_text_nodes_parses_once(spark):
+    """The template exclusion must not re-execute the parse lineage:
+    exactly ONE mapInPandas (the explode) in the executed plan
+    (regression: an interval anti-join against the same uncached
+    nodes frame parsed every page twice)."""
+    from hickoryspark.ops.boilerplate import page_text_nodes
+    from hickoryspark.spark.nodes_table import explode_nodes
+
+    pages = spark.createDataFrame(
+        [("https://t.test/1", b"<html><body><p>x</p></body></html>")],
+        "url string, html binary",
+    )
+    df = page_text_nodes(explode_nodes(pages))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints the plan twice (Final + Initial) — count the final
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 1

@@ -543,7 +543,7 @@ def test_bloom_build_single_shuffle(spark):
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
-    assert "partial_bit_or" in plan or "bit_or" in plan
+    assert "partial_bit_or" in plan
 
 
 def test_hll_registers_single_shuffle(spark):

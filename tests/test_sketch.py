@@ -125,3 +125,32 @@ def test_hll_p_bounds(spark):
     df = spark.createDataFrame([("x",)], "key string")
     with pytest.raises(ValueError):
         hll_registers(df, p=0)
+
+
+def test_bloom_probe_null_key_survives_as_zero(spark):
+    """A NULL probe key (failed normalization) must come back with
+    maybe_present=0, never vanish (regression: the join-back on the
+    key dropped it — the temperature_sample NULL-join bug class)."""
+    from hickoryspark.ops.sketch import bloom_build, bloom_probe
+
+    members = spark.createDataFrame([("a",), ("b",)], "key string")
+    probes = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "zzz")], "id long, key string"
+    )
+    got = {r["id"]: r["maybe_present"]
+           for r in bloom_probe(probes, bloom_build(members)).collect()}
+    assert len(got) == 3
+    assert got[1] == 1 and got[2] == 0
+
+
+def test_hll_null_keys_dropped_estimate_works(spark):
+    from hickoryspark.ops.sketch import hll_estimate, hll_registers
+
+    df = spark.createDataFrame(
+        [("x",), (None,), ("y",)], "key string"
+    )
+    regs = hll_registers(df, p=6).collect()
+    assert all(r["bucket"] is not None and r["register"] is not None
+               for r in regs)
+    est = hll_estimate([(r["bucket"], r["register"]) for r in regs], p=6)
+    assert est > 0
