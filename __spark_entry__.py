@@ -1227,6 +1227,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         nodes = docs.select(d.alias("id"))
         return pagerank(edges, n_iter=3, nodes=nodes)
 
+    def q_dedup_spans_cut(spark, sf):
+        # the ACTION half of ExactSubstr: the detection gate's corpus,
+        # then remove_duplicate_spans — every class keeps its block
+        # only in the class-min doc; later docs lose [32 - max ext_l,
+        # 32 + blen + max ext_r) (the union of per-pair cut intervals).
+        # The oracle RECONSTRUCTS the cut text from md5 fillers +
+        # max-extension arithmetic and hashes it.
+        from hickoryspark.ops.spans import (
+            duplicated_spans,
+            remove_duplicate_spans,
+        )
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        cls = (F.col("doc_id") % 6).cast("int")
+        block = F.when(cls == 0, F.lit(_SPAN_GATE_BLOCKS[0]))
+        for i in range(1, 5):
+            block = block.when(cls == i, F.lit(_SPAN_GATE_BLOCKS[i]))
+        block = block.otherwise(F.lit(_SPAN_GATE_BLOCKS[5]))
+        text = F.concat(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":pre"))),
+            block,
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":suf"))),
+        )
+        corpus = docs.select("doc_id", text.alias("text"))
+        spans = duplicated_spans(
+            corpus, k=20, w=8, min_len=30, bucket_cap=None
+        )
+        cut = remove_duplicate_spans(corpus, spans, min_len=30)
+        return cut.select(
+            "doc_id", F.md5("text").alias("text_md5"),
+            "n_cut_spans", "n_cut_chars",
+        )
+
     def q_http_headers(spark, sf):
         # RFC 9112 response-head parsing (ops/http.py) over raw heads
         # built DISTRIBUTED from documents: 6 variants exercise dup
@@ -2865,6 +2898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         boilerplate_strip=q_boilerplate_strip,
         dedup_spans=q_dedup_spans,
         http_headers=q_http_headers,
+        dedup_spans_cut=q_dedup_spans_cut,
         graph_pagerank=q_graph_pagerank,
         bloom_probe=q_bloom_probe,
         hll_sketch=q_hll_sketch,
@@ -3824,6 +3858,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(32 - ext_l AS BIGINT) AS pos_b,
                    CAST(ext_l + blen + ext_r AS BIGINT) AS length
             FROM p JOIN bl USING (cls)"""
+        ),
+        # reconstruct each cut doc from the generation parameters: the
+        # class-min doc keeps pre||block||suf verbatim; every later
+        # doc loses pre's last MAX(ext_l) chars, the block, and suf's
+        # first MAX(ext_r) chars (union of the per-pair intervals —
+        # all contain the block, so it is one interval)
+        "dedup_spans_cut": (
+            """
+            WITH base AS (
+              SELECT doc_id, CAST(doc_id % 6 AS INT) AS cls,
+                     md5(doc_id || ':pre') AS pre,
+                     md5(doc_id || ':suf') AS suf
+              FROM documents),
+            bl AS (SELECT * FROM (VALUES """
+            + ", ".join(
+                f"({i}, {len(b)}, '{b}')"
+                for i, b in enumerate(_SPAN_GATE_BLOCKS)
+            )
+            + """) AS v(cls, blen, blk)),
+            p AS (
+              SELECT b.doc_id AS doc_b,
+                     COALESCE(list_position(list_transform(range(1, 33),
+                         i -> substr(a.pre, 33 - i, 1)
+                              = substr(b.pre, 33 - i, 1)),
+                         false) - 1, 32) AS ext_l,
+                     COALESCE(list_position(list_transform(range(1, 33),
+                         i -> substr(a.suf, i, 1) = substr(b.suf, i, 1)),
+                         false) - 1, 32) AS ext_r
+              FROM base a JOIN base b
+                ON a.cls = b.cls AND b.doc_id > a.doc_id),
+            agg AS (SELECT doc_b, MAX(ext_l) AS ml, MAX(ext_r) AS mr
+                    FROM p GROUP BY doc_b)
+            SELECT b.doc_id,
+                   md5(CASE WHEN agg.doc_b IS NULL
+                            THEN b.pre || bl.blk || b.suf
+                            ELSE substr(b.pre, 1, 32 - agg.ml)
+                                 || substr(b.suf, agg.mr + 1) END)
+                       AS text_md5,
+                   CAST(CASE WHEN agg.doc_b IS NULL THEN 0 ELSE 1 END
+                        AS BIGINT) AS n_cut_spans,
+                   CAST(COALESCE(agg.ml + bl.blen + agg.mr, 0) AS BIGINT)
+                       AS n_cut_chars
+            FROM base b
+            JOIN bl ON bl.cls = b.cls
+            LEFT JOIN agg ON agg.doc_b = b.doc_id"""
         ),
         # FULL operator mirror over the identically-built synthetic
         # text-node table: frequency threshold + ordered string_agg

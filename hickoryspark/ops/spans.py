@@ -267,3 +267,76 @@ def duplicated_spans(
         verify,
         "doc_a long, doc_b long, pos_a long, pos_b long, length long",
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    min_len: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The ACTION half of ExactSubstr dedup (Lee et al. 2021 cut the
+    duplicated bytes, they don't drop documents): every span's
+    LATER-side occurrence (doc_b — duplicated_spans emits doc_a <
+    doc_b) is cut from that document; the earliest document keeps its
+    text. Overlapping/adjacent cut intervals from different pairs are
+    merged per document, so a passage duplicated against many earlier
+    docs is removed once.
+
+    Returns (id, text, n_cut_spans, n_cut_chars) with ``text``
+    rewritten. Docs with no cuts pass through verbatim (n_cut_* = 0).
+
+    Scale: the cut list per doc is collected with collect_list over
+    ONE groupBy of the spans frame (pairs already pruned to >=
+    min_len spans — orders of magnitude smaller than the corpus); the
+    rewrite is one mapInPandas pass over a LEFT join of docs to cut
+    lists, so clean documents never enter Python."""
+    cuts = (
+        spans.where(F.col("length") >= min_len)
+        .groupBy(F.col("doc_b").alias(id_col))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos_b", "length"))
+            ).alias("_cuts")
+        )
+    )
+    joined = docs.join(cuts, id_col, "left")
+
+    def gen(batches):
+        import pandas as pd
+
+        for b in batches:
+            out_text, out_n, out_chars = [], [], []
+            for text, cut in zip(b[text_col], b["_cuts"]):
+                if cut is None or text is None or not len(cut):
+                    out_text.append(text)
+                    out_n.append(0)
+                    out_chars.append(0)
+                    continue
+                merged = []
+                for c in cut:
+                    s, e = int(c["pos_b"]), int(c["pos_b"] + c["length"])
+                    if merged and s <= merged[-1][1]:
+                        merged[-1][1] = max(merged[-1][1], e)
+                    else:
+                        merged.append([s, e])
+                pieces, prev, cut_chars = [], 0, 0
+                for s, e in merged:
+                    pieces.append(text[prev:s])
+                    cut_chars += min(e, len(text)) - s
+                    prev = e
+                pieces.append(text[prev:])
+                out_text.append("".join(pieces))
+                out_n.append(len(merged))
+                out_chars.append(cut_chars)
+            yield pd.DataFrame(
+                {id_col: b[id_col], text_col: out_text,
+                 "n_cut_spans": out_n, "n_cut_chars": out_chars}
+            )
+
+    return joined.select(id_col, text_col, "_cuts").mapInPandas(
+        gen,
+        f"{id_col} long, {text_col} string, "
+        "n_cut_spans long, n_cut_chars long",
+    )

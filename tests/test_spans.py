@@ -195,3 +195,68 @@ def test_bucket_cap_deterministic_truncation(spark):
     capped = duplicated_spans(docs, k=10, w=4, min_len=20, bucket_cap=10)
     n = capped.count()
     assert 0 < n < 30 * 29 // 2
+
+
+def test_remove_spans_cuts_later_doc_keeps_first(spark):
+    from hickoryspark.ops.spans import duplicated_spans, remove_duplicate_spans
+
+    rng = np.random.RandomState(11)
+    block = "a block destined to be cut from later documents!"
+    t1 = "A" + _rand_text(rng, 20) + "A" + block + "C" + _rand_text(rng, 10)
+    t2 = "B" + _rand_text(rng, 30) + "B" + block + "D" + _rand_text(rng, 15)
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2)], "doc_id long, text string"
+    )
+    spans = duplicated_spans(docs, k=10, w=4, min_len=20)
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(docs, spans, min_len=20).collect()}
+    assert out[1]["text"] == t1 and out[1]["n_cut_spans"] == 0
+    assert block not in out[2]["text"]
+    assert out[2]["n_cut_spans"] == 1
+    assert out[2]["n_cut_chars"] == len(block)
+    assert out[2]["text"] == t2.replace(block, "")
+
+
+def test_remove_spans_merges_overlaps_and_is_idempotent(spark):
+    """3 docs share a block: the later two each lose it ONCE (pairs
+    against both earlier docs merge to one interval), and re-running
+    detection on the cut corpus finds nothing — the ExactSubstr
+    contract."""
+    from hickoryspark.ops.spans import duplicated_spans, remove_duplicate_spans
+
+    rng = np.random.RandomState(12)
+    block = "shared across three documents, long enough to anchor"
+    rows = []
+    for i in range(3):
+        rows.append((i, chr(69 + i) + _rand_text(rng, 20 + 7 * i)
+                     + chr(75 + i) + block + chr(80 + i)
+                     + _rand_text(rng, 25)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicated_spans(docs, k=10, w=4, min_len=20)
+    cut = remove_duplicate_spans(docs, spans, min_len=20)
+    got = {r["doc_id"]: r for r in cut.collect()}
+    assert got[0]["n_cut_spans"] == 0 and block in got[0]["text"]
+    for i in (1, 2):
+        assert got[i]["n_cut_spans"] == 1
+        assert block not in got[i]["text"]
+    again = duplicated_spans(
+        cut.select("doc_id", "text"), k=10, w=4, min_len=20
+    )
+    assert again.count() == 0
+
+
+def test_remove_spans_end_clamp_and_null_text(spark):
+    from hickoryspark.ops.spans import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "0123456789"), (2, None)], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [(0, 1, 0, 6, 30)],
+        "doc_a long, doc_b long, pos_a long, pos_b long, length long",
+    )
+    got = {r["doc_id"]: r for r in
+           remove_duplicate_spans(docs, spans, min_len=20).collect()}
+    assert got[1]["text"] == "012345"      # cut clamped at text end
+    assert got[1]["n_cut_chars"] == 4
+    assert got[2]["text"] is None and got[2]["n_cut_spans"] == 0
