@@ -287,19 +287,38 @@ def remove_duplicate_spans(
     Returns (id, text, n_cut_spans, n_cut_chars) with ``text``
     rewritten. Docs with no cuts pass through verbatim (n_cut_* = 0).
 
-    Scale: the cut list per doc is collected with collect_list over
-    ONE groupBy of the spans frame (pairs already pruned to >=
-    min_len spans — orders of magnitude smaller than the corpus); the
-    rewrite is one mapInPandas pass over a LEFT join of docs to cut
-    lists, so clean documents never enter Python."""
-    cuts = (
-        spans.where(F.col("length") >= min_len)
-        .groupBy(F.col("doc_b").alias(id_col))
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("pos_b", "length"))
-            ).alias("_cuts")
-        )
+    Scale: overlapping/adjacent intervals are merged RELATIONALLY
+    first (running-max window → segment ids → per-segment min/max),
+    so the per-doc collect_list holds merged intervals only — a doc
+    whose one passage is duplicated against a million earlier docs
+    collects ONE struct, not a million. The rewrite is one mapInPandas
+    pass over a LEFT join of docs to merged cut lists, so clean
+    documents never enter Python."""
+    raw = spans.where(F.col("length") >= min_len).select(
+        F.col("doc_b").alias(id_col),
+        F.col("pos_b").alias("_s"),
+        (F.col("pos_b") + F.col("length")).alias("_e"),
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max("_e").over(w_prev)
+    new_seg = F.when(
+        prev_end.isNull() | (F.col("_s") > prev_end), 1
+    ).otherwise(0)
+    segs = raw.withColumn("_seg", F.sum(new_seg).over(w_run))
+    merged = segs.groupBy(id_col, "_seg").agg(
+        F.min("_s").alias("_s"), F.max("_e").alias("_e")
+    )
+    cuts = merged.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("_s", "_e"))).alias("_cuts")
     )
     joined = docs.join(cuts, id_col, "left")
 
@@ -314,21 +333,15 @@ def remove_duplicate_spans(
                     out_n.append(0)
                     out_chars.append(0)
                     continue
-                merged = []
-                for c in cut:
-                    s, e = int(c["pos_b"]), int(c["pos_b"] + c["length"])
-                    if merged and s <= merged[-1][1]:
-                        merged[-1][1] = max(merged[-1][1], e)
-                    else:
-                        merged.append([s, e])
                 pieces, prev, cut_chars = [], 0, 0
-                for s, e in merged:
+                for c in cut:
+                    s, e = int(c["_s"]), int(c["_e"])
                     pieces.append(text[prev:s])
-                    cut_chars += min(e, len(text)) - s
+                    cut_chars += max(0, min(e, len(text)) - s)
                     prev = e
                 pieces.append(text[prev:])
                 out_text.append("".join(pieces))
-                out_n.append(len(merged))
+                out_n.append(len(cut))
                 out_chars.append(cut_chars)
             yield pd.DataFrame(
                 {id_col: b[id_col], text_col: out_text,

@@ -260,3 +260,25 @@ def test_remove_spans_end_clamp_and_null_text(spark):
     assert got[1]["text"] == "012345"      # cut clamped at text end
     assert got[1]["n_cut_chars"] == 4
     assert got[2]["text"] is None and got[2]["n_cut_spans"] == 0
+
+
+def test_remove_spans_collects_merged_intervals_only(spark):
+    """One passage duplicated against MANY earlier docs: the doc's
+    collect frame holds the merged interval (n_cut_spans == 1), and
+    the relational merge handles overlapping AND touching spans."""
+    from hickoryspark.ops.spans import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(9, "x" * 100)], "doc_id long, text string"
+    )
+    # 50 pairs, three overlap shapes: identical, shifted-overlap,
+    # touching (s == prev end)
+    rows = [(a, 9, 0, 10, 30) for a in range(50)]
+    rows += [(1, 9, 0, 25, 30), (2, 9, 0, 55, 30)]
+    spans = spark.createDataFrame(
+        rows, "doc_a long, doc_b long, pos_a long, pos_b long, length long"
+    )
+    got = remove_duplicate_spans(docs, spans, min_len=30).collect()[0]
+    assert got["n_cut_spans"] == 1          # [10,85) merged
+    assert got["n_cut_chars"] == 75
+    assert got["text"] == "x" * 25
