@@ -1227,6 +1227,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         nodes = docs.select(d.alias("id"))
         return pagerank(edges, n_iter=3, nodes=nodes)
 
+    def q_extract_eval(spark, sf):
+        # token-level P/R/F1 (ops/evalmetrics.py) grading a noisy
+        # derived prediction (gold minus its first token, plus a
+        # spurious 'xq7') against the doc text — exact fractional
+        # metrics per doc; the oracle mirrors the full multiset
+        # computation
+        from hickoryspark.ops.evalmetrics import token_prf
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        toks = F.split(F.col("text"), " ")
+        pred = F.concat(
+            F.array_join(
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                " ",
+            ),
+            F.lit(" xq7"),
+        )
+        return token_prf(
+            docs.select(
+                "doc_id", pred.alias("pred"), F.col("text").alias("gold")
+            )
+        )
+
     def q_dedup_spans_cut(spark, sf):
         # the ACTION half of ExactSubstr: the detection gate's corpus,
         # then remove_duplicate_spans — every class keeps its block
@@ -2899,6 +2922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup_spans=q_dedup_spans,
         http_headers=q_http_headers,
         dedup_spans_cut=q_dedup_spans_cut,
+        extract_eval=q_extract_eval,
         graph_pagerank=q_graph_pagerank,
         bloom_probe=q_bloom_probe,
         hll_sketch=q_hll_sketch,
@@ -3859,6 +3883,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ext_l + blen + ext_r AS BIGINT) AS length
             FROM p JOIN bl USING (cls)"""
         ),
+        # full multiset-P/R/F1 mirror over the identically-derived
+        # noisy prediction; single IEEE divisions + ROUND(,6) match
+        # try_divide exactly (incl. x/0 -> NULL)
+        "extract_eval": r"""
+            WITH d AS (
+              SELECT doc_id, text AS gold,
+                     array_to_string(list_slice(string_split(text, ' '),
+                         2, len(string_split(text, ' '))), ' ')
+                         || ' xq7' AS pred
+              FROM documents),
+            pt AS (
+              SELECT doc_id, tok, COUNT(*) AS np FROM (
+                SELECT doc_id, unnest(string_split_regex(pred,
+                    '[ \t\n\x0B\f\r]+')) AS tok FROM d)
+              WHERE tok != '' GROUP BY doc_id, tok),
+            gt AS (
+              SELECT doc_id, tok, COUNT(*) AS ng FROM (
+                SELECT doc_id, unnest(string_split_regex(gold,
+                    '[ \t\n\x0B\f\r]+')) AS tok FROM d)
+              WHERE tok != '' GROUP BY doc_id, tok),
+            j AS (
+              SELECT COALESCE(pt.doc_id, gt.doc_id) AS doc_id,
+                     COALESCE(np, 0) AS np, COALESCE(ng, 0) AS ng
+              FROM pt FULL OUTER JOIN gt
+                ON pt.doc_id = gt.doc_id AND pt.tok = gt.tok),
+            a AS (
+              SELECT doc_id, SUM(LEAST(np, ng)) AS tp,
+                     SUM(np) AS np, SUM(ng) AS ng
+              FROM j GROUP BY doc_id)
+            SELECT doc_id, CAST(tp AS BIGINT) AS tp,
+                   CAST(np AS BIGINT) AS n_pred,
+                   CAST(ng AS BIGINT) AS n_gold,
+                   ROUND(CAST(tp AS DOUBLE) / np, 6) AS precision,
+                   ROUND(CAST(tp AS DOUBLE) / ng, 6) AS recall,
+                   ROUND(CAST(2 * tp AS DOUBLE) / (np + ng), 6) AS f1
+            FROM a""",
         # reconstruct each cut doc from the generation parameters: the
         # class-min doc keeps pre||block||suf verbatim; every later
         # doc loses pre's last MAX(ext_l) chars, the block, and suf's
