@@ -61,6 +61,11 @@ def resolve_redirects(
         .alias("hops"),
     )
     for _ in range(rounds):
+        # each round references state TWICE (s and t sides, different
+        # join keys — no exchange reuse), so an unpersisted lineage
+        # would recompute the base 2^rounds times; materialize the
+        # round's state once and truncate the plan
+        state = state.localCheckpoint()
         t = state.select(
             F.col("node").alias("t_node"),
             F.col("ptr").alias("t_ptr"),
