@@ -205,3 +205,89 @@ def url_dedup_groups(df: DataFrame, url_col: str = "url") -> DataFrame:
             F.min("u").alias("first_url"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SURT — Sort-friendly URI Reordering Transform (the Heritrix /
+# web-archive convention; Common Crawl index keys are SURT-ordered):
+# host labels reversed and comma-joined so one registrable domain's
+# pages sort contiguously ("org,example,www)/path"). Pure column
+# expressions; patterns in the Java-regex ∩ RE2 subset.
+# ---------------------------------------------------------------------------
+
+#: port capture after an authority (userinfo skipped, bracketed IPv6
+#: honored) — group 1 is the digits
+_PORT_RE = (
+    r"(?i)^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?"
+    r"(?:\[[^/?#\]]*\]|[^/?#:@]*):([0-9]+)"
+)
+#: path+query after the authority, fragment excluded — group 1
+_REST_RE = r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]*([^#]*)"
+#: hosts that must NOT be label-reversed: IPv4 dotted quads and
+#: bracketed IPv6 literals
+_IP_HOST_RE = r"^([0-9]+(\.[0-9]+){3}|\[[\s\S]*)\z"
+
+
+def surt(col: str | Column) -> Column:
+    """SURT form of a url column: ``rev-host[:port])/path?query`` —
+    host lowercased with labels reversed (IP literals kept verbatim),
+    userinfo and fragment dropped, scheme dropped, empty path → '/'.
+    NULL when the url has no scheme://authority. Compose AFTER
+    ``normalize_url`` when default-port/dot-segment folding should
+    land in the key (this function reorders, it does not normalize —
+    except the WHATWG tab/newline strip every URL entry point
+    applies)."""
+    from hickoryspark.ops.hosts import url_host
+
+    u = F.regexp_replace(
+        F.col(col) if isinstance(col, str) else col, _UNSAFE_RE, ""
+    )
+    host = url_host(u)
+    port = F.regexp_extract(u, _PORT_RE, 1)
+    rest = F.regexp_extract(u, _REST_RE, 1)
+    rhost = F.when(host.rlike(_IP_HOST_RE), host).otherwise(
+        F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    )
+    return F.when(
+        host.isNotNull(),
+        F.concat(
+            rhost,
+            F.when(port != "", F.concat(F.lit(":"), port)).otherwise(
+                F.lit("")
+            ),
+            F.lit(")"),
+            F.when(rest == "", F.lit("/")).otherwise(rest),
+        ),
+    )
+
+
+def duckdb_surt_sql(u: str) -> str:
+    """DuckDB expression computing the identical SURT of url
+    expression ``u`` (same regexes, same steps)."""
+    u = f"regexp_replace({u}, '{_UNSAFE_RE}', '', 'g')"
+    # trailing-dot strip uses \z, never $ (the repo's cross-dialect
+    # regex rule), matching hosts.url_host exactly
+    hraw = (
+        f"regexp_replace(lower(regexp_extract({u}, "
+        f"'{_DUCK_HOST_RE}', 1)), '\\.\\z', '')"
+    )
+    host = f"(CASE WHEN {hraw} != '' THEN {hraw} END)"
+    port = f"regexp_extract({u}, '{_PORT_RE}', 1)"
+    rest = f"regexp_extract({u}, '{_REST_RE}', 1)"
+    rhost = (
+        f"(CASE WHEN regexp_matches({host}, '{_IP_HOST_RE}') THEN {host} "
+        f"ELSE array_to_string(list_reverse(string_split({host}, '.')), ',')"
+        f" END)"
+    )
+    return (
+        f"(CASE WHEN {host} IS NOT NULL THEN {rhost} || "
+        f"(CASE WHEN {port} != '' THEN ':' || {port} ELSE '' END) || ')' "
+        f"|| (CASE WHEN {rest} = '' THEN '/' ELSE {rest} END) END)"
+    )
+
+
+#: hosts._HOST_RE duplicated for the mirror (import cycle avoidance);
+#: keep in lockstep with hickoryspark/ops/hosts.py
+_DUCK_HOST_RE = (
+    r"(?i)^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?(\[[^/?#\]]*\]|[^/?#:@]*)"
+)

@@ -1,0 +1,66 @@
+"""SURT transform (ops/urls.py surt): label reversal, IP literals,
+ports, userinfo, fragments, empty paths — and a direct cross-engine
+check of the DuckDB mirror on the same inputs."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from hickoryspark.spark.session import get_spark
+
+    s = get_spark(4, app_name="hickoryspark-surt-tests", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+CASES = [
+    ("https://www.Example.ORG/a/b?q=1#frag", "org,example,www)/a/b?q=1"),
+    ("http://example.org", "org,example)/"),
+    ("http://example.org./x", "org,example)/x"),        # trailing dot
+    ("http://u:p@sub.ex.test:8080/p", "test,ex,sub:8080)/p"),
+    ("https://192.168.0.1/admin", "192.168.0.1)/admin"),
+    ("http://[2001:db8::1]:8443/v6", "[2001:db8::1]:8443)/v6"),
+    ("http://ex.test/?only=query", "test,ex)/?only=query"),
+    ("http://ex.test#frag-only", "test,ex)/"),
+    ("not a url", None),
+    ("http://ex\t.te\nst/x", "test,ex)/x"),             # WHATWG strip
+]
+
+
+def test_surt_cases(spark):
+    from pyspark.sql import functions as F
+
+    from hickoryspark.ops.urls import surt
+
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+    got = [r["s"] for r in df.select(surt(F.col("url")).alias("s")).collect()]
+    for (u, want), g in zip(CASES, got):
+        assert g == want, f"{u!r}: {g!r} != {want!r}"
+
+
+def test_surt_duckdb_mirror_agrees(spark):
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from hickoryspark.ops.urls import duckdb_surt_sql, surt
+
+    df = spark.createDataFrame([(u,) for u, _ in CASES], "url string")
+    got = [r["s"] for r in df.select(surt(F.col("url")).alias("s")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u, _ in CASES])
+    mirror = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {duckdb_surt_sql('url')} FROM t"
+        ).fetchall()
+    ]
+    assert got == mirror
