@@ -3985,10 +3985,16 @@ def oracle_sql() -> dict[str, str]:
         # try_divide exactly (incl. x/0 -> NULL)
         "extract_eval": r"""
             WITH d AS (
+              -- COALESCE: DuckDB array_to_string([]) is NULL where
+              -- Spark array_join([]) is '' (space-free text); a NULL
+              -- text stays NULL pred end-to-end, matching the engine
               SELECT doc_id, text AS gold,
-                     array_to_string(list_slice(string_split(text, ' '),
-                         2, len(string_split(text, ' '))), ' ')
-                         || ' xq7' AS pred
+                     CASE WHEN text IS NULL THEN NULL
+                          ELSE COALESCE(array_to_string(
+                                   list_slice(string_split(text, ' '),
+                                       2, len(string_split(text, ' '))),
+                                   ' '), '')
+                               || ' xq7' END AS pred
               FROM documents),
             pt AS (
               SELECT doc_id, tok, COUNT(*) AS np FROM (
@@ -4009,13 +4015,19 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, SUM(LEAST(np, ng)) AS tp,
                      SUM(np) AS np, SUM(ng) AS ng
               FROM j GROUP BY doc_id)
-            SELECT doc_id, CAST(tp AS BIGINT) AS tp,
-                   CAST(np AS BIGINT) AS n_pred,
-                   CAST(ng AS BIGINT) AS n_gold,
-                   ROUND(CAST(tp AS DOUBLE) / np, 6) AS precision,
-                   ROUND(CAST(tp AS DOUBLE) / ng, 6) AS recall,
-                   ROUND(CAST(2 * tp AS DOUBLE) / (np + ng), 6) AS f1
-            FROM a""",
+            -- anchor on documents: a doc with zero tokens on BOTH
+            -- sides has no a-row but must still emit (the engine's
+            -- ids left-join does); /0 -> NULL matches try_divide
+            SELECT doc.doc_id, CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+                   CAST(COALESCE(np, 0) AS BIGINT) AS n_pred,
+                   CAST(COALESCE(ng, 0) AS BIGINT) AS n_gold,
+                   ROUND(CAST(COALESCE(tp, 0) AS DOUBLE)
+                         / COALESCE(np, 0), 6) AS precision,
+                   ROUND(CAST(COALESCE(tp, 0) AS DOUBLE)
+                         / COALESCE(ng, 0), 6) AS recall,
+                   ROUND(CAST(2 * COALESCE(tp, 0) AS DOUBLE)
+                         / (COALESCE(np, 0) + COALESCE(ng, 0)), 6) AS f1
+            FROM documents doc LEFT JOIN a ON a.doc_id = doc.doc_id""",
         # reconstruct each cut doc from the generation parameters: the
         # class-min doc keeps pre||block||suf verbatim; every later
         # doc loses pre's last MAX(ext_l) chars, the block, and suf's

@@ -13,10 +13,10 @@ conformant engine) rounded to 6 places — so the metrics are
 hash-comparable cross-engine, per the repo rule that gate outputs be
 string/double/bigint only.
 
-Scale: tokens explode once per side, count per (id, token) with
-map-side partial aggregation, one full-outer equi-join on (id, token)
-(co-partitioned — same key both sides), one final groupBy id. No
-Python anywhere.
+Scale: ONE tokenization pass — both sides explode together with a
+side tag, the per-(id, token) pair table is a single pivoting groupBy
+(map-side partial aggregation), then one final groupBy id. No join
+between the sides, no Python anywhere.
 """
 
 from __future__ import annotations
@@ -24,22 +24,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: ASCII whitespace tokenization (the repo's pinned Java-\s class)
-_WS = "[ \\t\\n\\x0B\\f\\r]+"
+# the repo's single-sourced ASCII whitespace class (metadata.py origin;
+# chunking/terms/wordfilter import the same — never re-declare it)
+from hickoryspark.ops.metadata import ASCII_WS_RE as _WS
 
 
-def _token_counts(df: DataFrame, id_col: str, text_col: str, side: str):
-    toks = df.select(
-        id_col,
-        F.explode(
-            F.filter(
-                F.split(F.coalesce(F.col(text_col), F.lit("")), _WS),
-                lambda t: t != "",
-            )
-        ).alias("tok"),
-    )
-    return toks.groupBy(id_col, "tok").agg(
-        F.count(F.lit(1)).alias(f"n_{side}")
+def _toks(text_col: str):
+    return F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), _WS),
+        lambda t: t != "",
     )
 
 
@@ -56,12 +49,29 @@ def token_prf(
     rows with BOTH sides empty still appear (tp = n_pred = n_gold =
     0)."""
     ids = df.select(id_col).distinct()
-    p = _token_counts(df, id_col, pred_col, "pred")
-    g = _token_counts(df, id_col, gold_col, "gold")
-    per_tok = p.join(g, [id_col, "tok"], "full_outer").select(
+    # ONE tokenization scan: both sides explode together, each token
+    # tagged with its side; the per-(id, token) pair table is a single
+    # pivoting groupBy — no pred-vs-gold join at all
+    tagged = df.select(
         id_col,
-        F.coalesce(F.col("n_pred"), F.lit(0)).alias("n_pred"),
-        F.coalesce(F.col("n_gold"), F.lit(0)).alias("n_gold"),
+        F.explode(
+            F.concat(
+                F.transform(
+                    _toks(pred_col),
+                    lambda t: F.struct(t.alias("tok"),
+                                       F.lit(1).alias("is_pred")),
+                ),
+                F.transform(
+                    _toks(gold_col),
+                    lambda t: F.struct(t.alias("tok"),
+                                       F.lit(0).alias("is_pred")),
+                ),
+            )
+        ).alias("e"),
+    )
+    per_tok = tagged.groupBy(id_col, F.col("e.tok")).agg(
+        F.sum("e.is_pred").alias("n_pred"),
+        F.sum(1 - F.col("e.is_pred")).alias("n_gold"),
     )
     agg = per_tok.groupBy(id_col).agg(
         F.sum(F.least("n_pred", "n_gold")).alias("tp"),

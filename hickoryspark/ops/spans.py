@@ -294,10 +294,22 @@ def remove_duplicate_spans(
     collects ONE struct, not a million. The rewrite is one mapInPandas
     pass over a LEFT join of docs to merged cut lists, so clean
     documents never enter Python."""
-    raw = spans.where(F.col("length") >= min_len).select(
-        F.col("doc_b").alias(id_col),
-        F.col("pos_b").alias("_s"),
-        (F.col("pos_b") + F.col("length")).alias("_e"),
+    raw = (
+        spans.where(F.col("length") >= min_len)
+        .select(
+            F.col("doc_b").alias(id_col),
+            F.col("pos_b").alias("_s"),
+            (F.col("pos_b") + F.col("length")).alias("_e"),
+        )
+        # pre-collapse IDENTICAL intervals before the per-doc window:
+        # a passage duplicated against a million earlier docs is a
+        # million identical (s, e) rows, and WindowExec partitions
+        # cannot be skew-split by AQE — the map-side partial agg of
+        # this groupBy shrinks the window's input to the distinct
+        # intervals
+        .groupBy(id_col, "_s", "_e")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
     )
     w_prev = (
         Window.partitionBy(id_col)

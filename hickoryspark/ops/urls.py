@@ -216,10 +216,13 @@ def url_dedup_groups(df: DataFrame, url_col: str = "url") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 #: port capture after an authority (userinfo skipped, bracketed IPv6
-#: honored) — group 1 is the digits
+#: honored) — group 1 is the digits. The digits must be followed by
+#: end-of-text or a path/query/fragment start: without that anchor the
+#: optional userinfo group backtracks on port-less URLs and the
+#: PASSWORD digits of 'http://u:123@h/' leak out as a port.
 _PORT_RE = (
     r"(?i)^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?"
-    r"(?:\[[^/?#\]]*\]|[^/?#:@]*):([0-9]+)"
+    r"(?:\[[^/?#\]]*\]|[^/?#:@]*):([0-9]+)(?:\z|[/?#])"
 )
 #: path+query after the authority, fragment excluded — group 1
 _REST_RE = r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]*([^#]*)"
@@ -265,11 +268,15 @@ def duckdb_surt_sql(u: str) -> str:
     """DuckDB expression computing the identical SURT of url
     expression ``u`` (same regexes, same steps)."""
     u = f"regexp_replace({u}, '{_UNSAFE_RE}', '', 'g')"
+    from hickoryspark.ops.hosts import _HOST_RE
+
     # trailing-dot strip uses \z, never $ (the repo's cross-dialect
-    # regex rule), matching hosts.url_host exactly
+    # regex rule); the host pattern is IMPORTED from hosts.py (single
+    # source — no lockstep copy to desynchronize), so the mirror is
+    # equal to hosts.url_host by construction
     hraw = (
         f"regexp_replace(lower(regexp_extract({u}, "
-        f"'{_DUCK_HOST_RE}', 1)), '\\.\\z', '')"
+        f"'{_HOST_RE}', 1)), '\\.\\z', '')"
     )
     host = f"(CASE WHEN {hraw} != '' THEN {hraw} END)"
     port = f"regexp_extract({u}, '{_PORT_RE}', 1)"
@@ -285,9 +292,3 @@ def duckdb_surt_sql(u: str) -> str:
         f"|| (CASE WHEN {rest} = '' THEN '/' ELSE {rest} END) END)"
     )
 
-
-#: hosts._HOST_RE duplicated for the mirror (import cycle avoidance);
-#: keep in lockstep with hickoryspark/ops/hosts.py
-_DUCK_HOST_RE = (
-    r"(?i)^[a-z][a-z0-9+.-]*://(?:[^/?#]*@)?(\[[^/?#\]]*\]|[^/?#:@]*)"
-)
