@@ -311,3 +311,46 @@ def link_density(nodes: DataFrame) -> DataFrame:
             ).otherwise(F.lit(0)).cast("long"),
         )
     )
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_distinct, entropy) — Shannon entropy (nats,
+    ROUND6) of the per-document CHARACTER unigram distribution, the
+    classic cheap randomness/quality signal (low = repetitive
+    template soup, high = base64/binary junk).
+
+    Pinned semantics (oracle-reproducible): characters are the
+    ``split(text, '')`` code points (both engines split identically,
+    probed); the empty string yields one '' element which is FILTERED,
+    so an empty doc has n_chars 0 and entropy NULL. entropy =
+    ROUND(ln(N) - sum(c*ln(c))/N, 6) over the histogram counts c —
+    the float sum's addend count is the distinct-char count (small),
+    so 6-dp rounding is stable across engines (the text_surprisal
+    precedent).
+
+    Scale shape: one explode + two map-side-combinable aggregations
+    ((doc, char) then doc); no windows, no Python.
+    """
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.col("text"), ""),
+                           lambda c: c != "")).alias("ch"),
+    )
+    hist = chars.groupBy("doc_id", "ch").agg(
+        F.count("*").cast("long").alias("c"))
+    per_doc = hist.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("_clnc"),
+    )
+    ent = F.round(
+        F.log(F.col("n_chars").cast("double"))
+        - F.col("_clnc") / F.col("n_chars"), 6)
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias(
+            "n_chars"),
+        F.coalesce(F.col("n_distinct"), F.lit(0)).cast("long").alias(
+            "n_distinct"),
+        F.when(F.col("n_chars") > 0, ent).alias("entropy"),
+    )
