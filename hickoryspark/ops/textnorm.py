@@ -69,3 +69,73 @@ def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", text_col).mapInPandas(
         gen, "doc_id long, norm_text string, changed boolean"
     )
+
+
+# ---- mojibake detection -------------------------------------------------
+#
+# Pinned heuristic signatures (shared verbatim with the DuckDB mirror;
+# Java regex \u2229 RE2 -- explicit BMP char classes, no anchors):
+# - U+FFFD replacement chars (a decoder already gave up);
+# - UTF-8-as-latin1 double decoding: U+00C2/U+00C3 followed by a char
+#   in U+0080-U+00FF (the C2/C3 lead-byte signature), plus the
+#   U+00E2 U+20AC pair ("\u00e2\u20ac" -- E2 80 read as cp1252, the
+#   curly-quote family);
+# - bare C1 controls U+0080-U+009F (cp1252 bytes decoded as latin1).
+MOJIBAKE_PATTERNS = {
+    "n_fffd": "\ufffd",
+    "n_dbl_utf8": "[\u00c2\u00c3][\u0080-\u00ff]|\u00e2\u20ac",
+    "n_c1": "[\u0080-\u009f]",
+}
+
+
+def mojibake_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_chars, n_fffd, n_dbl_utf8, n_c1, mojibake_ppm) --
+    encoding-damage signals per document; ``mojibake_ppm`` is the
+    integer parts-per-million of signature hits over characters
+    (``div`` both engines; 0 when the doc is empty).
+
+    Pure JVM column expressions -- whole-stage codegen, no shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    out = docs.select(
+        "doc_id",
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        *[
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+            .alias(name)
+            for name, pat in MOJIBAKE_PATTERNS.items()
+        ],
+    )
+    return out.withColumn(
+        "mojibake_ppm",
+        F.when(
+            F.col("n_chars") > 0,
+            F.expr("(1000000 * (n_fffd + n_dbl_utf8 + n_c1))"
+                   " div n_chars"),
+        ).otherwise(F.lit(0)).cast("long"),
+    )
+
+
+def duckdb_mojibake_sql(text_expr: str) -> str:
+    """DuckDB SELECT-list fragment mirroring :func:`mojibake_stats`
+    (same patterns, len(regexp_extract_all) counting)."""
+    def q(p: str) -> str:
+        return "'" + p.replace("'", "''") + "'"
+
+    cols = [f"CAST(length({text_expr}) AS BIGINT) AS n_chars"]
+    for name, pat in MOJIBAKE_PATTERNS.items():
+        cols.append(
+            f"CAST(len(regexp_extract_all({text_expr}, {q(pat)})) "
+            f"AS BIGINT) AS {name}"
+        )
+    hits = " + ".join(
+        f"len(regexp_extract_all({text_expr}, {q(p)}))"
+        for p in MOJIBAKE_PATTERNS.values()
+    )
+    cols.append(
+        f"CAST(CASE WHEN length({text_expr}) > 0 THEN "
+        f"(1000000 * ({hits})) // length({text_expr}) ELSE 0 END "
+        f"AS BIGINT) AS mojibake_ppm"
+    )
+    return ", ".join(cols)
