@@ -292,3 +292,79 @@ def duckdb_surt_sql(u: str) -> str:
         f"|| (CASE WHEN {rest} = '' THEN '/' ELSE {rest} END) END)"
     )
 
+
+
+# ---- URL features (crawl prioritization signals) ------------------------
+
+#: path of an absolute url: group 1 after scheme://authority, before
+#: ?/# (shared verbatim with the mirror; find-semantics, anchored)
+_PATH_RE = r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
+#: query (sans '?') up to the fragment
+_QUERY_RE = r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]*[^?#]*\?([^#]*)"
+#: trailing extension of the LAST path segment: a dot then 1-8
+#: alphanumerics at end-of-path (no further dot/slash)
+_EXT_RE = r"\.([A-Za-z0-9]{1,8})\z"
+
+_URL_FEATURES = ["host", "path", "path_depth", "ext", "n_params",
+                 "is_root", "url_len"]
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """``df`` plus crawl-prioritization URL signals: ``host`` (the
+    ops/hosts fold), ``path`` (absolute urls only — no authority →
+    NULL host, '' path), ``path_depth`` (non-empty ``/`` segments),
+    ``ext`` (lowercased 1-8-alphanumeric trailing extension of the
+    last segment, NULL when none), ``n_params`` (non-empty
+    ``&``-separated query params), ``is_root`` (path '' or '/'),
+    ``url_len`` (characters).
+
+    Frontier schedulers rank on exactly these: deep paths and long
+    query strings crawl last, extension filters drop binary assets,
+    roots crawl first. Pure column expressions (shuffle-free);
+    patterns live in the Java-regex ∩ RE2 subset and are shared with
+    :func:`duckdb_url_features_sql`.
+    """
+    from hickoryspark.ops.hosts import url_host
+
+    u = F.regexp_replace(F.col(url_col), _UNSAFE_RE, "")
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    query = F.regexp_extract(u, _QUERY_RE, 1)
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    params = F.filter(F.split(query, "&"), lambda s: s != "")
+    ext = F.lower(F.regexp_extract(path, _EXT_RE, 1))
+    return df.select(
+        "*",
+        url_host(u).alias("host"),
+        path.alias("path"),
+        F.size(segs).cast("long").alias("path_depth"),
+        F.when(ext != "", ext).alias("ext"),
+        F.size(params).cast("long").alias("n_params"),
+        path.isin("", "/").alias("is_root"),
+        F.length(u).cast("long").alias("url_len"),
+    )
+
+
+def duckdb_url_features_sql(u: str) -> str:
+    """DuckDB SELECT-list fragment mirroring :func:`url_features`
+    (same patterns; list_filter counting)."""
+    from hickoryspark.ops.hosts import _HOST_RE
+
+    u = f"regexp_replace({u}, '{_UNSAFE_RE}', '', 'g')"
+    hraw = (
+        f"regexp_replace(lower(regexp_extract({u}, '{_HOST_RE}', 1)), "
+        f"'\\.\\z', '')"
+    )
+    path = f"regexp_extract({u}, '{_PATH_RE}', 1)"
+    query = f"regexp_extract({u}, '{_QUERY_RE}', 1)"
+    ext = f"lower(regexp_extract({path}, '{_EXT_RE}', 1))"
+    return ", ".join([
+        f"(CASE WHEN {hraw} != '' THEN {hraw} END) AS host",
+        f"{path} AS path",
+        f"CAST(len(list_filter(string_split({path}, '/'), s -> s != ''))"
+        f" AS BIGINT) AS path_depth",
+        f"NULLIF({ext}, '') AS ext",
+        f"CAST(len(list_filter(string_split({query}, '&'), s -> s != ''))"
+        f" AS BIGINT) AS n_params",
+        f"({path} IN ('', '/')) AS is_root",
+        f"CAST(length({u}) AS BIGINT) AS url_len",
+    ])

@@ -196,3 +196,55 @@ def test_remove_dot_segments_duckdb_mirror_agrees(spark):
     for u in urls:
         o = con.execute(f"SELECT {sql} FROM (SELECT ? AS url)", [u]).fetchone()[0]
         assert o == got[u], (u, o, got[u])
+
+
+def test_url_features_cases(spark):
+    from hickoryspark.ops.urls import url_features
+
+    cases = [
+        "https://Ex.Test/a/b/c.HTML?x=1&y=2&",
+        "https://ex.test/",
+        "https://ex.test",
+        "http://ex.test/dir/file.tar.gz#frag",
+        "http://ex.test/p?#f",
+        "relative/only",
+        "https://ex.test/a//b/",
+    ]
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r.asDict() for r in url_features(df).collect()}
+    r = got[cases[0]]
+    assert (r["host"], r["path"], r["path_depth"], r["ext"],
+            r["n_params"], r["is_root"]) == (
+        "ex.test", "/a/b/c.HTML", 3, "html", 2, False)
+    assert got[cases[1]]["is_root"] and got[cases[1]]["path_depth"] == 0
+    assert got[cases[2]]["is_root"] and got[cases[2]]["path"] == ""
+    assert got[cases[3]]["ext"] == "gz" and got[cases[3]]["n_params"] == 0
+    assert got[cases[4]]["n_params"] == 0
+    assert got[cases[5]]["host"] is None and got[cases[5]]["path"] == ""
+    assert got[cases[6]]["path_depth"] == 2 and got[cases[6]]["ext"] is None
+
+
+def test_url_features_duckdb_mirror(spark):
+    import duckdb
+
+    from hickoryspark.ops.urls import duckdb_url_features_sql, url_features
+
+    cases = [
+        "https://Ex.Test/a/b/c.HTML?x=1&y=2&",
+        "https://ex.test/",
+        "http://u:p@ex.test:8080/f.jpeg?a;b",
+        "relative/only",
+        "https://ex.test/a//b.verylongext9",
+    ]
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    want = {
+        r["url"]: (r["host"], r["path"], r["path_depth"], r["ext"],
+                   r["n_params"], r["is_root"], r["url_len"])
+        for r in url_features(df).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in cases])
+    sql = f"SELECT url, {duckdb_url_features_sql('url')} FROM t"
+    for row in con.execute(sql).fetchall():
+        assert want[row[0]] == tuple(row[1:]), row
