@@ -555,3 +555,75 @@ def test_hll_registers_single_shuffle(spark):
     df.count()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_paragraph_dedup_no_window_no_nested_loop(spark):
+    """dedup_paragraphs' first-seen table must come from a partial-
+    aggregable min(struct), never a per-key window (a viral paragraph
+    would funnel one window partition), and the key join must stay an
+    equi-join."""
+    from hickoryspark.ops.paragraphs import dedup_paragraphs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(dedup_paragraphs(docs))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "partial_min" in plan
+
+
+def test_forms_interval_joins_are_equi(spark):
+    """extract_forms' ownership joins are url-equi with interval
+    residuals — a BroadcastNestedLoopJoin here is the O(N*M)
+    regression the descendant_rel pattern exists to prevent."""
+    from hickoryspark.ops.forms import extract_forms
+    from hickoryspark.spark.nodes_table import explode_nodes
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50)
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit("<form action='/x'><input name='a'></form>").alias("html"),
+    )
+    plan = _plan(extract_forms(explode_nodes(pages)))
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_lm_relations_no_window_single_generate(spark):
+    """ngram_counts / continuation_counts: one explode each into a
+    map-side-combinable aggregation — no windows, and the aggregate
+    must show a partial phase before the exchange."""
+    from hickoryspark.ops.lm import continuation_counts, ngram_counts
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for df in (ngram_counts(docs, 3), continuation_counts(docs, 3)):
+        plan = _plan(df)
+        assert "Window" not in plan
+        assert plan.count("Generate") == 1
+        assert "partial_count" in plan
+
+
+def test_cdx_records_shuffle_free(spark):
+    """cdx_records is a pure projection over the captures scan."""
+    from hickoryspark.ops.cdx import cdx_records
+    from pyspark.sql import functions as F
+
+    caps = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.concat(F.lit("https://c.ex/"), F.col("doc_id")).alias("url"),
+        F.expr("TIMESTAMP_NTZ '2026-01-01 00:00:00'").alias("ts"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    plan = _plan(cdx_records(caps))
+    assert "Exchange" not in plan
+
+
+def test_url_and_mojibake_features_shuffle_free(spark):
+    """url_features / mojibake_stats are row-local column programs."""
+    from hickoryspark.ops.textnorm import mojibake_stats
+    from hickoryspark.ops.urls import url_features
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    urls = docs.select(
+        F.concat(F.lit("https://u.ex/"), F.col("doc_id")).alias("url"))
+    assert "Exchange" not in _plan(url_features(urls))
+    assert "Exchange" not in _plan(mojibake_stats(docs))
