@@ -49,6 +49,11 @@ Pinned semantics (so the oracle can reproduce them exactly):
 - rule precedence at EQUAL label count (exact ``x.a.b`` vs wildcard
   ``*.a.b`` both matching) is exact-first — the public suffix is the
   same either way, so the choice never changes the output;
+- hosts with EMPTY labels (``a..ck``, leading dots) are outside the
+  contract: such names are invalid DNS and the two execution paths may
+  disagree on them (the expression path's last-k-labels regex rejects
+  empty labels; the joined path's split/slice keeps them) — fold or
+  drop them upstream;
 - regex dialect: patterns live in the Java-regex ∩ RE2 subset
   (``[^.]`` classes, ``\\z`` anchor — never ``$``; CLAUDE.md).
 

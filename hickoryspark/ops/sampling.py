@@ -199,3 +199,44 @@ def temperature_sample(
         .where(_hash_permille(F.col(key), salt) < F.col("_thr"))
         .drop("_ts_stratum", "_thr")
     )
+
+
+def percentile_buckets(df: DataFrame, score_col: str,
+                       n_buckets: int = 10) -> DataFrame:
+    """``df`` plus an exact percentile ``bucket`` (0..n_buckets-1) of
+    ``score_col`` — the curation binning step (quality-score deciles,
+    perplexity buckets for mixture weighting).
+
+    Pinned semantics (oracle-reproducible): all rows sharing a score
+    value get the SAME bucket = ``(n_buckets * rows_below) div N``
+    where ``rows_below`` counts rows with a strictly smaller score and
+    ``N`` the non-NULL-score row count — all-integer arithmetic, so
+    the assignment is bit-identical across engines and partitionings.
+    NULL scores keep their row with bucket NULL and do not count.
+
+    Scale shape: the cumulative ranks live on the DISTINCT-VALUE
+    histogram, not the rows — the single-task window runs over one row
+    per distinct score (this repo's quality signals are exact integers
+    — ppm/milli-points — so that relation is tiny; a genuinely
+    continuous score should be quantized upstream first, documented).
+    The verdict table broadcasts back onto the rows: one histogram
+    shuffle + a map-side join, the full-width rows never reshuffle.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    s = F.col(score_col)
+    hist = df.where(s.isNotNull()).groupBy(score_col).agg(
+        F.count("*").cast("long").alias("_c"))
+    w = (
+        Window.orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.withColumn(
+        "_before", F.coalesce(F.sum("_c").over(w), F.lit(0)).cast("long"))
+    total = hist.agg(F.sum("_c").cast("long").alias("_total"))
+    verdict = cum.crossJoin(F.broadcast(total)).select(
+        score_col,
+        F.expr(f"({int(n_buckets)} * _before) div _total").cast("long")
+        .alias("bucket"),
+    )
+    return df.join(F.broadcast(verdict), score_col, "left")

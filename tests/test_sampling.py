@@ -227,3 +227,28 @@ def test_temperature_sample_alpha_extremes(spark, docs):
     cmin = min(totals.values())
     for r in flat:
         assert r["count"] <= max(cmin * 1.5, cmin + 10)
+
+
+def test_percentile_buckets_exact_integer_rule(spark):
+    from hickoryspark.ops.sampling import percentile_buckets
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([5, 5, 1, 2, 2, 9, None, 3])],
+        "doc_id long, s long")
+    got = {r["doc_id"]: r["bucket"]
+           for r in percentile_buckets(df, "s", 4).collect()}
+    # sorted non-null scores: 1,2,2,3,5,5,9 (N=7); bucket = 4*below//7
+    assert got == {2: 0, 3: 0, 4: 0, 7: 1, 0: 2, 1: 2, 5: 3, 6: None}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        percentile_buckets(df, "s", 0)
+
+
+def test_percentile_buckets_rows_never_reshuffle(spark):
+    from hickoryspark.ops.sampling import percentile_buckets
+
+    df = spark.range(100).selectExpr("id AS doc_id", "id % 7 AS s")
+    plan = percentile_buckets(df, "s", 10)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the verdict table broadcasts; the row side must not exchange
+    assert "BroadcastHashJoin" in plan
