@@ -2706,10 +2706,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = load_documents(spark, sf)
         hist = docs.where(F.col("doc_id") % 2 == 0).select(
             F.md5("text").alias("key"))
-        bloom = bloom_build(hist, m_bits=8192, k=3)
+        # m_bits scales with the historical key count (16 bits/key,
+        # word-aligned) so the fill factor — hence the FP rate the
+        # mirror must reproduce bit-exactly — is the same ~17% at
+        # every sf; a pinned m saturates at sf0.1 and the gate
+        # degenerates to a handful of surviving rows
+        n_hist = hist.distinct().count()
+        m_bits = 32 * ((16 * n_hist + 31) // 32)
+        bloom = bloom_build(hist, m_bits=m_bits, k=3)
         batch = docs.where(F.col("doc_id") % 2 == 1).select(
             "doc_id", F.md5("text").alias("key"))
-        probed = bloom_probe(batch, bloom, m_bits=8192, k=3)
+        probed = bloom_probe(batch, bloom, m_bits=m_bits, k=3)
         return probed.where(F.col("maybe_present") == 0).select(
             "doc_id", "key")
 
@@ -5475,9 +5482,13 @@ def oracle_sql() -> dict[str, str]:
     oracles["dedup_incremental"] = """
         WITH hk AS (
           SELECT md5(text) AS key FROM documents WHERE doc_id % 2 = 0
+        ), mb AS (
+          SELECT 32 * ((16 * COUNT(DISTINCT key) + 31) // 32) AS m
+          FROM hk
         ), pos AS (
           SELECT ('0x' || substr(md5('b' || i || ':' || key),
-                                 1, 12))::BIGINT % 8192 AS pos
+                                 1, 12))::BIGINT % (SELECT m FROM mb)
+                 AS pos
           FROM hk, range(3) t(i)
         ), bloom AS (
           SELECT pos // 32 AS word,
@@ -5489,7 +5500,8 @@ def oracle_sql() -> dict[str, str]:
         ), ppos AS (
           SELECT doc_id, key,
                  ('0x' || substr(md5('b' || i || ':' || key),
-                                 1, 12))::BIGINT % 8192 AS pos
+                                 1, 12))::BIGINT % (SELECT m FROM mb)
+                 AS pos
           FROM bk, range(3) t(i)
         ), hits AS (
           SELECT doc_id, key,

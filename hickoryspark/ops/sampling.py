@@ -227,14 +227,23 @@ def percentile_buckets(df: DataFrame, score_col: str,
     s = F.col(score_col)
     hist = df.where(s.isNotNull()).groupBy(score_col).agg(
         F.count("*").cast("long").alias("_c"))
-    w = (
+    # _before and _total come out of ONE window pass over the
+    # histogram (same sort, two frames) — a separate agg for the
+    # total would re-scan the full input a second time
+    w_before = (
         Window.orderBy(score_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum = hist.withColumn(
-        "_before", F.coalesce(F.sum("_c").over(w), F.lit(0)).cast("long"))
-    total = hist.agg(F.sum("_c").cast("long").alias("_total"))
-    verdict = cum.crossJoin(F.broadcast(total)).select(
+    w_all = (
+        Window.orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    verdict = hist.select(
+        score_col,
+        F.coalesce(F.sum("_c").over(w_before), F.lit(0)).cast("long")
+        .alias("_before"),
+        F.sum("_c").over(w_all).cast("long").alias("_total"),
+    ).select(
         score_col,
         F.expr(f"({int(n_buckets)} * _before) div _total").cast("long")
         .alias("bucket"),

@@ -304,12 +304,9 @@ def remove_duplicate_spans(
         # pre-collapse IDENTICAL intervals before the per-doc window:
         # a passage duplicated against a million earlier docs is a
         # million identical (s, e) rows, and WindowExec partitions
-        # cannot be skew-split by AQE — the map-side partial agg of
-        # this groupBy shrinks the window's input to the distinct
-        # intervals
-        .groupBy(id_col, "_s", "_e")
-        .agg(F.lit(1).alias("_one"))
-        .drop("_one")
+        # cannot be skew-split by AQE — distinct()'s map-side partial
+        # agg shrinks the window's input to the distinct intervals
+        .distinct()
     )
     w_prev = (
         Window.partitionBy(id_col)

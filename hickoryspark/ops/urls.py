@@ -322,7 +322,9 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
     query strings crawl last, extension filters drop binary assets,
     roots crawl first. Pure column expressions (shuffle-free);
     patterns live in the Java-regex ∩ RE2 subset and are shared with
-    :func:`duckdb_url_features_sql`.
+    :func:`duckdb_url_features_sql`. Feature columns REPLACE any
+    same-named input column (a frontier frame that already carries a
+    ``host`` from ops/hosts must not end up with two).
     """
     from hickoryspark.ops.hosts import url_host
 
@@ -332,16 +334,15 @@ def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
     segs = F.filter(F.split(path, "/"), lambda s: s != "")
     params = F.filter(F.split(query, "&"), lambda s: s != "")
     ext = F.lower(F.regexp_extract(path, _EXT_RE, 1))
-    return df.select(
-        "*",
-        url_host(u).alias("host"),
-        path.alias("path"),
-        F.size(segs).cast("long").alias("path_depth"),
-        F.when(ext != "", ext).alias("ext"),
-        F.size(params).cast("long").alias("n_params"),
-        path.isin("", "/").alias("is_root"),
-        F.length(u).cast("long").alias("url_len"),
-    )
+    return df.withColumns({
+        "host": url_host(u),
+        "path": path,
+        "path_depth": F.size(segs).cast("long"),
+        "ext": F.when(ext != "", ext),
+        "n_params": F.size(params).cast("long"),
+        "is_root": path.isin("", "/"),
+        "url_len": F.length(u).cast("long"),
+    })
 
 
 def duckdb_url_features_sql(u: str) -> str:

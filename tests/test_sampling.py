@@ -250,5 +250,10 @@ def test_percentile_buckets_rows_never_reshuffle(spark):
     df = spark.range(100).selectExpr("id AS doc_id", "id % 7 AS s")
     plan = percentile_buckets(df, "s", 10)._jdf.queryExecution() \
         .executedPlan().toString()
-    # the verdict table broadcasts; the row side must not exchange
+    # the verdict table broadcasts; the row side must not exchange —
+    # the ONLY hash exchange allowed is the histogram groupBy (the
+    # window/total run single-partition on the distinct-value
+    # relation, the rows meet the verdict via broadcast)
     assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -248,3 +248,20 @@ def test_url_features_duckdb_mirror(spark):
     sql = f"SELECT url, {duckdb_url_features_sql('url')} FROM t"
     for row in con.execute(sql).fetchall():
         assert want[row[0]] == tuple(row[1:]), row
+
+
+def test_url_features_overwrites_existing_columns(spark):
+    # a frontier frame usually already carries a host (ops/hosts) —
+    # the feature columns must REPLACE same-named inputs, never
+    # produce a duplicate name that breaks every later F.col('host')
+    from hickoryspark.ops.urls import url_features
+
+    df = spark.createDataFrame(
+        [("https://Ex.Test/a/b", "stale-host", 99)],
+        "url string, host string, path_depth long")
+    out = url_features(df)
+    assert out.columns.count("host") == 1
+    assert out.columns.count("path_depth") == 1
+    row = out.select("host", "path_depth").collect()[0]
+    assert row["host"] == "ex.test"
+    assert row["path_depth"] == 2
