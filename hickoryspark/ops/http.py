@@ -114,3 +114,60 @@ def charset_param(raw: Column) -> Column:
     )
     cs = F.lower(F.trim(cs))
     return F.when(cs != "", cs)
+
+
+#: directive names that may legitimately contain a ':' in their value
+#: (or start a value) — a prefix matching one of these is NEVER an
+#: agent scope (the unavailable_after case)
+X_ROBOTS_DIRECTIVES = (
+    "all", "noindex", "nofollow", "none", "noarchive", "nosnippet",
+    "notranslate", "noimageindex", "indexifembedded",
+    "unavailable_after", "max-snippet", "max-image-preview",
+    "max-video-preview",
+)
+
+
+def x_robots_flags(df: DataFrame, raw_col: str = "raw",
+                   agent: str | None = None,
+                   id_cols: tuple = ("url",)) -> DataFrame:
+    """One row per valid response: (*id_cols, status, noindex,
+    nofollow) from its ``X-Robots-Tag`` headers — the HTTP-layer
+    complement of ops/metadata.meta_robots_flags (the robots meta
+    rules apply to both carriers; an index pipeline must honor the
+    header or it ships opted-out pages the HTML never sees, e.g.
+    PDFs).
+
+    Pinned semantics: every X-Robots-Tag header of the response
+    contributes; a value whose prefix before the first ``:`` is not a
+    known directive name is agent-scoped (Google's optional
+    ``<user-agent>:`` form) and applies only when it equals ``agent``
+    case-insensitively (``agent=None`` ⇒ scoped rules never apply);
+    ``unavailable_after: <date>`` is a directive, never an agent.
+    The directive list then follows the meta rule verbatim
+    (comma-split, ASCII-trim, case-insensitive, ``none`` ⇒ both,
+    absent ⇒ indexable).
+
+    Scale shape: parse_headers_df's scan + ONE groupBy back to
+    response grain (the collect_list holds at most the response's own
+    X-Robots-Tag values — head-bounded, not corpus-bounded)."""
+    from hickoryspark.ops.metadata import meta_robots_flags
+
+    headers = parse_headers_df(df, raw_col=raw_col, id_cols=id_cols)
+    value = F.col("value")
+    pre = F.lower(F.trim(F.substring_index(value, ":", 1)))
+    has_colon = F.instr(value, ":") > 0
+    scoped = has_colon & ~pre.isin(*X_ROBOTS_DIRECTIVES)
+    applies = ~scoped if agent is None else (
+        ~scoped | (pre == agent.lower())
+    )
+    directives = F.when(
+        scoped,
+        F.expr(f"substring({'value'}, instr(value, ':') + 1)"),
+    ).otherwise(value)
+    contrib = F.when(
+        (F.col("name") == "x-robots-tag") & applies, directives
+    )
+    agg = headers.groupBy(*id_cols, "status").agg(
+        F.concat_ws(",", F.collect_list(contrib)).alias("_xr")
+    )
+    return meta_robots_flags(agg, col="_xr").drop("_xr")

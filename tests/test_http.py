@@ -127,3 +127,41 @@ def test_plan_is_narrow_map(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_x_robots_flags_unscoped_and_none(spark):
+    from hickoryspark.ops.http import x_robots_flags
+
+    df = spark.createDataFrame(
+        [("u1", "HTTP/1.1 200 OK\r\nX-Robots-Tag: noindex, nofollow\r\n\r\n"),
+         ("u2", "HTTP/1.1 200 OK\r\nX-Robots-Tag: noarchive\r\n"
+                "X-Robots-Tag:  NONE \r\n\r\n"),
+         ("u3", "HTTP/1.1 200 OK\r\nServer: x\r\n\r\n"),
+         ("u4", "HTTP/1.1 204\r\n\r\n")],
+        "url string, raw string")
+    got = {r["url"]: (r["noindex"], r["nofollow"], r["status"])
+           for r in x_robots_flags(df).collect()}
+    assert got == {"u1": (True, True, 200), "u2": (True, True, 200),
+                   "u3": (False, False, 200), "u4": (False, False, 204)}
+
+
+def test_x_robots_flags_agent_scoping(spark):
+    from hickoryspark.ops.http import x_robots_flags
+
+    df = spark.createDataFrame(
+        [("u1", "HTTP/1.1 200 OK\r\nX-Robots-Tag: googlebot: noindex\r\n\r\n"),
+         ("u2", "HTTP/1.1 200 OK\r\nX-Robots-Tag: TestBot: nofollow\r\n\r\n"),
+         # unavailable_after's colon is a directive, never an agent —
+         # the trailing noindex must survive
+         ("u3", "HTTP/1.1 200 OK\r\nX-Robots-Tag: "
+                "unavailable_after: 2026-06-25, noindex\r\n\r\n")],
+        "url string, raw string")
+    got = {r["url"]: (r["noindex"], r["nofollow"])
+           for r in x_robots_flags(df, agent="testbot").collect()}
+    assert got == {"u1": (False, False), "u2": (False, True),
+                   "u3": (True, False)}
+    # agent=None: scoped rules never apply
+    got_none = {r["url"]: (r["noindex"], r["nofollow"])
+                for r in x_robots_flags(df).collect()}
+    assert got_none["u2"] == (False, False)
+    assert got_none["u3"] == (True, False)
