@@ -261,3 +261,47 @@ def aggregate_anchors(links: DataFrame,
             F.array_sort(F.collect_list("contrib")), "|"
         ).alias("anchors"),
     )
+
+
+def link_domains(links: DataFrame, psl_rules=None) -> DataFrame:
+    """Per-page outlink domain profile over ``extract_links`` edge
+    rows: ``(url, n_links, n_internal, n_external, n_domains)`` — the
+    boilerpipe-adjacent structure signal (a page whose links all leave
+    its own registered domain is a link farm / aggregator; one whose
+    links never leave is navigation-heavy).
+
+    Pinned semantics: ``n_internal`` counts edges whose RESOLVED
+    target's registered domain (ops/psl.py plan-time rules; pass
+    ``psl_rules`` to override DEFAULT_RULES) equals the page's own;
+    edges with no resolvable host or no registered domain (relative
+    targets never occur post-resolve; opaque schemes do) count as
+    ``n_external``; ``n_domains`` = distinct non-NULL target domains.
+
+    Scale shape: pure column exprs on the edge rows + ONE url groupBy
+    (map-side combinable; no window, no join — the page's own domain
+    is derived per row from the url column already on the edge)."""
+    from hickoryspark.ops.hosts import url_host
+    from hickoryspark.ops.psl import registered_domain_col
+
+    page_dom = registered_domain_col(url_host(F.col("url")), psl_rules)
+    tgt_dom = registered_domain_col(
+        url_host(F.col("resolved")), psl_rules)
+    internal = tgt_dom.isNotNull() & page_dom.isNotNull() & (
+        tgt_dom == page_dom
+    )
+    return (
+        links.select(
+            "url",
+            internal.alias("_int"),
+            tgt_dom.alias("_dom"),
+        )
+        .groupBy("url")
+        .agg(
+            F.count("*").cast("long").alias("n_links"),
+            F.sum(F.col("_int").cast("long")).cast("long")
+            .alias("n_internal"),
+            F.sum((~F.col("_int")).cast("long")).cast("long")
+            .alias("n_external"),
+            F.count_distinct("_dom").cast("long").alias("n_domains"),
+        )
+    )

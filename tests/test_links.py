@@ -259,3 +259,42 @@ def test_aggregate_anchors_cap_keeps_lexicographic_head(spark):
     assert capped["n_links"] == 10 and capped["n_pages"] == 10
     exact = aggregate_anchors(edges, anchor_cap=None).collect()[0]
     assert exact["anchors"] == "|".join(f"t{i:02d}" for i in range(10))
+
+
+def test_link_domains_profile(spark):
+    from hickoryspark.ops.links import link_domains
+
+    edges = spark.createDataFrame(
+        [("https://sub.a.ex/p", "https://sub2.a.ex/x", False),
+         ("https://sub.a.ex/p", "https://a.ex/y", False),
+         ("https://sub.a.ex/p", "https://b.ex/z", False),
+         ("https://sub.a.ex/p", "https://c.co.uk/w", False),
+         ("https://sub.a.ex/p", "mailto:x@y", False),
+         ("https://nohost/p", "https://a.ex/q", False)],
+        "url string, resolved string, rel_nofollow boolean",
+    )
+    rows = {r["url"]: r for r in link_domains(
+        edges, psl_rules=["ex", "co.uk"]).collect()}
+    p = rows["https://sub.a.ex/p"]
+    # sub2.a.ex and apex a.ex both fold to registered domain a.ex ->
+    # internal (2 edges); b.ex, c.co.uk external; mailto has no host
+    # -> external with NULL domain
+    assert (p["n_links"], p["n_internal"], p["n_external"]) == (5, 2, 3)
+    assert p["n_domains"] == 3  # a.ex, b.ex, c.co.uk
+    n = rows["https://nohost/p"]
+    # page url with unresolvable registered domain: everything external
+    assert (n["n_internal"], n["n_external"]) == (0, 1)
+
+
+def test_link_domains_one_shuffle_no_window(spark):
+    from hickoryspark.ops.links import link_domains
+
+    edges = spark.createDataFrame(
+        [("https://a.ex/p", "https://b.ex/x", False)],
+        "url string, resolved string, rel_nofollow boolean",
+    )
+    df = link_domains(edges, psl_rules=["ex"])
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Join" not in plan
