@@ -86,3 +86,74 @@ def resolve_redirects(
         F.when(F.col("_s").isNull(), 1).otherwise(0).cast("long")
         .alias("resolved"),
     )
+
+
+def pagination_chains(
+    nodes: DataFrame,
+    rounds: int = 5,
+    universe: DataFrame | None = None,
+) -> DataFrame:
+    """Paginated-sequence resolution over a node table:
+    ``(url, next_url, seq_last, hops_to_last, resolved)``.
+
+    A multi-page article declares its order with ``rel="next"`` links
+    (``<link>`` or ``<a>``, the ASCII-ws token rule shared with
+    ops/license); stitching the pages back into one document needs
+    every page keyed by its SEQUENCE — here the chain's LAST page
+    (the unique terminal of the functional next-graph). The chain
+    walk is :func:`resolve_redirects` (pointer doubling, cycle-safe):
+    ``seq_last`` = the terminal url, ``hops_to_last`` = exact distance
+    to it, ``resolved`` = 0 for cycles/over-budget chains (same
+    contract as redirect resolution).
+
+    Pinned semantics: the FIRST rel-next element in document order
+    wins (one outgoing edge per page — later decoys ignored);
+    ``next_url`` is the resolved href (NULL for a page that declares
+    none); ``universe`` (url one-column frame) fixes the output node
+    set — default src ∪ dst of the next-graph, which drops standalone
+    pages.
+
+    Scale shape: one url-local min-struct groupBy for the edge
+    extraction, then resolve_redirects' log2(2**rounds) equi-join
+    rounds (per-round localCheckpoint)."""
+    from hickoryspark.nodes import TYPE_ELEMENT
+    from hickoryspark.ops.links import resolve_href
+    from hickoryspark.ops.metadata import ASCII_WS_RE
+
+    rel_tokens = F.split(
+        F.lower(F.coalesce(F.col("attrs")["rel"], F.lit(""))),
+        ASCII_WS_RE,
+    )
+    cand = nodes.where(
+        (F.col("type") == TYPE_ELEMENT)
+        & F.col("tag").isin("a", "link")
+        & F.col("attrs")["href"].isNotNull()
+        & F.array_contains(rel_tokens, "next")
+    ).select(
+        "url",
+        F.struct(F.col("pre_ord"), F.col("attrs")["href"].alias("href"))
+        .alias("_first"),
+    )
+    nxt = cand.groupBy("url").agg(
+        F.min("_first")["href"].alias("_href")
+    ).select(
+        "url",
+        resolve_href(F.col("url"), F.col("_href")).alias("next_url"),
+    )
+    if universe is not None:
+        universe = universe.select(
+            F.col(universe.columns[0]).alias("id"))
+    walked = resolve_redirects(
+        nxt, rounds=rounds, nodes=universe,
+        src="url", dst="next_url",
+    )
+    return (
+        walked.join(nxt, walked["node"] == nxt["url"], "left")
+        .select(
+            F.col("node").alias("url"),
+            "next_url",
+            F.col("final_id").alias("seq_last"),
+            F.col("hops").alias("hops_to_last"),
+            "resolved",
+        )
+    )

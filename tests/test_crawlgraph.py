@@ -72,3 +72,55 @@ def test_multi_edge_min_dst_wins_and_left_universe(spark):
     got2 = {r["node"]: (r["final_id"], r["resolved"])
             for r in resolve_redirects(df, rounds=2, nodes=nodes).collect()}
     assert got2[1] == (7, 1) and got2[5] == (7, 1)
+
+
+def _pg_nodes(spark, pages):
+    from hickoryspark.spark.nodes_table import explode_nodes
+
+    return explode_nodes(spark.createDataFrame(
+        [(u, bytearray(h.encode())) for u, h in pages],
+        "url string, html binary"))
+
+
+def test_pagination_chain_and_first_next_wins(spark):
+    from hickoryspark.ops.crawlgraph import pagination_chains
+
+    pages = [
+        # anchor form, case+multi-token rel, later decoy ignored
+        ("https://s.ex/a/1",
+         '<a rel="NEXT other" href="/a/2">n</a>'
+         '<link rel="next" href="/decoy">'),
+        ("https://s.ex/a/2", '<link rel="next" href="/a/3">'),
+        ("https://s.ex/a/3", "<p>last</p>"),
+    ]
+    got = {r["url"]: r for r in pagination_chains(
+        _pg_nodes(spark, pages)).collect()}
+    assert got["https://s.ex/a/1"]["next_url"] == "https://s.ex/a/2"
+    for u, hops in [("https://s.ex/a/1", 2), ("https://s.ex/a/2", 1),
+                    ("https://s.ex/a/3", 0)]:
+        assert got[u]["seq_last"] == "https://s.ex/a/3"
+        assert got[u]["hops_to_last"] == hops
+        assert got[u]["resolved"] == 1
+
+
+def test_pagination_cycle_unresolved_and_universe(spark):
+    from hickoryspark.ops.crawlgraph import pagination_chains
+
+    pages = [
+        ("https://s.ex/c/1", '<link rel="next" href="/c/2">'),
+        ("https://s.ex/c/2", '<link rel="next" href="/c/1">'),
+        ("https://s.ex/solo", "<p>standalone</p>"),
+    ]
+    uni = _pg_nodes(spark, pages).sparkSession.createDataFrame(
+        [(u,) for u, _ in pages], "url string")
+    got = {r["url"]: r for r in pagination_chains(
+        _pg_nodes(spark, pages), rounds=3, universe=uni).collect()}
+    # 2-cycle, 2**3 = 8 hops budget: back at self, unresolved
+    assert got["https://s.ex/c/1"]["resolved"] == 0
+    assert got["https://s.ex/c/1"]["hops_to_last"] == 8
+    assert got["https://s.ex/c/1"]["seq_last"] == "https://s.ex/c/1"
+    # standalone page kept by the explicit universe: terminal of itself
+    s = got["https://s.ex/solo"]
+    assert (s["next_url"], s["hops_to_last"], s["resolved"]) == (
+        None, 0, 1)
+    assert s["seq_last"] == "https://s.ex/solo"
