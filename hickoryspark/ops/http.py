@@ -155,8 +155,16 @@ def x_robots_flags(df: DataFrame, raw_col: str = "raw",
     headers = parse_headers_df(df, raw_col=raw_col, id_cols=id_cols)
     value = F.col("value")
     pre = F.lower(F.trim(F.substring_index(value, ":", 1)))
-    has_colon = F.instr(value, ":") > 0
-    scoped = has_colon & ~pre.isin(*X_ROBOTS_DIRECTIVES)
+    colon_pos = F.instr(value, ":")
+    comma_pos = F.instr(value, ",")
+    # an agent scope prefixes the WHOLE value — a ',' before the first
+    # ':' means the colon belongs to a later directive's argument
+    # ('noindex, unavailable_after: <date>'), never a scope
+    scoped = (
+        (colon_pos > 0)
+        & ((comma_pos == 0) | (colon_pos < comma_pos))
+        & ~pre.isin(*X_ROBOTS_DIRECTIVES)
+    )
     applies = ~scoped if agent is None else (
         ~scoped | (pre == agent.lower())
     )

@@ -51,8 +51,12 @@ def wet_records(extracted: DataFrame, url_col: str = "url",
     url = F.col(url_col)
     text = F.col(text_col)
     wet_date = F.date_format(F.col(ts_col), _DATE_FMT)
+    # F.concat, not concat_ws: a NULL capture date must propagate to a
+    # NULL record_id/record exactly as the mirror's '||' does (the
+    # WARC reader emits NaT dates on malformed archives)
     record_id = F.concat(
-        F.lit("urn:md5:"), F.md5(F.concat_ws("\n", url, wet_date)))
+        F.lit("urn:md5:"),
+        F.md5(F.concat(url, F.lit("\n"), wet_date)))
     n_bytes = F.octet_length(text).cast("long")
     record = F.concat(
         F.lit("WARC/1.0\r\n"

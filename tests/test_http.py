@@ -165,3 +165,17 @@ def test_x_robots_flags_agent_scoping(spark):
                 for r in x_robots_flags(df).collect()}
     assert got_none["u2"] == (False, False)
     assert got_none["u3"] == (True, False)
+
+
+def test_x_robots_colon_after_comma_never_scopes(spark):
+    # 'noindex, unavailable_after: <date>' — the colon belongs to the
+    # second directive's argument; treating the whole value as
+    # agent-scoped would silently ship an opted-out page
+    from hickoryspark.ops.http import x_robots_flags
+
+    df = spark.createDataFrame(
+        [("u1", "HTTP/1.1 200 OK\r\nX-Robots-Tag: noindex, "
+                "unavailable_after: 25 Jun 2026 15:00:00 PST\r\n\r\n")],
+        "url string, raw string")
+    got = x_robots_flags(df).collect()[0]
+    assert (got["noindex"], got["nofollow"]) == (True, False)

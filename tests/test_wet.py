@@ -71,3 +71,18 @@ def test_wet_duckdb_mirror(spark):
             "main_text") + " FROM t")
     for row in con.execute(sql).fetchall():
         assert got[row[0]] == tuple(row[1:]), row
+
+
+def test_wet_null_date_propagates(spark):
+    # NULL ts -> NULL wet_date/record_id/record (matching the
+    # mirror's NULL-propagating ||); content_length still computed
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("https://ex.test/a/1", "txt")], "url string, main_text string"
+    ).withColumn("ts", F.lit(None).cast("timestamp_ntz"))
+    r = wet_records(df).collect()[0]
+    assert r["wet_date"] is None
+    assert r["record_id"] is None
+    assert r["record"] is None
+    assert r["content_length"] == 3
