@@ -1,5 +1,5 @@
 """Probabilistic sketches with EXACT cross-engine arithmetic — the
-two sketches a crawl/corpus pipeline leans on:
+three sketches a crawl/corpus pipeline leans on:
 
 - **Bloom filter** (Bloom 1970): "have we crawled this URL / kept
   this doc hash before?" membership against a prior crawl, without
@@ -15,6 +15,13 @@ two sketches a crawl/corpus pipeline leans on:
   per bucket across shards/streams) — the part that must be exact;
   the final cardinality estimate is one tiny float formula over m
   rows (`hll_estimate`, driver-side or SQL, not hash-gated).
+- **Count-Min sketch** (Cormode & Muthukrishnan 2005): "roughly how
+  often does this token / URL / host appear?" frequency estimates
+  without materializing the full frequency table. State = (row, col,
+  cnt) rows, d independent md5-salted hash rows of width w; counts
+  are BIGINT sums, so shards merge by summing matching cells. Point
+  query = min over the d probed cells (never underestimates; the
+  overestimate bound is the standard n/w per row).
 
 Both sketches keep every step in BIGINT / bit arithmetic (md5-hex
 prefix -> integer, shift, mask, bit_or, max): no floats anywhere in
@@ -155,6 +162,77 @@ def hll_registers(
         .groupBy("bucket")
         .agg(F.max("register").alias("register"))
     )
+
+
+def cms_build(
+    items: DataFrame,
+    key_col: str = "key",
+    weight_col: str | None = None,
+    w: int = 1024,
+    d: int = 4,
+) -> DataFrame:
+    """(row, col, cnt) Count-Min sketch state over key_col: d hash
+    rows of width w, cnt = BIGINT sum of weights (1 per occurrence
+    when weight_col is None). Merge two sketches (same w/d) by
+    unioning and re-summing per (row, col). NULL keys are dropped —
+    they carry no countable identity and md5(NULL)=NULL would
+    otherwise seed (row, NULL) cells.
+
+    Scale: one explode(d) + one groupBy; map-side combine collapses
+    each partition to at most w*d cells, so the shuffle is bounded by
+    the sketch size, not the input."""
+    key = F.col(key_col).cast("string")
+    weight = (
+        F.col(weight_col).cast("long") if weight_col
+        else F.lit(1).cast("long")
+    )
+    cells = items.where(key.isNotNull()).select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).cast("long").alias("row"),
+                    _md5_pos(key, f"c{i}", w).alias("col"),
+                )
+                for i in range(d)
+            ])
+        ).alias("rc"),
+        weight.alias("_w"),
+    )
+    return (
+        cells.select(F.col("rc.row").alias("row"),
+                     F.col("rc.col").alias("col"), "_w")
+        .groupBy("row", "col")
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_query(
+    probes: DataFrame,
+    cms: DataFrame,
+    key_col: str = "key",
+    w: int = 1024,
+    d: int = 4,
+) -> DataFrame:
+    """probes + ``cms_count`` (BIGINT): min over the d probed cells,
+    absent cells counting 0. EVERY probe row survives — a NULL key
+    probes to 0, never dropped. Shape mirrors bloom_probe: the d
+    positions are d COLUMNS, each left-joined once against the tiny
+    cell table (AQE broadcasts it), so the probes lineage is scanned
+    exactly once and no groupBy on the probe key is needed
+    (duplicates and NULLs are naturally preserved)."""
+    key = F.col(key_col).cast("string")
+    out = probes
+    ests = []
+    for i in range(d):
+        out = out.withColumn(f"_c{i}", _md5_pos(key, f"c{i}", w))
+        s = cms.where(F.col("row") == i).select(
+            F.col("col").alias(f"_k{i}"), F.col("cnt").alias(f"_n{i}")
+        )
+        out = out.join(s, F.col(f"_c{i}") == F.col(f"_k{i}"), "left")
+        ests.append(F.coalesce(F.col(f"_n{i}"), F.lit(0).cast("long")))
+    est = ests[0] if d == 1 else F.least(*ests)
+    drop = [c for i in range(d) for c in (f"_c{i}", f"_k{i}", f"_n{i}")]
+    return out.withColumn("cms_count", est.cast("long")).drop(*drop)
 
 
 def hll_estimate(registers: list[tuple[int, int]], p: int = 6) -> float:

@@ -154,3 +154,68 @@ def test_hll_null_keys_dropped_estimate_works(spark):
                for r in regs)
     est = hll_estimate([(r["bucket"], r["register"]) for r in regs], p=6)
     assert est > 0
+
+
+def test_cms_exact_cells_and_never_underestimates(spark):
+    from hickoryspark.ops.sketch import cms_build, cms_query
+
+    # 40 keys, key i repeated i+1 times; tiny width forces collisions
+    items = spark.createDataFrame(
+        [(f"k{i}",) for i in range(40) for _ in range(i + 1)],
+        "key string")
+    cms = cms_build(items, w=16, d=4)
+    # cell table matches the python-computed reference exactly
+    want = {}
+    for i in range(40):
+        for r in range(4):
+            c = _pos(f"k{i}", f"c{r}", 16)
+            want[(r, c)] = want.get((r, c), 0) + (i + 1)
+    got = {(r["row"], r["col"]): r["cnt"] for r in cms.collect()}
+    assert got == want
+    probes = spark.createDataFrame(
+        [(f"k{i}",) for i in range(60)], "key string")
+    est = {r["key"]: r["cms_count"]
+           for r in cms_query(probes, cms, w=16, d=4).collect()}
+    for i in range(40):                       # never underestimates
+        assert est[f"k{i}"] >= i + 1
+    # python reference of the min-over-rows estimate, bit-exact
+    for i in range(60):
+        ref = min(want.get((r, _pos(f"k{i}", f"c{r}", 16)), 0)
+                  for r in range(4))
+        assert est[f"k{i}"] == ref
+
+
+def test_cms_merge_is_cell_sum(spark):
+    import pyspark.sql.functions as F
+
+    from hickoryspark.ops.sketch import cms_build, cms_query
+
+    a = spark.createDataFrame([("x",), ("x",), ("y",)], "key string")
+    b = spark.createDataFrame([("x",), ("z",)], "key string")
+    merged = (
+        cms_build(a, w=32, d=3).unionByName(cms_build(b, w=32, d=3))
+        .groupBy("row", "col").agg(F.sum("cnt").alias("cnt")))
+    whole = cms_build(a.unionByName(b), w=32, d=3)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, whole.collect()))
+    probes = spark.createDataFrame([("x",), ("z",), ("q",)], "key string")
+    est = {r["key"]: r["cms_count"]
+           for r in cms_query(probes, merged, w=32, d=3).collect()}
+    assert est["x"] >= 3 and est["z"] >= 1
+
+
+def test_cms_null_and_weighted(spark):
+    import pyspark.sql.functions as F
+
+    from hickoryspark.ops.sketch import cms_build, cms_query
+
+    items = spark.createDataFrame(
+        [("x", 5), (None, 99), ("y", 2)], "key string, n int")
+    cms = cms_build(items, weight_col="n", w=64, d=4)
+    # NULL key contributed no cells
+    assert cms.agg(F.sum("cnt")).collect()[0][0] == 7 * 4
+    probes = spark.createDataFrame([("x",), (None,)], "key string")
+    got = {r["key"]: r["cms_count"]
+           for r in cms_query(probes, cms, w=64, d=4).collect()}
+    assert got["x"] >= 5
+    assert got[None] == 0          # NULL probe survives, counts 0
