@@ -637,6 +637,11 @@ def _url_surt_oracle_sql() -> str:
     )
 
 
+#: fixed BM25 gate queries over the corpus vocabulary
+_BM25_QUERIES = [(0, "hash join"), (1, "window sort order"),
+                 (2, "spark"), (3, "merge batch nosuchterm")]
+
+
 def _wat_oracle_sql() -> str:
     """Closed-form WAT records over the identically-built 5-variant
     synthetic pages (see q_wat_records): per-variant literal payload
@@ -3225,6 +3230,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                    "TIMESTAMP_NTZ '2026-01-01 00:00:00')").alias("ts"))
         return wat_records(explode_nodes(pages), caps)
 
+    def q_search_bm25(spark, sf):
+        # integer-BM25 retrieval (ops/retrieval.py): 4 fixed queries
+        # over the documents corpus vocabulary — multi-term, single
+        # hot term, and one with an absent term mixed in (it must
+        # contribute nothing, not NULL-poison the sum). Oracle = the
+        # full relational mirror with identical integer arithmetic.
+        from hickoryspark.ops.retrieval import bm25_scores
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "text")
+        qs = spark.createDataFrame(_BM25_QUERIES,
+                                   "query_id long, query string")
+        return bm25_scores(docs, qs, top_k=10)
+
     def q_text_scripts(spark, sf):
         # Unicode script histograms (ops/scripts.py): document text
         # plus per-variant injections — Cyrillic, CJK+kana+Hangul,
@@ -3738,6 +3757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         wat_records=q_wat_records,
         url_templates=q_url_templates,
         text_scripts=q_text_scripts,
+        search_bm25=q_search_bm25,
         code_blocks=q_code_blocks,
         license_detect=q_license_detect,
         http_robots_flags=q_http_robots_flags,
@@ -6372,6 +6392,12 @@ def oracle_sql() -> dict[str, str]:
         FROM base"""
     oracles["wat_records"] = _wat_oracle_sql()
     oracles["url_templates"] = _url_templates_oracle_sql()
+    from hickoryspark.ops.retrieval import duckdb_bm25_sql
+
+    oracles["search_bm25"] = duckdb_bm25_sql(
+        "documents",
+        ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES),
+        top_k=10)
     from hickoryspark.ops.scripts import duckdb_script_sql
 
     oracles["text_scripts"] = f"""

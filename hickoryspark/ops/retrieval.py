@@ -1,0 +1,161 @@
+"""BM25 retrieval scoring over the inverted-index relations — the
+sparse-retrieval half of a corpus pipeline (dataset search, dedup
+audits, decontamination probes all rank documents against small query
+sets; BM25 is the standard sparse scorer).
+
+Pinned EXACT-INTEGER dialect (oracle-reproducible — the readability /
+pagerank lesson: cross-engine hash gates need order-independent
+arithmetic, and float BM25 sums are neither portable nor
+order-independent):
+
+- tokens = the shared ASCII-whitespace tokenization
+  (ops/postings.token_positions); no case folding;
+- k1 = 6/5, b = 3/4 (the classic defaults as exact rationals);
+- ``avgdl`` is pinned to the INTEGER corpus mean ``total_tokens div
+  N`` (documented quantization — it keeps every denominator in
+  BIGINT range);
+- idf is the RATIONAL Robertson-Sparck-Jones core
+  ``(N - df + 0.5) / (df + 0.5)`` WITHOUT the logarithm (a monotone
+  transform of classic BM25 idf: per-term ranking order is preserved,
+  multi-term mixes weight rare terms harder; a pinned dialect, not
+  Lucene parity);
+- per-(query, doc, term) contribution in MILLI-points, exact integer
+  division:
+  ``(1000 * 22 * avgdl * tf * (2N - 2df + 1))
+  div ((2df + 1) * (10 * avgdl * tf + 3 * avgdl + 9 * dl))``
+  — the algebraic fold of ``idf * tf * (k1+1) / (tf + k1 * (1 - b +
+  b * dl/avgdl))`` with the rationals cleared;
+- query terms are DEDUPLICATED (standard bag-of-words BM25 ignores
+  query-side tf); scores sum the per-term integer contributions
+  (BIGINT sum — order-independent), ties rank by doc_id ascending.
+
+Scale shape: the query set is tiny — it broadcasts into the postings
+join, so only matching (doc, term) rows ever shuffle; df is computed
+for QUERY TERMS ONLY (semi-join first, never a full term_stats pass);
+corpus scalars (N, total tokens, avgdl) are one tiny agg crossed in.
+Top-k is a per-query window over matched docs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hickoryspark.ops.chunking import ASCII_WS_SPLIT_RE
+
+__all__ = ["bm25_scores", "duckdb_bm25_sql"]
+
+
+def _query_terms(queries: DataFrame) -> DataFrame:
+    """(query_id, term) — deduplicated whitespace tokens."""
+    toks = F.filter(
+        F.split(F.col("query"), ASCII_WS_SPLIT_RE), lambda t: t != "")
+    return (queries
+            .select("query_id", F.explode(toks).alias("term"))
+            .distinct())
+
+
+def bm25_scores(docs: DataFrame, queries: DataFrame,
+                text_col: str = "text", top_k: int = 10) -> DataFrame:
+    """(query_id, doc_id, score_milli, rank) — the top ``top_k`` docs
+    per query under the pinned integer-BM25 dialect. Docs matching no
+    query term never appear; queries matching nothing yield no rows."""
+    from hickoryspark.ops.postings import token_positions
+
+    occ = token_positions(docs, text_col)
+    qt = _query_terms(queries)
+    # prune occurrences to QUERY TERMS before any aggregation — the
+    # full (doc, term) tf rollup would shuffle the entire postings
+    # relation per query batch; dl must stay corpus-wide (doc length
+    # counts every token) but map-side-combines to one row per doc
+    terms = F.broadcast(qt.select("term").distinct())
+    tf = (occ.join(terms, "term", "left_semi")
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    dl = occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl"))
+    scalars = (docs.join(dl, "doc_id", "left")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.sum(F.coalesce(F.col("dl"), F.lit(0)))
+                    .cast("long").alias("total_tokens"))
+               .withColumn("avgdl",
+                           F.expr("total_tokens div n_docs")))
+
+    # df over the already-pruned tf relation (query terms only)
+    qdf = (tf.groupBy("term")
+           .agg(F.count_distinct("doc_id").cast("long").alias("df")))
+
+    matched = (qt.join(tf, "term")
+               .join(qdf, "term")
+               .join(dl, "doc_id")
+               .crossJoin(F.broadcast(scalars)))
+    contrib = F.expr(
+        "(1000 * 22 * avgdl * tf * (2 * n_docs - 2 * df + 1)) div "
+        "((2 * df + 1) * (10 * avgdl * tf + 3 * avgdl + 9 * dl))")
+    scored = (matched.select("query_id", "doc_id",
+                             contrib.alias("c"))
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum("c").cast("long").alias("score_milli")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_milli").desc(), F.col("doc_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w)
+                              .cast("long"))
+            .where(F.col("rank") <= top_k))
+
+
+def duckdb_bm25_sql(docs_rel: str, queries_values: str,
+                    top_k: int = 10) -> str:
+    """Full DuckDB mirror: ``docs_rel`` must expose (doc_id, text);
+    ``queries_values`` is a VALUES list ``(query_id, query)``. Same
+    tokenization, same integer arithmetic, same tie rule."""
+    return f"""
+        WITH q(query_id, query) AS (VALUES {queries_values}),
+        qt AS (
+          SELECT DISTINCT query_id, t.term
+          FROM q, unnest(list_filter(
+            regexp_split_to_array(query, '{ASCII_WS_SPLIT_RE}'),
+            s -> s != '')) AS t(term)),
+        occ AS (
+          SELECT doc_id, t.term
+          FROM {docs_rel}, unnest(list_filter(
+            regexp_split_to_array(text, '{ASCII_WS_SPLIT_RE}'),
+            s -> s != '')) AS t(term)),
+        tf AS (
+          SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM occ GROUP BY doc_id, term),
+        dl AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+          FROM occ GROUP BY doc_id),
+        scalars AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS total_tokens,
+                 CAST(COALESCE(SUM(dl), 0) // COUNT(*) AS BIGINT)
+                     AS avgdl
+          FROM {docs_rel} d LEFT JOIN dl USING (doc_id)),
+        qdf AS (
+          SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+          FROM tf WHERE term IN (SELECT term FROM qt)
+          GROUP BY term),
+        scored AS (
+          SELECT qt.query_id, tf.doc_id,
+                 CAST(SUM(
+                   (1000 * 22 * s.avgdl * tf.tf
+                    * (2 * s.n_docs - 2 * qdf.df + 1))
+                   // ((2 * qdf.df + 1)
+                       * (10 * s.avgdl * tf.tf + 3 * s.avgdl
+                          + 9 * dl.dl))
+                 ) AS BIGINT) AS score_milli
+          FROM qt
+          JOIN tf USING (term) JOIN qdf USING (term)
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN scalars s
+          GROUP BY qt.query_id, tf.doc_id),
+        ranked AS (
+          SELECT query_id, doc_id, score_milli,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_milli DESC, doc_id ASC) AS BIGINT)
+                     AS rank
+          FROM scored)
+        SELECT query_id, doc_id, score_milli, rank
+        FROM ranked WHERE rank <= {top_k}"""

@@ -216,10 +216,13 @@ def cms_query(
     """probes + ``cms_count`` (BIGINT): min over the d probed cells,
     absent cells counting 0. EVERY probe row survives — a NULL key
     probes to 0, never dropped. Shape mirrors bloom_probe: the d
-    positions are d COLUMNS, each left-joined once against the tiny
-    cell table (AQE broadcasts it), so the probes lineage is scanned
-    exactly once and no groupBy on the probe key is needed
-    (duplicates and NULLs are naturally preserved)."""
+    positions are d COLUMNS, each left-joined once against the cell
+    table, so the probes lineage is scanned exactly once and no
+    groupBy on the probe key is needed (duplicates and NULLs are
+    naturally preserved). The cell table is explicitly broadcast —
+    a CMS is bounded at w*d cells BY CONSTRUCTION, so the hint is
+    always safe and saves AQE from leaving any of the d joins
+    sort-merge (observed: one of d=3 stayed SMJ under AQE alone)."""
     key = F.col(key_col).cast("string")
     out = probes
     ests = []
@@ -228,7 +231,8 @@ def cms_query(
         s = cms.where(F.col("row") == i).select(
             F.col("col").alias(f"_k{i}"), F.col("cnt").alias(f"_n{i}")
         )
-        out = out.join(s, F.col(f"_c{i}") == F.col(f"_k{i}"), "left")
+        out = out.join(F.broadcast(s),
+                       F.col(f"_c{i}") == F.col(f"_k{i}"), "left")
         ests.append(F.coalesce(F.col(f"_n{i}"), F.lit(0).cast("long")))
     est = ests[0] if d == 1 else F.least(*ests)
     drop = [c for i in range(d) for c in (f"_c{i}", f"_k{i}", f"_n{i}")]

@@ -627,3 +627,80 @@ def test_url_and_mojibake_features_shuffle_free(spark):
         F.concat(F.lit("https://u.ex/"), F.col("doc_id")).alias("url"))
     assert "Exchange" not in _plan(url_features(urls))
     assert "Exchange" not in _plan(mojibake_stats(docs))
+
+
+def test_cms_build_single_shuffle_probe_broadcasts(spark):
+    """cms_build: one exchange (partial sums map-side); cms_query: the
+    d cell-table joins broadcast — the probes lineage never shuffles."""
+    from hickoryspark.ops.sketch import cms_build, cms_query
+
+    keys = spark.createDataFrame([(f"k{i % 9}",) for i in range(64)],
+                                 "key string")
+    cms = cms_build(keys, w=32, d=3)
+    cms.count()
+    plan = _plan(cms)
+    assert plan.count("Exchange") == 1
+    assert "partial_sum" in plan
+
+    probes = spark.createDataFrame([(f"k{i}",) for i in range(20)],
+                                   "key string")
+    out = cms_query(probes, cms, w=32, d=3)
+    out.collect()  # collect the SAME df so AQE finalizes this plan
+    pplan = _plan(out)
+    assert "isFinalPlan=true" in pplan
+    assert "BroadcastHashJoin" in pplan
+    assert "SortMergeJoin" not in pplan
+    # no exchange introduced on the probe lineage itself (the only
+    # exchanges are the cms build + broadcast distribution)
+    assert "Exchange hashpartitioning(key" not in pplan
+
+
+def test_url_templates_two_shuffle_jvm_only(spark):
+    """signature fold is pure JVM expressions; the rollup is exactly
+    TWO hash exchanges — the exact-distinct minimum: partial dedup on
+    (host, signature, url), then the (host, signature) rollup. The
+    second exchange carries only deduplicated rows (partial_count
+    present = map-side combine on both)."""
+    from hickoryspark.ops.urltemplates import url_templates
+
+    df = spark.createDataFrame(
+        [(f"https://t.ex/cal/2026/{i % 12}",) for i in range(64)],
+        "url string")
+    out = url_templates(df)
+    out.count()
+    plan = _plan(out)
+    assert plan.count("Exchange") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "partial_count" in plan
+
+
+def test_script_profile_shuffle_free_jvm_only(spark):
+    from hickoryspark.ops.scripts import script_profile
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = script_profile(docs)
+    out.count()
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_bm25_prunes_postings_to_query_terms_before_agg(spark):
+    """the tf aggregation must sit ABOVE the query-term semi-join
+    (broadcast), so only matching occurrences ever shuffle; the query
+    relation must broadcast, never sort-merge."""
+    from hickoryspark.ops.retrieval import bm25_scores
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text")
+    qs = spark.createDataFrame([(0, "hash join"), (1, "spark")],
+                               "query_id long, query string")
+    out = bm25_scores(docs, qs, top_k=5)
+    out.collect()
+    plan = _plan(out)
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan
+    opt = _optimized(out)
+    # the semi-join prune survives optimization: a LeftSemi appears
+    # below the tf Aggregate in the optimized plan
+    assert "LeftSemi" in opt
