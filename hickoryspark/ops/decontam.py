@@ -1,24 +1,35 @@
-"""Benchmark decontamination: flag training documents sharing token
-n-grams with an evaluation/benchmark corpus.
+"""Benchmark decontamination — flag corpus documents sharing token
+n-grams with an evaluation/benchmark set (the GPT-3 appendix-C rule:
+a training document is contaminated if any of its 13-grams collides
+with a benchmark 13-gram; short benchmark items fall back to their
+full token sequence).
 
-The standard pre-training hygiene step (the reference engine has no
-equivalent — this extends the §2 surface the same way the dedup/
-sampling ops do): an eval suite leaking into the training set inflates
-benchmark scores, so documents carrying verbatim benchmark n-grams are
-counted and filtered before training. The classic recipe is exact
-13-gram overlap; ``n`` is a parameter because this corpus's synthetic
-vocabulary makes shorter grams the interesting case.
+Pinned dialect (oracle-reproducible):
 
-Scale shape (the part that must survive 100 TB):
+- tokens = the shared ASCII-whitespace split with empties removed
+  (ops/chunking.ASCII_WS_SPLIT_RE); NO case folding or punctuation
+  stripping — the repo-wide tokenization, not GPT-3's lossy fold;
+- a benchmark item with >= n tokens contributes its distinct
+  n-grams; one with 1..n-1 tokens contributes ONE gram: its whole
+  token sequence (space-joined); zero-token items contribute nothing;
+- a corpus doc matches a gram of token-length L iff that exact
+  space-joined window occurs among ITS length-L windows (grams are
+  token sequences — tokens cannot contain spaces, so the string is a
+  bijective encoding and no cross-length collision is possible);
+- output: one row per CONTAMINATED corpus doc —
+  ``(doc_id, n_hit_grams, n_bench_docs)`` with distinct-gram and
+  distinct-benchmark-item counts; clean docs yield no row.
 
-- The benchmark side is SMALL (eval suites are MBs) — its distinct
-  n-gram set broadcasts, so the training-corpus scan never shuffles
-  full text or grams; the only exchange is the per-doc hit-count
-  partial aggregation (map-side combined ``(doc_id, count)`` rows).
-- Per-doc gram dedup happens BEFORE the explode via ``array_distinct``
-  on the row-local shingle array — no distinct-shuffle.
-- The broadcast join is a ``left_semi`` (hits only); non-matching
-  grams die map-side.
+Scale shape: the benchmark set is small by definition — its distinct
+(gram, bench_id) relation BROADCASTS into the corpus gram stream, so
+only colliding grams ever shuffle (one groupBy on doc_id). Corpus
+grams are built LINEARLY (ops.dedup.join_ngrams) and deduplicated
+per doc BEFORE the join. The set of short benchmark lengths (at most
+n-1 values) is collected driver-side to instantiate the extra
+corpus gram widths; every such width costs one more pass over the
+corpus token arrays — rare in practice (real benchmarks are longer
+than n tokens) and logged nowhere silently: the op raises if the
+bench side is empty of tokens entirely.
 """
 
 from __future__ import annotations
@@ -26,60 +37,120 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hickoryspark.ops.dedup import shingles
+from hickoryspark.ops.chunking import ASCII_WS_SPLIT_RE
+from hickoryspark.ops.dedup import join_ngrams
 
-__all__ = ["benchmark_ngrams", "ngram_overlap", "decontaminate"]
+__all__ = ["decontaminate", "duckdb_decontam_sql"]
 
 
-def benchmark_ngrams(benchmark: DataFrame, n: int = 13,
-                     text_col: str = "text") -> DataFrame:
-    """Distinct token n-grams of the benchmark corpus: one column
-    ``gram``. Small by construction — meant to be broadcast."""
-    return (
-        benchmark.select(
-            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias(
-                "gram"
+def _toks(text_col: str):
+    return F.filter(F.split(F.col(text_col), ASCII_WS_SPLIT_RE),
+                    lambda t: t != "")
+
+
+def decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_hit_grams, n_bench_docs) for every corpus doc whose
+    length-L windows collide with a benchmark gram (L = n, or the
+    benchmark item's full length when shorter)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    bt = bench.select(
+        F.col(bench_id_col).alias("bench_id"),
+        _toks(bench_text_col).alias("toks"),
+    ).where(F.size("toks") >= 1)
+    glen = F.least(F.lit(n), F.size("toks"))
+    # at most n-1 extra widths; bench is broadcast-class so this
+    # collect is bounded (and the widths themselves are < n)
+    lengths = sorted(
+        r["L"] for r in bt.select(glen.alias("L")).distinct().collect()
+    )
+
+    def grams_at(df, id_col, length):
+        return df.where(glen == length).select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(join_ngrams(F.col("toks"), length))
+            ).alias("gram"),
+        )
+
+    ct = corpus.select(
+        F.col("doc_id"), _toks(text_col).alias("toks"))
+    hits = None
+    for length in lengths:
+        bg = F.broadcast(
+            bt.where(glen == length)
+            .select(
+                "bench_id",
+                F.explode(
+                    F.array_distinct(join_ngrams(F.col("toks"), length))
+                ).alias("gram"),
             )
+            .distinct()
         )
-        .distinct()
-    )
-
-
-def ngram_overlap(docs: DataFrame, benchmark: DataFrame, n: int = 13,
-                  text_col: str = "text") -> DataFrame:
-    """Per-document benchmark contamination counts.
-
-    Returns ``(doc_id, n_hits)`` for EVERY input document (zero-filled
-    — the downstream filter wants an explicit per-doc verdict, and the
-    full relation is hash-checkable). ``n_hits`` counts the DISTINCT
-    n-grams of the doc that appear anywhere in the benchmark corpus.
-    """
-    bench = benchmark_ngrams(benchmark, n, text_col)
-    grams = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias(
-            "gram"
-        ),
-    )
-    hits = (
-        grams.join(F.broadcast(bench), "gram", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
-    return (
-        docs.select("doc_id")
-        .join(hits, "doc_id", "left")
-        .select(
+        cg = ct.select(
             "doc_id",
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.explode(
+                F.array_distinct(join_ngrams(F.col("toks"), length))
+            ).alias("gram"),
+        )
+        h = cg.join(bg, "gram")
+        hits = h if hits is None else hits.unionByName(h)
+    if hits is None:
+        raise ValueError("benchmark set has no tokenizable items")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count_distinct("gram").cast("long").alias("n_hit_grams"),
+            F.count_distinct("bench_id").cast("long")
+            .alias("n_bench_docs"),
         )
     )
 
 
-def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
-                  max_hits: int = 0, text_col: str = "text") -> DataFrame:
-    """Training docs keeping at most ``max_hits`` benchmark n-grams —
-    the actual filter step (default: any overlap removes the doc)."""
-    counts = ngram_overlap(docs, benchmark, n, text_col)
-    keep = counts.where(F.col("n_hits") <= max_hits).select("doc_id")
-    return docs.join(keep, "doc_id", "left_semi")
+def duckdb_decontam_sql(
+    corpus_rel: str, bench_rel: str, n: int = 13
+) -> str:
+    """Full DuckDB mirror. ``corpus_rel`` exposes (doc_id, text),
+    ``bench_rel`` (bench_id, text). Unlike the Spark side the widths
+    are resolved inside SQL (a lateral join on the bench lengths) —
+    an independent formulation of the same pinned rule."""
+    ws = f"'{ASCII_WS_SPLIT_RE}'"
+    return f"""
+        WITH bt AS (
+          SELECT bench_id,
+                 list_filter(regexp_split_to_array(text, {ws}),
+                             x -> x <> '') AS toks
+          FROM {bench_rel}
+        ), bg AS (
+          SELECT DISTINCT bench_id,
+                 least({n}, len(toks)) AS L,
+                 array_to_string(toks[i : i + least({n}, len(toks)) - 1],
+                                 ' ') AS gram
+          FROM bt, unnest(range(1, len(toks)
+                                   - least({n}, len(toks)) + 2)) AS u(i)
+          WHERE len(toks) >= 1
+        ), widths AS (
+          SELECT DISTINCT L FROM bg
+        ), ct AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, {ws}),
+                             x -> x <> '') AS toks
+          FROM {corpus_rel}
+        ), cg AS (
+          SELECT DISTINCT doc_id, L,
+                 array_to_string(toks[i : i + L - 1], ' ') AS gram
+          FROM ct, widths, unnest(range(1, len(toks) - L + 2)) AS u(i)
+        )
+        SELECT cg.doc_id,
+               CAST(COUNT(DISTINCT cg.gram) AS BIGINT) AS n_hit_grams,
+               CAST(COUNT(DISTINCT bg.bench_id) AS BIGINT)
+                   AS n_bench_docs
+        FROM cg JOIN bg ON bg.gram = cg.gram AND bg.L = cg.L
+        GROUP BY cg.doc_id"""

@@ -305,3 +305,56 @@ def link_domains(links: DataFrame, psl_rules=None) -> DataFrame:
             F.count_distinct("_dom").cast("long").alias("n_domains"),
         )
     )
+
+
+def anchor_text_profile(links: DataFrame) -> DataFrame:
+    """Per-TARGET anchor aggregation over ``extract_links`` edge rows
+    — the classic web-graph ranking signal (anchor text pointing AT a
+    page describes it better than the page itself; search engines and
+    anchor-text corpora both consume this rollup):
+    ``(target, n_links, n_source_pages, n_anchors, top_anchor,
+    top_count)``.
+
+    Pinned semantics: ``target`` = the RESOLVED edge target (compose
+    with ops.urls.normalize_url upstream for canonical keys);
+    ``n_links`` counts every edge (callers drop rel_nofollow rows
+    first if building a follow-only corpus); ``n_source_pages`` =
+    distinct source urls; ``n_anchors`` = distinct NON-EMPTY anchor
+    texts; ``top_anchor`` = the most frequent non-empty anchor text,
+    ties broken by the lexicographically smallest — NULL (top_count
+    0) when every anchor is empty.
+
+    Scale shape: two bounded aggregations — (target, anchor) counts,
+    then one min(struct(-cnt, anchor)) per target (the tie rule IS
+    the struct order; no window, no rank, no per-target frame) —
+    joined to the per-target totals on the same key. Hot targets
+    (every page links '/about') stay one row per distinct anchor
+    after the first map-side combine, so skew is bounded by anchor
+    vocabulary, not in-degree."""
+    base = links.select(
+        F.col("resolved").alias("target"), "url", "anchor_text")
+    totals = base.groupBy("target").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.count_distinct("url").cast("long").alias("n_source_pages"),
+    )
+    per_anchor = (
+        base.where(F.col("anchor_text") != "")
+        .groupBy("target", "anchor_text")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tops = per_anchor.groupBy("target").agg(
+        F.min(F.struct((-F.col("cnt")).alias("nc"),
+                       F.col("anchor_text").alias("a"))).alias("m"),
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+    )
+    return (
+        totals.join(tops, "target", "left")
+        .select(
+            "target", "n_links", "n_source_pages",
+            F.coalesce(F.col("n_anchors"), F.lit(0).cast("long"))
+            .alias("n_anchors"),
+            F.col("m.a").alias("top_anchor"),
+            F.coalesce(-F.col("m.nc"), F.lit(0)).cast("long")
+            .alias("top_count"),
+        )
+    )

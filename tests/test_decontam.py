@@ -1,90 +1,107 @@
-"""ops/decontam.py: n-gram overlap counting, decontamination filter,
-and the broadcast/no-distinct-shuffle plan shape."""
-
-from __future__ import annotations
+"""Benchmark decontamination tests (ops/decontam.py)."""
 
 import os
 import sys
 
+import duckdb
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hickoryspark.ops.decontam import decontaminate, duckdb_decontam_sql
 
 
 @pytest.fixture(scope="module")
 def spark():
     from hickoryspark.spark.session import get_spark
 
-    s = get_spark(4, shuffle_partitions=4)
+    s = get_spark(4, app_name="hickoryspark-decontam-tests",
+                  shuffle_partitions=4)
     s.sparkContext.setLogLevel("ERROR")
     yield s
 
 
-def _docs(spark, rows):
-    return spark.createDataFrame(rows, "doc_id long, text string")
+CORPUS = [
+    (0, "the quick brown fox jumps over the lazy dog tonight"),
+    (1, "quick brown fox jumps over nothing at all here now"),
+    (2, "completely unrelated content with no overlap whatsoever"),
+    (3, "alpha beta"),          # shorter than n — only short grams hit
+    (4, ""),                    # empty — never contaminated
+    (5, "x alpha beta y quick brown fox jumps z"),
+]
+BENCH = [
+    (100, "quick brown fox jumps"),   # 4-gram windows (n=4 below)
+    (101, "alpha beta"),              # short item -> whole-seq gram
+    (102, "zz qq"),                   # matches nothing
+    (103, "   "),                     # zero tokens -> contributes nothing
+]
 
 
-def test_overlap_counts_distinct_grams(spark):
-    from hickoryspark.ops.decontam import ngram_overlap
-
-    docs = _docs(spark, [
-        # doc 1 shares its one 3-gram with the benchmark TWICE in the
-        # text — counted once (distinct grams per doc)
-        (1, "a b c x a b c"),
-        (2, "a b c d"),       # grams: "a b c", "b c d" -> 1 hit
-        (3, "z z z z"),       # no benchmark overlap
-        (4, "a b"),           # shorter than n: zero grams
-    ])
-    bench = _docs(spark, [(100, "q q a b c q")])
-    got = {r["doc_id"]: r["n_hits"]
-           for r in ngram_overlap(docs, bench, n=3).collect()}
-    assert got == {1: 1, 2: 1, 3: 0, 4: 0}
-
-
-def test_decontaminate_filters_by_threshold(spark):
-    from hickoryspark.ops.decontam import decontaminate
-
-    docs = _docs(spark, [
-        (1, "a b c d e"),     # 3 hits ("a b c", "b c d", "c d e")
-        (2, "c d e f g"),     # 1 hit ("c d e")
-        (3, "x y z w v"),     # 0 hits
-    ])
-    bench = _docs(spark, [(100, "a b c d e")])
-    kept = {r["doc_id"] for r in decontaminate(docs, bench, n=3).collect()}
-    assert kept == {3}
-    kept1 = {r["doc_id"]
-             for r in decontaminate(docs, bench, n=3, max_hits=1).collect()}
-    assert kept1 == {2, 3}
+def _py_decontam(corpus, bench, n):
+    out = {}
+    bgrams = {}
+    for bid, t in bench:
+        toks = t.split()
+        if not toks:
+            continue
+        L = min(n, len(toks))
+        for i in range(len(toks) - L + 1):
+            bgrams.setdefault((L, " ".join(toks[i:i + L])), set()).add(bid)
+    for did, t in corpus:
+        toks = t.split()
+        hits, bids = set(), set()
+        for (L, g), ids in bgrams.items():
+            for i in range(len(toks) - L + 1):
+                if " ".join(toks[i:i + L]) == g:
+                    hits.add(g)
+                    bids |= ids
+        if hits:
+            out[did] = (len(hits), len(bids))
+    return out
 
 
-def test_benchmark_grams_deduped_across_docs(spark):
-    from hickoryspark.ops.decontam import benchmark_ngrams
+def test_decontam_matches_python_reference(spark):
+    corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    bench = spark.createDataFrame(BENCH, "bench_id long, text string")
+    got = {r["doc_id"]: (r["n_hit_grams"], r["n_bench_docs"])
+           for r in decontaminate(corpus, bench, n=4).collect()}
+    want = _py_decontam(CORPUS, BENCH, 4)
+    assert got == want
+    # doc 0/1/5 share the 4-gram; doc 3 and 5 hit the short item
+    assert 0 in got and 1 in got and 3 in got and 5 in got
+    assert 2 not in got and 4 not in got
+    assert got[5][1] == 2  # both bench items implicated
 
-    bench = _docs(spark, [(1, "a b c"), (2, "a b c")])
-    grams = [r["gram"] for r in benchmark_ngrams(bench, n=3).collect()]
-    assert grams == ["a b c"]
+
+def test_decontam_duckdb_mirror(spark):
+    corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    bench = spark.createDataFrame(BENCH, "bench_id long, text string")
+    got = sorted(tuple(r) for r in
+                 decontaminate(corpus, bench, n=4).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE c (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO c VALUES (?, ?)", CORPUS)
+    con.execute("CREATE TABLE b (bench_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO b VALUES (?, ?)", BENCH)
+    want = sorted(tuple(r) for r in con.execute(
+        duckdb_decontam_sql("c", "b", n=4)).fetchall())
+    assert got == want
 
 
-def test_plan_broadcasts_bench_and_has_no_distinct_shuffle(spark):
-    """The 100-TB shape: the benchmark gram set broadcasts (no
-    sort-merge join of the corpus against it), and the only hash
-    exchange is the per-doc count aggregation — per-doc gram dedup is
-    row-local array_distinct, never a distinct shuffle."""
-    from hickoryspark.ops.decontam import ngram_overlap
+def test_decontam_no_tokenizable_bench_raises(spark):
+    corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    bench = spark.createDataFrame([(0, "  ")], "bench_id long, text string")
+    with pytest.raises(ValueError):
+        decontaminate(corpus, bench, n=4)
 
-    docs = _docs(spark, [(i, "a b c d e f g h") for i in range(20)])
-    bench = _docs(spark, [(100, "a b c d")])
-    df = ngram_overlap(docs, bench, n=3)
-    df.collect()  # materialize THIS df so AQE finalizes its plan
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "isFinalPlan=true" in plan, plan
-    # the adaptive dump appends the pre-AQE "== Initial Plan ==" (which
-    # legitimately holds the SMJ AQE later demotes) — grade the FINAL
-    plan = plan.split("== Initial Plan ==")[0]
-    # the bench gram join is an explicit broadcast left-semi; the
-    # zero-fill left join of tiny counts gets AQE-promoted at runtime
-    assert plan.count("BroadcastHashJoin") >= 2, plan
-    assert "SortMergeJoin" not in plan, plan
-    # gram dedup is row-local: no exchange besides the count agg and
-    # the zero-fill join's
-    assert "array_distinct" in plan, plan
+
+def test_decontam_standard_n13_path(spark):
+    # all bench items >= 13 tokens -> single width, no fallback union
+    text = " ".join(f"w{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [(0, "pad " + text), (1, "nothing shared here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(9, text)], "bench_id long, text string")
+    got = {r["doc_id"]: r["n_hit_grams"]
+           for r in decontaminate(corpus, bench, n=13).collect()}
+    assert got == {0: 8}  # 20-13+1 windows, all present in doc 0

@@ -298,3 +298,75 @@ def test_link_domains_one_shuffle_no_window(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+class TestAnchorTextProfile:
+    def test_profile_counts_ties_and_empty(self, spark):
+        from hickoryspark.ops.links import anchor_text_profile
+
+        rows = [
+            # target T1: 'home' x2, 'start' x2 (tie -> 'home'), one empty
+            ("https://s/a", 1, "x", "T1", "home", False),
+            ("https://s/a", 2, "x", "T1", "start", False),
+            ("https://s/b", 1, "x", "T1", "home", False),
+            ("https://s/b", 2, "x", "T1", "start", False),
+            ("https://s/b", 3, "x", "T1", "", False),
+            # target T2: all empty anchors
+            ("https://s/a", 3, "x", "T2", "", False),
+            ("https://s/c", 1, "x", "T2", "", True),
+        ]
+        links = spark.createDataFrame(
+            rows, "url string, link_pos long, href string, "
+                  "resolved string, anchor_text string, "
+                  "rel_nofollow boolean")
+        got = {r["target"]: r.asDict()
+               for r in anchor_text_profile(links).collect()}
+        t1 = got["T1"]
+        assert (t1["n_links"], t1["n_source_pages"], t1["n_anchors"]) == (5, 2, 2)
+        assert (t1["top_anchor"], t1["top_count"]) == ("home", 2)
+        t2 = got["T2"]
+        assert (t2["n_links"], t2["n_source_pages"], t2["n_anchors"]) == (2, 2, 0)
+        assert t2["top_anchor"] is None and t2["top_count"] == 0
+
+    def test_profile_duckdb_mirror(self, spark):
+        import duckdb
+
+        from hickoryspark.ops.links import anchor_text_profile
+
+        rows = [(f"https://s/{i % 7}", i, "h", f"T{i % 3}",
+                 ["go", "here", "", "link"][i % 4], False)
+                for i in range(40)]
+        links = spark.createDataFrame(
+            rows, "url string, link_pos long, href string, "
+                  "resolved string, anchor_text string, "
+                  "rel_nofollow boolean")
+        got = sorted(tuple(r) for r in anchor_text_profile(links).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE l (url VARCHAR, link_pos BIGINT, "
+                    "href VARCHAR, resolved VARCHAR, anchor_text VARCHAR, "
+                    "rel_nofollow BOOLEAN)")
+        con.executemany("INSERT INTO l VALUES (?, ?, ?, ?, ?, ?)", rows)
+        want = sorted(tuple(r) for r in con.execute("""
+            WITH totals AS (
+              SELECT resolved AS target,
+                     CAST(COUNT(*) AS BIGINT) AS n_links,
+                     CAST(COUNT(DISTINCT url) AS BIGINT) AS n_source_pages
+              FROM l GROUP BY resolved),
+            pa AS (
+              SELECT resolved AS target, anchor_text,
+                     CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM l WHERE anchor_text <> ''
+              GROUP BY resolved, anchor_text),
+            tops AS (
+              SELECT target, CAST(COUNT(*) AS BIGINT) AS n_anchors,
+                     min({'nc': -cnt, 'a': anchor_text}).a AS top_anchor,
+                     CAST(-min({'nc': -cnt, 'a': anchor_text}).nc AS BIGINT)
+                         AS top_count
+              FROM pa GROUP BY target)
+            SELECT t.target, t.n_links, t.n_source_pages,
+                   CAST(COALESCE(p.n_anchors, 0) AS BIGINT) AS n_anchors,
+                   p.top_anchor,
+                   CAST(COALESCE(p.top_count, 0) AS BIGINT) AS top_count
+            FROM totals t LEFT JOIN tops p USING (target)
+        """).fetchall())
+        assert got == want
