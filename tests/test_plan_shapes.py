@@ -704,3 +704,67 @@ def test_bm25_prunes_postings_to_query_terms_before_agg(spark):
     # the semi-join prune survives optimization: a LeftSemi appears
     # below the tf Aggregate in the optimized plan
     assert "LeftSemi" in opt
+
+
+def test_decontam_broadcasts_bench_grams(spark):
+    """the bench gram relation must broadcast into the corpus gram
+    stream — never a sort-merge join on the gram key."""
+    from hickoryspark.ops.decontam import decontaminate
+
+    corpus = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text")
+    bench = spark.createDataFrame(
+        [(0, "one two three four five six")],
+        "bench_id long, text string")
+    out = decontaminate(corpus, bench, n=4)
+    out.collect()
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_shard_manifest_single_shuffle_jvm_only(spark):
+    from hickoryspark.ops.shards import shard_manifest
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text")
+    out = shard_manifest(docs, 16)
+    out.count()
+    plan = _plan(out)
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_anchor_profile_no_window(spark):
+    """top-anchor selection is the min-struct tie rule — aggregation
+    only, never a rank window over per-target frames."""
+    from hickoryspark.ops.links import anchor_text_profile
+
+    links = spark.createDataFrame(
+        [(f"https://s/{i % 5}", i, "h", f"T{i % 3}", "a", False)
+         for i in range(30)],
+        "url string, link_pos long, href string, resolved string, "
+        "anchor_text string, rel_nofollow boolean")
+    out = anchor_text_profile(links)
+    out.count()
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_lm_scoring_broadcasts_scalars_not_model(spark):
+    """corpus scalars broadcast (explicit); the vocabulary-sized model
+    joins on term as an equi-join — and the whole program stays
+    JVM-side."""
+    from hickoryspark.ops.lm import unigram_logprob_scores
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text")
+    out = unigram_logprob_scores(docs, docs)
+    out.count()
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
