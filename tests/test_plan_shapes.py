@@ -768,3 +768,29 @@ def test_lm_scoring_broadcasts_scalars_not_model(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_admission_policy_equi_joins_jvm_only(spark):
+    """the three carrier joins are url equi-joins (never
+    BroadcastNestedLoop/cartesian) and the merge is pure column
+    logic — no Python crossing anywhere."""
+    from hickoryspark.ops.admission import admission_policy
+
+    pages = spark.createDataFrame(
+        [(f"https://s/{i}",) for i in range(40)], "url string")
+    robots = spark.createDataFrame(
+        [(f"https://s/{i}", i % 2 == 0) for i in range(0, 40, 3)],
+        "url string, allowed boolean")
+    http = spark.createDataFrame(
+        [(f"https://s/{i}", 200 + i, i % 2 == 0, False)
+         for i in range(0, 40, 5)],
+        "url string, status int, noindex boolean, nofollow boolean")
+    meta = spark.createDataFrame(
+        [(f"https://s/{i}", False, i % 2 == 1) for i in range(0, 40, 4)],
+        "url string, noindex boolean, nofollow boolean")
+    out = admission_policy(pages, robots, http, meta)
+    out.count()
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
