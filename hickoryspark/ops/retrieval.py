@@ -43,7 +43,8 @@ from pyspark.sql import functions as F
 
 from hickoryspark.ops.chunking import ASCII_WS_SPLIT_RE
 
-__all__ = ["bm25_scores", "duckdb_bm25_sql"]
+__all__ = ["bm25_scores", "duckdb_bm25_sql", "phrase_match",
+           "duckdb_phrase_sql"]
 
 
 def _query_terms(queries: DataFrame) -> DataFrame:
@@ -159,3 +160,93 @@ def duckdb_bm25_sql(docs_rel: str, queries_values: str,
           FROM scored)
         SELECT query_id, doc_id, score_milli, rank
         FROM ranked WHERE rank <= {top_k}"""
+
+
+def phrase_match(docs: DataFrame, phrases: DataFrame,
+                 text_col: str = "text") -> DataFrame:
+    """Positional phrase search: docs(doc_id, text) x
+    phrases(phrase_id, phrase) -> (doc_id, phrase_id, n_matches,
+    first_pos) — one row per (doc, phrase) with at least one EXACT
+    consecutive-token occurrence of the phrase, counted over the
+    shared ASCII-whitespace tokenization.
+
+    Pinned semantics: a phrase with tokens p_0..p_{L-1} matches doc
+    positions s where token(s + o) == p_o for every offset o
+    (overlapping occurrences each count — 'x x' in 'x x x' matches
+    twice); phrases that tokenize to nothing yield no rows;
+    ``first_pos`` is the smallest matching start.
+
+    Scale shape: the phrase-term table (phrase_id, offset, term,
+    phrase_len) is query-sized and BROADCASTS into the token-
+    occurrence join, so only occurrences of phrase terms ever leave
+    the scan; candidate starts aggregate by (doc, phrase, start) —
+    a start is a match iff it covers all ``phrase_len`` DISTINCT
+    offsets — then roll up per (doc, phrase). Both aggregations share
+    the (doc_id, phrase_id, ...) key prefix, so the second groupBy
+    reuses the first's exchange. No windows, no Python."""
+    from hickoryspark.ops.postings import token_positions
+
+    toks = F.filter(
+        F.split(F.col("phrase"), ASCII_WS_SPLIT_RE), lambda t: t != "")
+    pt = phrases.select(
+        "phrase_id",
+        F.size(toks).cast("long").alias("phrase_len"),
+        F.posexplode(toks).alias("offset", "term"),
+    )
+    occ = token_positions(docs, text_col)
+    starts = occ.join(F.broadcast(pt), "term").select(
+        "doc_id", "phrase_id", "phrase_len",
+        (F.col("pos") - F.col("offset")).alias("start"),
+        "offset",
+    ).where(F.col("start") >= 0)
+    full = (
+        starts.groupBy("doc_id", "phrase_id", "start")
+        .agg(
+            F.count_distinct("offset").alias("_k"),
+            F.max("phrase_len").alias("_len"),
+        )
+        .where(F.col("_k") == F.col("_len"))
+    )
+    return full.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("start").cast("long").alias("first_pos"),
+    )
+
+
+def duckdb_phrase_sql(docs_rel: str, phrases_values: str) -> str:
+    """Full DuckDB mirror of :func:`phrase_match`: ``phrases_values``
+    is a VALUES list ``(phrase_id, phrase)``; same tokenization, same
+    distinct-offset coverage rule."""
+    return f"""
+        WITH p(phrase_id, phrase) AS (VALUES {phrases_values}),
+        ptok AS (
+          SELECT phrase_id,
+                 list_filter(regexp_split_to_array(
+                   phrase, '{ASCII_WS_SPLIT_RE}'), s -> s != '') AS lst
+          FROM p),
+        pt AS (
+          SELECT phrase_id, CAST(len(lst) AS BIGINT) AS phrase_len,
+                 i - 1 AS off, lst[i] AS term
+          FROM ptok, unnest(range(1, len(lst) + 1)) AS u(i)),
+        tok AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(
+                   text, '{ASCII_WS_SPLIT_RE}'), s -> s != '') AS lst
+          FROM {docs_rel}),
+        occ AS (
+          SELECT doc_id, i - 1 AS pos, lst[i] AS term
+          FROM tok, unnest(range(1, len(lst) + 1)) AS u(i)),
+        starts AS (
+          SELECT occ.doc_id, pt.phrase_id, pt.phrase_len,
+                 occ.pos - pt.off AS start, pt.off
+          FROM occ JOIN pt USING (term)
+          WHERE occ.pos - pt.off >= 0),
+        full_starts AS (
+          SELECT doc_id, phrase_id, start
+          FROM starts
+          GROUP BY doc_id, phrase_id, start
+          HAVING COUNT(DISTINCT off) = MAX(phrase_len))
+        SELECT doc_id, phrase_id,
+               CAST(COUNT(*) AS BIGINT) AS n_matches,
+               CAST(MIN(start) AS BIGINT) AS first_pos
+        FROM full_starts GROUP BY doc_id, phrase_id"""

@@ -794,3 +794,22 @@ def test_admission_policy_equi_joins_jvm_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_phrase_match_broadcasts_phrase_terms(spark):
+    """the phrase-term table broadcasts into the occurrence join (only
+    phrase-term occurrences shuffle), both rollups stay JVM-side, and
+    no window appears."""
+    from hickoryspark.ops.retrieval import phrase_match
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text")
+    phrases = spark.createDataFrame(
+        [(0, "a b"), (1, "c")], "phrase_id long, phrase string")
+    out = phrase_match(docs, phrases)
+    out.count()
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
