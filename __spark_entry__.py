@@ -3862,6 +3862,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "nofollow",
         )
 
+    def q_publish_dates(spark, sf):
+        # publication-date extraction (ops/dates.py): pages built
+        # DISTRIBUTED per doc_id%6 variants — meta-beats-time, jsonld,
+        # time-only, url-path fallback, invalid-meta fall-through,
+        # dateless. The oracle is pure CASE arithmetic; the markup
+        # goes through the REAL parser + carrier priority.
+        import pandas as pd
+
+        from hickoryspark.ops.dates import publish_dates
+        from hickoryspark.spark.nodes_table import explode_nodes
+
+        docs = load_documents(spark, sf).select("doc_id")
+
+        def gen(batches):
+            for b in batches:
+                if not len(b):
+                    continue
+                urls, htmls = [], []
+                for did in b["doc_id"]:
+                    d = int(did)
+                    v = d % 6
+                    dd = d % 28 + 1
+                    meta = ('<meta property="article:published_time" '
+                            f'content="2024-03-{dd:02d}T10:00:00Z">')
+                    ld = ('<script type="application/ld+json">'
+                          '{"@type":"Article","datePublished":'
+                          f'"2023-11-{dd:02d}"}}</script>')
+                    time_el = (f'<time datetime="2022-01-{dd:02d}">x'
+                               "</time>")
+                    bad = ('<meta property="article:published_time" '
+                           'content="yesterday">')
+                    time2 = (f'<time datetime="2020-06-{dd:02d}">x'
+                             "</time>")
+                    url = (f"https://d.ex/2021/07/{dd:02d}/p{d}"
+                           if v == 3 else f"https://d.ex/p{d}")
+                    head, body = "", "<p>x</p>"
+                    if v == 0:
+                        head, body = meta, time_el
+                    elif v == 1:
+                        head, body = ld, time_el
+                    elif v == 2:
+                        body = time_el
+                    elif v == 4:
+                        head, body = bad, time2
+                    urls.append(url)
+                    htmls.append(
+                        f"<html><head><title>t{d}</title>{head}</head>"
+                        f"<body>{body}</body></html>"
+                    )
+                yield pd.DataFrame({"url": urls, "html": htmls})
+
+        pages = docs.mapInPandas(gen, "url string, html string")
+        out_df = publish_dates(explode_nodes(pages))
+        return out_df.select(
+            F.regexp_extract("url", r"p(\d+)$", 1).cast("long")
+            .alias("doc_id"),
+            "published", "date_source",
+        )
+
     out.update(
         charset_extract=q_charset_extract,
         pdf_extract=q_pdf_extract,
@@ -3903,6 +3962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         license_detect=q_license_detect,
         http_robots_flags=q_http_robots_flags,
         admission_policy=q_admission_policy,
+        publish_dates=q_publish_dates,
         quality_filter=q_quality_filter,
         link_domains=q_link_domains,
         pagination_resolve=q_pagination_resolve,
@@ -6534,6 +6594,30 @@ def oracle_sql() -> dict[str, str]:
     # url_features: the GENERATED mirror fragment over the same urls
     from hickoryspark.ops.urls import duckdb_url_features_sql
 
+    # publish_dates: every variant's winning carrier and date are
+    # doc_id arithmetic (the markup goes through the real parser on
+    # the Spark side only)
+    oracles["publish_dates"] = """
+        WITH v AS (
+          SELECT doc_id, doc_id % 6 AS v,
+                 lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd
+          FROM documents)
+        SELECT doc_id,
+               CASE v
+                 WHEN 0 THEN '2024-03-' || dd
+                 WHEN 1 THEN '2023-11-' || dd
+                 WHEN 2 THEN '2022-01-' || dd
+                 WHEN 3 THEN '2021-07-' || dd
+                 WHEN 4 THEN '2020-06-' || dd
+                 ELSE NULL END AS published,
+               CASE v
+                 WHEN 0 THEN 'meta'
+                 WHEN 1 THEN 'jsonld'
+                 WHEN 2 THEN 'time'
+                 WHEN 3 THEN 'url'
+                 WHEN 4 THEN 'time'
+                 ELSE '' END AS date_source
+        FROM v"""
     # admission_policy: every carrier signal is doc_id arithmetic
     # (the gate builds robots closed-form and feeds the REAL header /
     # meta parsers inputs whose flags are d%5 / d%4 functions), so

@@ -1,0 +1,131 @@
+"""Publication-date extraction — the freshness signal every crawl
+scheduler and training-data curator needs (date-based corpus slicing,
+dedup tie-breaking toward the earliest copy, recency weighting).
+
+The reference engine has no date layer; this extends the §2 surface
+over the node table (hickoryspark/spark/nodes_table.py) the way
+ops/metadata.py does, with a pinned carrier priority mirroring how
+real pages declare publication time:
+
+1. ``meta property="article:published_time"`` content (the Open Graph
+   article extension — the most explicit declaration);
+2. JSON-LD ``datePublished`` (top-level key of an
+   ``application/ld+json`` block);
+3. ``<time datetime="...">`` (the HTML-native carrier);
+4. a ``/YYYY/MM/DD/`` (or ``/YYYY/MM/``) path segment in the URL —
+   the blog-permalink fallback when the markup declares nothing.
+
+Pinned semantics (oracle-reproducible):
+
+- a candidate VALUE is valid iff, after ASCII-whitespace trim, it
+  starts with a plausible ISO date ``YYYY-MM-DD`` (month 01-12, day
+  01-31); ``published`` is that 10-char prefix (time-of-day and zone
+  are dropped — this is a date signal, not a timestamp parse);
+- an INVALID higher-priority candidate falls through (validity is
+  filtered BEFORE the priority pick, so a broken meta tag never
+  shadows a good ``<time>``);
+- within one priority, first in document order wins;
+- the URL fallback requires a 4-digit year 1900-2099 and a plausible
+  month; a missing day pins day 01;
+- every url in the node table keeps exactly one output row;
+  ``published`` is NULL and ``date_source`` is ``''`` when no carrier
+  yields a valid date.
+
+Scale shape: the three markup carriers are tiny after their element
+filters (filter-below-exchange, the page_metadata pattern); JSON-LD
+payloads attach via ONE url-local equi-join (script element ↔ its
+text child); the priority pick is a single min-struct groupBy on url
+— no windows, no Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hickoryspark.nodes import TYPE_ELEMENT, TYPE_TEXT
+from hickoryspark.ops.structured import JSONLD_MIME, _ASCII_WS_CHARS
+
+__all__ = ["publish_dates", "ISO_DATE_PREFIX_RE", "URL_DATE_RE"]
+
+#: plausible ISO-date prefix (anchored; applied to the trimmed value)
+ISO_DATE_PREFIX_RE = r"^(\d{4}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\d|3[01]))"
+
+#: /YYYY/MM[/DD]/ path segment (year 1900-2099; day optional)
+URL_DATE_RE = (
+    r"/((?:19|20)\d{2})/(0[1-9]|1[0-2])(?:/(0[1-9]|[12]\d|3[01]))?(?:/|$)"
+)
+
+
+def _valid_date(raw: Column) -> Column:
+    """10-char ISO date prefix of the trimmed value, NULL if invalid."""
+    v = F.regexp_extract(
+        F.btrim(raw, F.lit(_ASCII_WS_CHARS)), ISO_DATE_PREFIX_RE, 1)
+    return F.when(v != "", v)
+
+
+def publish_dates(nodes: DataFrame) -> DataFrame:
+    """node table → ``(url, published, date_source)`` under the pinned
+    carrier priority; one row per url."""
+    a = F.col("attrs")
+    elems = nodes.where(F.col("type") == TYPE_ELEMENT)
+
+    meta = elems.where(
+        (F.col("tag") == "meta")
+        & (F.lower(F.btrim(F.coalesce(a["property"], F.lit("")),
+                           F.lit(_ASCII_WS_CHARS)))
+           == "article:published_time")
+    ).select(
+        "url", F.lit(1).alias("prio"), "pre_ord",
+        F.lit("meta").alias("src"), _valid_date(a["content"]).alias("d"),
+    )
+
+    scripts = elems.where(
+        (F.col("tag") == "script")
+        & (F.lower(F.btrim(F.coalesce(a["type"], F.lit("")),
+                           F.lit(_ASCII_WS_CHARS))) == JSONLD_MIME)
+    ).select("url", F.col("node_id").alias("script_id"), "pre_ord")
+    payloads = nodes.where(
+        (F.col("type") == TYPE_TEXT)
+        & (F.col("parent_type") == TYPE_ELEMENT)
+        & (F.col("parent_tag") == "script")
+    ).select("url", F.col("parent_id").alias("script_id"),
+             F.col("text").alias("raw_json"))
+    jsonld = scripts.join(payloads, ["url", "script_id"]).select(
+        "url", F.lit(2).alias("prio"), "pre_ord",
+        F.lit("jsonld").alias("src"),
+        _valid_date(
+            F.get_json_object("raw_json", "$.datePublished")).alias("d"),
+    )
+
+    time_el = elems.where(F.col("tag") == "time").select(
+        "url", F.lit(3).alias("prio"), "pre_ord",
+        F.lit("time").alias("src"), _valid_date(a["datetime"]).alias("d"),
+    )
+
+    cands = meta.unionByName(jsonld).unionByName(time_el).where(
+        F.col("d").isNotNull())
+    picked = cands.groupBy("url").agg(
+        F.min(F.struct("prio", "pre_ord", "src", "d")).alias("_p"))
+
+    y = F.regexp_extract("url", URL_DATE_RE, 1)
+    m = F.regexp_extract("url", URL_DATE_RE, 2)
+    dd = F.regexp_extract("url", URL_DATE_RE, 3)
+    url_date = F.when(
+        y != "",
+        F.concat(y, F.lit("-"), m, F.lit("-"),
+                 F.when(dd != "", dd).otherwise(F.lit("01"))),
+    )
+
+    # node_id == 0 is the document root — exactly one row per url,
+    # no distinct aggregation needed
+    base = nodes.where(F.col("node_id") == 0).select("url")
+    out = base.join(picked, "url", "left")
+    published = F.coalesce(F.col("_p.d"), url_date)
+    source = (
+        F.when(F.col("_p.src").isNotNull(), F.col("_p.src"))
+        .when(url_date.isNotNull(), F.lit("url"))
+        .otherwise(F.lit(""))
+    )
+    return out.select(
+        "url", published.alias("published"), source.alias("date_source"))

@@ -813,3 +813,20 @@ def test_phrase_match_broadcasts_phrase_terms(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_publish_dates_filters_below_exchange_no_window(spark):
+    """carrier candidates are filtered before the url exchange, the
+    priority pick is a min-struct aggregation (never a window), and
+    the jsonld attach is an equi-join."""
+    from hickoryspark.ops.dates import publish_dates
+    from hickoryspark.spark.nodes_table import explode_nodes
+    from hickoryspark.spark.pages import load_pages
+
+    nodes = explode_nodes(load_pages(spark, SF_DIR))
+    out = publish_dates(nodes)
+    out.count()
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
