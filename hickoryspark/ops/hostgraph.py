@@ -1,0 +1,88 @@
+"""Host-level link graph — the site-graph rollup of the page edge
+list (ops/links.extract_links output).
+
+The page-grain web graph is too fine for most crawl policy: spam/farm
+detection, crawl budgeting, and site-level ranking (Host-graph
+PageRank, TrustRank seeding) all run on the HOST graph.  This module
+folds page edges to host grain with ops/hosts.url_host (the fuzzed
+WHATWG fold — same host notion as the blocklist and robots layers).
+
+Pinned semantics:
+
+- an edge contributes iff BOTH endpoints fold to a host (relative
+  un-resolved targets and scheme-less strings drop — they carry no
+  host signal);
+- ``host_edges`` aggregates parallel page edges into one weighted
+  host pair (self-loops = intra-host navigation kept — dropping them
+  is the caller's one-line filter);
+- ``host_link_stats`` per source host: total out-edges, intra/inter
+  split, distinct target hosts, and the top external target
+  (most-linked other host, host-ascending tie rule; NULL when the
+  host only links to itself).
+
+Scale shape: host_edges is ONE (src, dst) groupBy (map-side
+combinable — host pairs collapse massively before the shuffle);
+host_link_stats rolls the pair table up by src host — same key
+prefix, so the second aggregation reuses the first exchange's
+partitioning. The top-external pick is a min-struct aggregation over
+the pair table, never a window. No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hickoryspark.ops.hosts import duckdb_url_host_sql, url_host
+
+__all__ = ["host_edges", "host_link_stats", "duckdb_host_edges_sql"]
+
+
+def host_edges(links: DataFrame, src_col: str = "url",
+               dst_col: str = "resolved") -> DataFrame:
+    """page edges → ``(src_host, dst_host, n_links)`` weighted host
+    pairs (self-loops kept)."""
+    return (
+        links.select(
+            url_host(F.col(src_col)).alias("src_host"),
+            url_host(F.col(dst_col)).alias("dst_host"),
+        )
+        .where(F.col("src_host").isNotNull()
+               & F.col("dst_host").isNotNull())
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )
+
+
+def host_link_stats(links: DataFrame, src_col: str = "url",
+                    dst_col: str = "resolved") -> DataFrame:
+    """page edges → per-source-host rollup ``(src_host, n_edges,
+    n_intra, n_inter, n_hosts, top_external)``."""
+    pairs = host_edges(links, src_col, dst_col)
+    intra = F.col("src_host") == F.col("dst_host")
+    ext_pick = F.when(
+        ~intra, F.struct((-F.col("n_links")).alias("neg"), "dst_host"))
+    return pairs.groupBy("src_host").agg(
+        F.sum("n_links").cast("long").alias("n_edges"),
+        F.sum(F.when(intra, F.col("n_links")).otherwise(F.lit(0)))
+        .cast("long").alias("n_intra"),
+        F.sum(F.when(~intra, F.col("n_links")).otherwise(F.lit(0)))
+        .cast("long").alias("n_inter"),
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.min(ext_pick)["dst_host"].alias("top_external"),
+    )
+
+
+def duckdb_host_edges_sql(links_rel: str, src: str = "url",
+                          dst: str = "resolved") -> str:
+    """DuckDB mirror of :func:`host_edges` over relation
+    ``links_rel`` (must expose ``src``/``dst`` columns)."""
+    return f"""
+        SELECT src_host, dst_host,
+               CAST(COUNT(*) AS BIGINT) AS n_links
+        FROM (
+          SELECT {duckdb_url_host_sql(src)} AS src_host,
+                 {duckdb_url_host_sql(dst)} AS dst_host
+          FROM {links_rel})
+        WHERE src_host IS NOT NULL AND dst_host IS NOT NULL
+        GROUP BY src_host, dst_host"""

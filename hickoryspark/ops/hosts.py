@@ -43,7 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["url_host", "host_suffixes", "filter_blocklist",
-           "host_stats", "frontier_batches"]
+           "host_stats", "frontier_batches", "duckdb_url_host_sql"]
 
 #: max labels considered from the right when expanding suffix chains —
 #: a hostile 10k-dot host must not explode into 10k rows per url
@@ -157,3 +157,14 @@ def frontier_batches(urls: DataFrame, per_host: int = 8,
         .withColumn("batch", F.expr(f"_rn0 div {int(per_host)}"))
         .drop("_rn0")
     )
+
+
+def duckdb_url_host_sql(u: str) -> str:
+    """DuckDB expression mirroring :func:`url_host` on url expression
+    ``u`` — the host pattern is IMPORTED (single source, no lockstep
+    copy), trailing-dot strip uses \\z per the cross-dialect rule."""
+    hraw = (
+        f"regexp_replace(lower(regexp_extract({u}, '{_HOST_RE}', 1)), "
+        f"'\\.\\z', '')"
+    )
+    return f"(CASE WHEN {hraw} != '' THEN {hraw} END)"

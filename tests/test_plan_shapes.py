@@ -830,3 +830,23 @@ def test_publish_dates_filters_below_exchange_no_window(spark):
     assert "Window" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_host_graph_two_rollups_no_window(spark):
+    """host_edges collapses pairs map-side before the shuffle; the
+    stats rollup is aggregation-only (top-external is a min-struct,
+    never a window); everything JVM-side."""
+    from hickoryspark.ops.hostgraph import host_link_stats
+
+    edges = spark.createDataFrame(
+        [(f"https://h{i % 7}.ex/p{i}", f"https://h{(i * 3) % 11}.ex/t")
+         for i in range(200)],
+        "url string, resolved string")
+    out = host_link_stats(edges)
+    out.count()
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    # partial aggregation must appear below the exchange (map-side
+    # combine of host pairs)
+    assert "partial" in plan.lower(), plan
