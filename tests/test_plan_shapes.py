@@ -850,3 +850,17 @@ def test_host_graph_two_rollups_no_window(spark):
     # partial aggregation must appear below the exchange (map-side
     # combine of host pairs)
     assert "partial" in plan.lower(), plan
+
+
+def test_soft404_is_shuffle_free_jvm_only(spark):
+    """pure column expressions: no exchange, no Python crossing."""
+    from hickoryspark.ops.soft404 import soft404_signals
+
+    df = spark.createDataFrame(
+        [(f"u{i}", 200, "t", "x y z") for i in range(10)],
+        "url string, status int, title string, text string")
+    out = soft404_signals(df)
+    out.count()
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
