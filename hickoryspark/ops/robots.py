@@ -252,3 +252,79 @@ def robots_sitemaps(robots: DataFrame) -> DataFrame:
         F.row_number().over(w).cast("long").alias("sitemap_pos"),
         "sitemap_url",
     )
+
+
+def parse_crawl_delays(content: str) -> dict[str, int]:
+    """robots.txt text -> {agent(lower): delay_ms}. ``Crawl-delay`` is
+    not in RFC 9309 but is honored by most major crawlers; pinned
+    semantics: the value is decimal seconds (integer or fraction),
+    converted to whole milliseconds (truncated); values that do not
+    parse, are negative, or exceed 86400s are ignored; when an
+    agent's merged groups carry several delays, the LARGEST wins
+    (most polite). Group attribution follows parse_robots exactly
+    (same agent-run rule; a delay before any User-agent line is
+    dropped)."""
+    delays: dict[str, int] = {}
+    current: list[str] = []
+    last_was_agent = False
+    for raw in content.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            agent = value.lower()
+            if last_was_agent:
+                current.append(agent)
+            else:
+                current = [agent]
+            last_was_agent = True
+        else:
+            last_was_agent = False
+            if key != "crawl-delay" or not current:
+                continue
+            try:
+                secs = float(value)
+            except ValueError:
+                continue
+            if not (0 <= secs <= 86400):
+                continue
+            ms = int(secs * 1000)
+            for a in current:
+                if ms > delays.get(a, -1):
+                    delays[a] = ms
+    return delays
+
+
+def host_crawl_delays(robots: DataFrame, agent: str = "*",
+                      default_ms: int = 0) -> DataFrame:
+    """robots(host, content) -> (host, delay_ms): the politeness
+    interval ``agent`` must keep per host — its own group's delay if
+    any, else the ``*`` group's, else ``default_ms``. Feed straight
+    into ops/hosts.frontier_batches-style per-host pacing.
+
+    Scale shape: one mapInPandas pass over the robots relation (one
+    row per host — the same sanctioned cost class as robots_filter's
+    parse side; no join, no shuffle)."""
+    import pandas as pd
+
+    a = agent.lower()
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            if not len(b):
+                continue
+            out = []
+            for content in b["content"]:
+                if content is None:
+                    out.append(default_ms)
+                    continue
+                d = parse_crawl_delays(content)
+                ms = d.get(a, d.get("*", default_ms))
+                out.append(ms)
+            yield pd.DataFrame({"host": b["host"], "delay_ms": out})
+
+    return robots.select("host", "content").mapInPandas(
+        gen, "host string, delay_ms long")

@@ -61,3 +61,37 @@ def crawl_delta(
     return joined.select(
         "url", status.alias("status"), "old_hash", "new_hash"
     )
+
+
+def change_stability(obs: DataFrame, url_col: str = "url",
+                     changed_col: str = "changed") -> DataFrame:
+    """Revisit-scheduling signal from repeated crawl observations:
+    ``obs`` is one row per (url, visit) with a boolean ``changed``
+    (e.g. ``crawl_delta.status == 'changed'`` across consecutive
+    snapshot pairs) → ``(url, n_obs, n_changed, stability_milli)``.
+
+    ``stability_milli`` is the Cho & Garcia-Molina (VLDB 2000)
+    frequency estimator's stay-unchanged probability
+    ``(n - X + 0.5) / (n + 0.5)`` in EXACT milli-units:
+    ``(1000 * (2*(n - X) + 1)) div (2*n + 1)`` — all-integer (the
+    readability/pagerank rule: cross-engine gates need
+    order-independent arithmetic), monotone in the real estimator, so
+    ranking by it orders urls exactly as the float form would.
+    Low stability = change often = revisit first; the +0.5 smoothing
+    keeps never-changed urls below certainty and single-visit urls
+    informative. NULL ``changed`` rows count as observations that did
+    not change (a fetch that could not be compared is evidence of
+    nothing).
+
+    Scale shape: ONE map-side-combinable groupBy on url — no windows,
+    no Python."""
+    ch = F.coalesce(F.col(changed_col), F.lit(False))
+    agg = obs.groupBy(F.col(url_col).alias("url")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum(ch.cast("long")).cast("long").alias("n_changed"),
+    )
+    return agg.withColumn(
+        "stability_milli",
+        F.expr("(1000 * (2 * (n_obs - n_changed) + 1)) "
+               "div (2 * n_obs + 1)"),
+    )

@@ -864,3 +864,20 @@ def test_soft404_is_shuffle_free_jvm_only(spark):
     plan = _plan(out)
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_change_stability_single_mapside_rollup(spark):
+    """one url groupBy with partial aggregation below the exchange; no
+    window, no Python."""
+    from hickoryspark.ops.snapshots import change_stability
+
+    obs = spark.createDataFrame(
+        [(f"u{i % 9}", i % 3 == 0) for i in range(100)],
+        "url string, changed boolean")
+    out = change_stability(obs)
+    out.count()
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert plan.count("Exchange") == 1, plan
+    assert "partial" in plan.lower(), plan
