@@ -881,3 +881,17 @@ def test_change_stability_single_mapside_rollup(spark):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert plan.count("Exchange") == 1, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_c4_filter_zero_shuffle_jvm_only(spark):
+    """the whole line/page program is per-row higher-order array
+    expressions: no exchange, no Python crossing."""
+    from hickoryspark.ops.c4filter import c4_line_filter
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text")
+    out = c4_line_filter(docs)
+    out.count()
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
