@@ -51,9 +51,13 @@ __all__ = ["publish_dates", "ISO_DATE_PREFIX_RE", "URL_DATE_RE"]
 #: plausible ISO-date prefix (anchored; applied to the trimmed value)
 ISO_DATE_PREFIX_RE = r"^(\d{4}-(?:0[1-9]|1[0-2])-(?:0[1-9]|[12]\d|3[01]))"
 
-#: /YYYY/MM[/DD]/ path segment (year 1900-2099; day optional)
+#: /YYYY/MM[/DD] path segment (year 1900-2099; day optional); the
+#: terminator accepts '/', '?', '#', or end-of-string (a permalink
+#: with tracking params keeps its day) — \z, never $ (cross-dialect
+#: rule)
 URL_DATE_RE = (
-    r"/((?:19|20)\d{2})/(0[1-9]|1[0-2])(?:/(0[1-9]|[12]\d|3[01]))?(?:/|$)"
+    r"/((?:19|20)\d{2})/(0[1-9]|1[0-2])(?:/(0[1-9]|[12]\d|3[01]))?"
+    r"(?:[/?#]|\z)"
 )
 
 
@@ -108,23 +112,28 @@ def publish_dates(nodes: DataFrame) -> DataFrame:
     picked = cands.groupBy("url").agg(
         F.min(F.struct("prio", "pre_ord", "src", "d")).alias("_p"))
 
-    y = F.regexp_extract("url", URL_DATE_RE, 1)
-    m = F.regexp_extract("url", URL_DATE_RE, 2)
-    dd = F.regexp_extract("url", URL_DATE_RE, 3)
-    url_date = F.when(
-        y != "",
-        F.concat(y, F.lit("-"), m, F.lit("-"),
-                 F.when(dd != "", dd).otherwise(F.lit("01"))),
-    )
-
     # node_id == 0 is the document root — exactly one row per url,
     # no distinct aggregation needed
     base = nodes.where(F.col("node_id") == 0).select("url")
     out = base.join(picked, "url", "left")
-    published = F.coalesce(F.col("_p.d"), url_date)
+    # run the url regex ONCE per row (group 0), then slice the
+    # fixed-format match: '/YYYY/MM' is positions 2-5 / 7-8, a day is
+    # present iff position 9 is '/' and two day digits follow (the
+    # regex admits nothing else there)
+    out = out.withColumn(
+        "_m0", F.regexp_extract("url", URL_DATE_RE, 0))
+    m0 = F.col("_m0")
+    dd = F.when(
+        F.substring(m0, 9, 1) == "/", F.substring(m0, 10, 2)
+    ).otherwise(F.lit(""))
+    url_date = F.concat(
+        F.substring(m0, 2, 4), F.lit("-"), F.substring(m0, 7, 2),
+        F.lit("-"), F.when(dd != "", dd).otherwise(F.lit("01")))
+    published = F.coalesce(
+        F.col("_p.d"), F.when(m0 != "", url_date))
     source = (
         F.when(F.col("_p.src").isNotNull(), F.col("_p.src"))
-        .when(url_date.isNotNull(), F.lit("url"))
+        .when(m0 != "", F.lit("url"))
         .otherwise(F.lit(""))
     )
     return out.select(

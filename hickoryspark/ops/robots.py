@@ -26,6 +26,7 @@ a crawl frontier already has.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, Window
@@ -34,11 +35,16 @@ from pyspark.sql import functions as F
 _HOST_RE = r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)"
 
 
-def parse_robots(content: str) -> dict[str, list[tuple[bool, str]]]:
-    """robots.txt text -> {agent(lower): [(is_allow, value), ...]}.
-    Groups for the same agent merge; rules preceding any User-agent
-    line are dropped (RFC 9309 §2.2.1)."""
-    groups: dict[str, list[tuple[bool, str]]] = {}
+def _group_lines(content: str):
+    """The ONE group-attribution state machine every robots.txt
+    consumer in this module shares (parse_robots, parse_crawl_delays
+    — their pinned 'same agent-run rule' equivalence is structural,
+    not two hand-synced loops): yields ``(key, value, current)``
+    for each non-empty line, where ``key`` is lowercased, ``value``
+    comment-stripped and trimmed, and ``current`` is the agent list
+    of the group in effect (empty before any User-agent line). A
+    contiguous User-agent run accumulates agents; any other line
+    ends the run but not the group."""
     current: list[str] = []
     last_was_agent = False
     for raw in content.splitlines():
@@ -54,21 +60,29 @@ def parse_robots(content: str) -> dict[str, list[tuple[bool, str]]]:
                 current.append(agent)
             else:
                 current = [agent]
+            last_was_agent = True
+        else:
+            last_was_agent = False
+        yield key, value, current
+
+
+def parse_robots(content: str) -> dict[str, list[tuple[bool, str]]]:
+    """robots.txt text -> {agent(lower): [(is_allow, value), ...]}.
+    Groups for the same agent merge; rules preceding any User-agent
+    line are dropped (RFC 9309 §2.2.1)."""
+    groups: dict[str, list[tuple[bool, str]]] = {}
+    for key, value, current in _group_lines(content):
+        if key == "user-agent":
             for a in current:
                 groups.setdefault(a, [])
-            last_was_agent = True
         elif key in ("allow", "disallow"):
-            last_was_agent = False
             if not current:
                 continue  # rule before any user-agent line
             if key == "disallow" and value == "":
                 continue  # empty Disallow matches nothing
             for a in current:
                 groups.setdefault(a, []).append((key == "allow", value))
-        else:
-            # sitemap / crawl-delay / unknown: ends the agent-line run
-            # but not the group
-            last_was_agent = False
+        # sitemap / crawl-delay / unknown lines carry no rules here
     return groups
 
 
@@ -265,36 +279,22 @@ def parse_crawl_delays(content: str) -> dict[str, int]:
     (same agent-run rule; a delay before any User-agent line is
     dropped)."""
     delays: dict[str, int] = {}
-    current: list[str] = []
-    last_was_agent = False
-    for raw in content.splitlines():
-        line = raw.split("#", 1)[0].strip()
-        if not line:
+    for key, value, current in _group_lines(content):
+        if key != "crawl-delay" or not current:
             continue
-        key, _, value = line.partition(":")
-        key = key.strip().lower()
-        value = value.strip()
-        if key == "user-agent":
-            agent = value.lower()
-            if last_was_agent:
-                current.append(agent)
-            else:
-                current = [agent]
-            last_was_agent = True
-        else:
-            last_was_agent = False
-            if key != "crawl-delay" or not current:
-                continue
-            try:
-                secs = float(value)
-            except ValueError:
-                continue
-            if not (0 <= secs <= 86400):
-                continue
-            ms = int(secs * 1000)
-            for a in current:
-                if ms > delays.get(a, -1):
-                    delays[a] = ms
+        # plain decimal only (no sign, exponent, underscores, inf);
+        # exact ms via integer arithmetic — float()*1000 truncates
+        # '1.005' to 1004
+        m = re.fullmatch(r"([0-9]+)(?:\.([0-9]+))?", value)
+        if m is None:
+            continue
+        whole, frac = int(m.group(1)), (m.group(2) or "")
+        if whole > 86400 or (whole == 86400 and frac.strip("0")):
+            continue
+        ms = whole * 1000 + int((frac + "000")[:3])
+        for a in current:
+            if ms > delays.get(a, -1):
+                delays[a] = ms
     return delays
 
 

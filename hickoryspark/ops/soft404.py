@@ -13,7 +13,7 @@ carries.
 Pinned semantics:
 
 - ``title_404``: the title matches the error-phrase pattern
-  (:data:`ERROR_PHRASE_RE`, case-insensitive, substring);
+  (:data:`ERROR_PHRASE_RE`, ASCII-case-insensitive, substring);
 - ``phrase_hit``: the body text matches the same pattern;
 - ``thin``: fewer than ``thin_tokens`` (default 20) ASCII-whitespace
   tokens in the body;
@@ -27,7 +27,7 @@ Pinned semantics:
 Scale shape: pure JVM column expressions — no shuffle, no Python, one
 regex pass over title and text each. The DuckDB mirror is GENERATED
 from the same pattern (RE2 ∩ Java-regex subset: alternation +
-inline (?i) only).
+explicit ASCII case classes, no case flags).
 """
 
 from __future__ import annotations
@@ -40,12 +40,28 @@ from hickoryspark.ops.chunking import ASCII_WS_SPLIT_RE
 __all__ = ["soft404_signals", "duckdb_soft404_sql", "ERROR_PHRASE_RE",
            "DEFAULT_THIN_TOKENS"]
 
-#: error-page phrases (substring match, case-insensitive); shared
-#: verbatim with the DuckDB mirror — RE2 ∩ Java subset only
-ERROR_PHRASE_RE = (
-    "(?i)(page not found|not be found|404|no longer available"
-    "|does not exist|page unavailable)"
+#: error-page phrases (substring match, ASCII-case-insensitive)
+ERROR_PHRASES = (
+    "page not found", "not be found", "404", "no longer available",
+    "does not exist", "page unavailable",
 )
+
+
+def _ascii_ci(phrase: str) -> str:
+    """Per-letter [Xx] classes instead of (?i): Java's (?i) folds
+    ASCII only while RE2's applies Unicode simple folding (U+017F ſ
+    folds to 's' in RE2 alone), so an inline flag would let the two
+    engines disagree on non-ASCII subjects. Explicit classes are
+    byte-identical in both."""
+    return "".join(
+        f"[{c.upper()}{c.lower()}]" if c.isalpha() else c
+        for c in phrase
+    )
+
+
+#: generated pattern, shared verbatim with the DuckDB mirror —
+#: RE2 ∩ Java subset with NO case flags
+ERROR_PHRASE_RE = "(" + "|".join(_ascii_ci(p) for p in ERROR_PHRASES) + ")"
 
 DEFAULT_THIN_TOKENS = 20
 

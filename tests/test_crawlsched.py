@@ -100,3 +100,32 @@ def test_host_crawl_delays_agent_fallback(spark):
            for r in host_crawl_delays(robots, agent="TestBot",
                                       default_ms=250).collect()}
     assert out == {"h1": 1500, "h2": 4000, "h3": 250, "h4": 250}
+
+
+def test_crawl_delay_exact_ms_and_strict_decimal():
+    # review regression: '1.005' is exactly 1005 ms (float*1000 gave
+    # 1004); non-plain-decimal spellings are unparseable, not floats
+    from hickoryspark.ops.robots import parse_crawl_delays
+
+    def one(v):
+        return parse_crawl_delays(f"User-agent: a\nCrawl-delay: {v}\n")
+
+    assert one("1.005") == {"a": 1005}
+    assert one("0.0005") == {"a": 0}
+    assert one("86400") == {"a": 86400000}
+    assert one("86400.001") == {}
+    assert one("1_5") == {}
+    assert one("1e3") == {}
+    assert one("+2") == {}
+    assert one("nan") == {}
+
+
+def test_group_iterator_shared_between_parsers():
+    # the pinned 'same agent-run rule' equivalence is structural:
+    # both parsers consume _group_lines
+    import inspect
+
+    from hickoryspark.ops import robots
+
+    assert "_group_lines" in inspect.getsource(robots.parse_robots)
+    assert "_group_lines" in inspect.getsource(robots.parse_crawl_delays)

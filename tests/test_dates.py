@@ -112,3 +112,18 @@ def test_whitespace_trim_and_malformed_json(spark):
 def test_every_url_keeps_a_row(spark):
     out = _run(spark, [("u1", _page()), ("u2", "<p>bare</p>")])
     assert set(out) == {"u1", "u2"}
+
+
+def test_url_date_with_query_or_fragment_terminator(spark):
+    # review regression: a day segment followed by '?' or '#' must
+    # keep its day (not silently degrade to day 01)
+    out = _run(spark, [
+        ("https://b.ex/2021/07/15?utm_source=x", _page()),
+        ("https://b.ex/2021/07/15#frag", _page()),
+        ("https://b.ex/2021/07?x=1", _page()),
+        ("https://b.ex/2021/07/159abc", _page()),
+    ])
+    assert out["https://b.ex/2021/07/15?utm_source=x"] == ("2021-07-15", "url")
+    assert out["https://b.ex/2021/07/15#frag"] == ("2021-07-15", "url")
+    assert out["https://b.ex/2021/07?x=1"] == ("2021-07-01", "url")
+    assert out["https://b.ex/2021/07/159abc"] == ("2021-07-01", "url")

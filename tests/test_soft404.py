@@ -90,3 +90,25 @@ def test_mirror_agrees(spark):
         g = got[u]
         assert (g["n_tokens"], g["title_404"], g["phrase_hit"],
                 g["thin"], g["is_soft404"]) == (n, t4, ph, th, s4), u
+
+
+def test_pattern_has_no_case_flag_and_folds_ascii_only(spark):
+    # review regression: (?i) folds differently in Java vs RE2 on
+    # non-ASCII (U+017F); the generated pattern must use explicit
+    # ASCII classes and both engines must agree on a kafka-s subject
+    import duckdb
+
+    from hickoryspark.ops.soft404 import ERROR_PHRASE_RE, soft404_signals
+
+    assert "(?i)" not in ERROR_PHRASE_RE
+    tricky = "thiſ page doeſ not exiſt"
+    df = spark.createDataFrame(
+        [("u", 200, tricky, tricky)],
+        "url string, status int, title string, text string")
+    row = soft404_signals(df).collect()[0]
+    got = (row["title_404"], row["phrase_hit"])
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT regexp_matches(?, ?), regexp_matches(?, ?)",
+        [tricky, ERROR_PHRASE_RE, tricky, ERROR_PHRASE_RE]).fetchone()
+    assert got == tuple(want) == (False, False)
