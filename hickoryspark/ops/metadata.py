@@ -268,3 +268,36 @@ def extract_hreflang(nodes: DataFrame) -> DataFrame:
         "href",
         resolve_href(F.col("url"), F.col("href")).alias("resolved"),
     )
+
+
+def duplicate_titles(meta: DataFrame, min_pages: int = 2) -> DataFrame:
+    """SEO/template-hygiene rollup over ``page_metadata`` output: one
+    row per (host, title) shared by at least ``min_pages`` DISTINCT
+    urls — duplicated titles mark boilerplate templates, soft-404
+    farms, and pagination families worth collapsing before indexing.
+
+    Pinned semantics: the host is ops/hosts.url_host's WHATWG fold
+    (hostless urls drop); the match key is the title AS EXTRACTED
+    (page_metadata already pins first-in-doc-order head titles);
+    NULL/empty titles never cluster; ``first_url`` is the smallest
+    member url.
+
+    Scale shape: ONE (host, title) groupBy, map-side combinable; the
+    threshold filters at the aggregation — no self-join, no window."""
+    from hickoryspark.ops.hosts import url_host
+
+    keyed = meta.select(
+        url_host(F.col("url")).alias("host"),
+        F.col("title"), F.col("url"),
+    ).where(
+        F.col("host").isNotNull()
+        & F.col("title").isNotNull() & (F.col("title") != "")
+    )
+    return (
+        keyed.groupBy("host", "title")
+        .agg(
+            F.count_distinct("url").cast("long").alias("n_pages"),
+            F.min("url").alias("first_url"),
+        )
+        .where(F.col("n_pages") >= min_pages)
+    )

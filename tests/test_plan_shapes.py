@@ -895,3 +895,39 @@ def test_c4_filter_zero_shuffle_jvm_only(spark):
     plan = _plan(out)
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_embstats_prunes_columns_and_rollup_is_jvm(spark):
+    """the Arrow pass carries only (vec_id, label, embedding); the
+    label rollup is a plain JVM aggregation over the per-vec rows."""
+    from hickoryspark.ops.embstats import label_norm_rollup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = label_norm_rollup(emb)
+    out.count()
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert plan.count("ArrowEval") + plan.count("MapInPandas") >= 1
+    # column pruning: the scan's ReadSchema must not exceed the three
+    # needed columns
+    import re as _re
+    m = _re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",") if c
+    ) <= {"vec_id", "label", "embedding"}, plan
+
+
+def test_duplicate_titles_single_rollup(spark):
+    """one (host, title) groupBy, threshold at the aggregation — no
+    window, no self-join."""
+    from hickoryspark.ops.metadata import duplicate_titles
+
+    meta = spark.createDataFrame(
+        [(f"https://h{i % 3}.ex/p{i}", f"T{i % 5}") for i in range(40)],
+        "url string, title string")
+    out = duplicate_titles(meta)
+    out.count()
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
