@@ -931,3 +931,26 @@ def test_duplicate_titles_single_rollup(spark):
     assert "Window" not in plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_frontier_priority_joins_and_no_sort(spark):
+    """url equi-join for stability, host join for delays (equi, never
+    nested-loop), no window, no global sort, no Python."""
+    from hickoryspark.ops.frontier import frontier_priority
+
+    pages = spark.createDataFrame(
+        [(f"https://h{i % 4}.ex/p{i}",) for i in range(50)],
+        "url string")
+    stability = spark.createDataFrame(
+        [(f"https://h{i % 4}.ex/p{i}", 400 + i) for i in range(0, 50, 3)],
+        "url string, stability_milli long")
+    delays = spark.createDataFrame(
+        [(f"h{k}.ex", 1000 * k) for k in range(4)],
+        "host string, delay_ms long")
+    out = frontier_priority(pages, stability, delays)
+    out.count()
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan and "Sort [priority" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
