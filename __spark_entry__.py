@@ -1295,6 +1295,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [("ex.test", "\n".join(lines))], "host string, content string"
         )
 
+    def q_phrase_snippets(spark, sf):
+        # KWIC snippets (ops/retrieval.phrase_snippets) over the same
+        # fixed phrase set as phrase_search (window=2: left/right
+        # clamping engages on matches near doc edges). Oracle = the
+        # full relational mirror.
+        from hickoryspark.ops.retrieval import phrase_snippets
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "text")
+        ps = spark.createDataFrame(_PHRASE_QUERIES,
+                                   "phrase_id long, phrase string")
+        return phrase_snippets(docs, ps, window=2)
+
     def q_frontier_priority(spark, sf):
         # full scheduler composition (ops/frontier.py): url shapes
         # (root-with-param / deep+params / shallow) x REAL
@@ -4261,6 +4274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         corpus_admission=q_corpus_admission,
         embedding_norms=q_embedding_norms,
         frontier_priority=q_frontier_priority,
+        phrase_snippets=q_phrase_snippets,
         title_clusters=q_title_clusters,
         robots_crawl_delay=q_robots_crawl_delay,
         quality_filter=q_quality_filter,
@@ -7175,6 +7189,12 @@ def oracle_sql() -> dict[str, str]:
     oracles["phrase_search"] = duckdb_phrase_sql(
         "documents",
         ", ".join(f"({q}, '{t}')" for q, t in _PHRASE_QUERIES))
+    from hickoryspark.ops.retrieval import duckdb_snippets_sql
+
+    oracles["phrase_snippets"] = duckdb_snippets_sql(
+        "documents",
+        ", ".join(f"({q}, '{t}')" for q, t in _PHRASE_QUERIES),
+        window=2)
     from hickoryspark.ops.chunking import ASCII_WS_SPLIT_RE as _dws
     from hickoryspark.ops.decontam import duckdb_decontam_sql
 

@@ -250,3 +250,72 @@ def duckdb_phrase_sql(docs_rel: str, phrases_values: str) -> str:
                CAST(COUNT(*) AS BIGINT) AS n_matches,
                CAST(MIN(start) AS BIGINT) AS first_pos
         FROM full_starts GROUP BY doc_id, phrase_id"""
+
+
+def phrase_snippets(docs: DataFrame, phrases: DataFrame,
+                    window: int = 3,
+                    text_col: str = "text") -> DataFrame:
+    """KWIC (keyword-in-context) snippets: for each (doc, phrase)
+    match from :func:`phrase_match`, the token window around the
+    FIRST occurrence — ``window`` tokens of left context, the phrase,
+    ``window`` tokens of right context, space-joined.
+
+    Scale shape: snippets are sliced only for MATCHED (doc, phrase)
+    rows (the phrase_match output, usually tiny), via one doc_id
+    equi-join against the per-doc token arrays; the slice is a
+    per-row array op. No windows, no Python."""
+    from hickoryspark.ops.postings import token_positions  # noqa: F401
+
+    toks_arr = F.filter(
+        F.split(F.col(text_col), ASCII_WS_SPLIT_RE), lambda t: t != "")
+    doc_toks = docs.select("doc_id", toks_arr.alias("_toks"))
+
+    ptoks = F.filter(
+        F.split(F.col("phrase"), ASCII_WS_SPLIT_RE), lambda t: t != "")
+    plen = phrases.select(
+        "phrase_id", F.size(ptoks).cast("long").alias("_plen"))
+
+    m = phrase_match(docs, phrases, text_col)
+    start = F.greatest(F.col("first_pos") - window, F.lit(0))
+    length = (F.col("first_pos") + F.col("_plen") + window) - start
+    joined = (
+        m.join(F.broadcast(plen), "phrase_id")
+        .join(doc_toks, "doc_id")
+    )
+    snippet = F.array_join(
+        F.slice(F.col("_toks"), (start + 1).cast("int"),
+                length.cast("int")),
+        " ")
+    return joined.select(
+        "doc_id", "phrase_id", "first_pos", snippet.alias("snippet"))
+
+
+def duckdb_snippets_sql(docs_rel: str, phrases_values: str,
+                        window: int = 3) -> str:
+    """Full DuckDB mirror of :func:`phrase_snippets` (same phrase
+    program, 1-based inclusive list slicing)."""
+    inner = duckdb_phrase_sql(docs_rel, phrases_values)
+    return f"""
+        WITH pm AS ({inner}),
+        plen AS (
+          SELECT phrase_id,
+                 CAST(len(list_filter(regexp_split_to_array(
+                   phrase, '{ASCII_WS_SPLIT_RE}'), s -> s != ''))
+                   AS BIGINT) AS plen
+          FROM (SELECT * FROM (VALUES {phrases_values})
+                AS v(phrase_id, phrase))),
+        dtoks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(
+                   text, '{ASCII_WS_SPLIT_RE}'), s -> s != '') AS toks
+          FROM {docs_rel})
+        SELECT pm.doc_id, pm.phrase_id, pm.first_pos,
+               COALESCE(array_to_string(
+                 dtoks.toks[
+                   CAST(GREATEST(pm.first_pos - {window}, 0) + 1
+                        AS BIGINT) :
+                   CAST(pm.first_pos + plen.plen + {window}
+                        AS BIGINT)],
+                 ' '), '') AS snippet
+        FROM pm JOIN plen USING (phrase_id)
+        JOIN dtoks USING (doc_id)"""

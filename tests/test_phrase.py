@@ -98,3 +98,47 @@ def test_mirror_agrees_on_random_texts(spark):
             duckdb_phrase_sql("documents", vals)).fetchall()
     }
     assert got == want
+
+
+def test_snippets_window_and_clamping(spark):
+    from hickoryspark.ops.retrieval import phrase_snippets
+
+    docs = spark.createDataFrame(
+        [(1, "a b c X Y d e f"), (2, "X Y tail1 tail2"),
+         (3, "lead X Y")],
+        "doc_id long, text string")
+    phrases = spark.createDataFrame(
+        [(0, "X Y")], "phrase_id long, phrase string")
+    out = {r["doc_id"]: (r["first_pos"], r["snippet"])
+           for r in phrase_snippets(docs, phrases, window=2).collect()}
+    assert out[1] == (3, "b c X Y d e")
+    assert out[2] == (0, "X Y tail1 tail2")   # left clamp
+    assert out[3] == (1, "lead X Y")          # right clamp
+
+
+def test_snippets_mirror_agrees(spark):
+    import random
+
+    import duckdb
+
+    from hickoryspark.ops.retrieval import (duckdb_snippets_sql,
+                                            phrase_snippets)
+
+    rng = random.Random(13)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 25))))
+        for i in range(30)
+    ]
+    phrases = [(0, "a b"), (1, "c"), (2, "d d")]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    p = spark.createDataFrame(phrases, "phrase_id long, phrase string")
+    got = {(r["doc_id"], r["phrase_id"]): (r["first_pos"], r["snippet"])
+           for r in phrase_snippets(d, p, window=2).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    vals = ", ".join(f"({i}, '{ph}')" for i, ph in phrases)
+    want = {(dd, pp): (fp, sn) for dd, pp, fp, sn in con.execute(
+        duckdb_snippets_sql("documents", vals, window=2)).fetchall()}
+    assert got == want
