@@ -64,3 +64,25 @@ def cdx_records(captures: DataFrame, url_col: str = "url",
         F.coalesce(F.octet_length(payload), F.lit(0)).cast("long")
         .alias("length"),
     )
+
+
+def cdx_dedup(cdx: DataFrame) -> DataFrame:
+    """Web-archive revisit dedup over CDX rows: one row per
+    (surt_key, digest) with the ORIGINAL capture's timestamp and the
+    revisit count — the aggregation behind WARC ``revisit`` records
+    (identical-digest recaptures store a pointer, not the payload;
+    WARC 1.1 §6.7.2). Storage saved = sum over rows of
+    (n_captures - 1) * length.
+
+    Pinned: the original is the ts14-minimum capture (ts14 is
+    zero-padded UTC, so string min == time min); ``n_captures``
+    counts all identical-digest captures of the same SURT key.
+
+    Scale shape: ONE map-side-combinable (surt_key, digest) groupBy —
+    no window, no self-join (the CDX writer's global sort is the
+    writer's job, ops/cdx.cdx_records docstring)."""
+    return cdx.groupBy("surt_key", "digest").agg(
+        F.min("ts14").alias("first_ts14"),
+        F.count(F.lit(1)).cast("long").alias("n_captures"),
+        F.max("length").cast("long").alias("length"),
+    )

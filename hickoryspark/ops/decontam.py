@@ -40,7 +40,8 @@ from pyspark.sql import functions as F
 from hickoryspark.ops.chunking import ASCII_WS_SPLIT_RE
 from hickoryspark.ops.dedup import join_ngrams
 
-__all__ = ["decontaminate", "duckdb_decontam_sql"]
+__all__ = ["decontaminate", "duckdb_decontam_sql",
+           "benchmark_ngrams", "ngram_overlap"]
 
 
 def _toks(text_col: str):
@@ -154,3 +155,61 @@ def duckdb_decontam_sql(
                    AS n_bench_docs
         FROM cg JOIN bg ON bg.gram = cg.gram AND bg.L = cg.L
         GROUP BY cg.doc_id"""
+
+
+# --------------------------------------------------------------------------
+# distinct-gram overlap counting (the original API of this module —
+# restored after the 13-gram window rewrite above accidentally dropped
+# it; the decontam_overlap gate and its oracle pin these semantics)
+
+def benchmark_ngrams(benchmark: DataFrame, n: int = 13,
+                     text_col: str = "text") -> DataFrame:
+    """Distinct token n-grams of the benchmark corpus: one column
+    ``gram``. Small by construction — meant to be broadcast."""
+    from hickoryspark.ops.dedup import shingles
+
+    return (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(shingles(F.col(text_col), n))
+            ).alias("gram")
+        )
+        .distinct()
+    )
+
+
+def ngram_overlap(docs: DataFrame, benchmark: DataFrame, n: int = 13,
+                  text_col: str = "text") -> DataFrame:
+    """Per-document benchmark contamination counts: ``(doc_id,
+    n_hits)`` for EVERY input document (zero-filled); ``n_hits``
+    counts the DISTINCT n-grams of the doc appearing anywhere in the
+    benchmark corpus.
+
+    Scale shape: the benchmark gram set broadcasts; per-doc gram
+    dedup is row-local array_distinct (no distinct-shuffle); the
+    broadcast join is left_semi so non-matching grams die map-side;
+    the only exchange is the map-side-combined (doc_id, count)
+    rollup."""
+    bench = benchmark_ngrams(benchmark, n, text_col)
+    from hickoryspark.ops.dedup import shingles
+
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col), n))
+        ).alias("gram"),
+    )
+    hits = (
+        grams.join(F.broadcast(bench), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+            .alias("n_hits"),
+        )
+    )

@@ -96,3 +96,25 @@ def test_mojibake_duckdb_mirror(spark):
     sql = f"SELECT doc_id, {duckdb_mojibake_sql('text')} FROM t"
     for row in con.execute(sql).fetchall():
         assert spark_rows[row[0]] == tuple(row[1:]), row
+def test_cdx_dedup_revisits(spark):
+    from hickoryspark.ops.cdx import cdx_dedup, cdx_records
+
+    caps = spark.createDataFrame(
+        [("https://a.ex/p", "2026-01-01 00:00:00", b"same"),
+         ("https://a.ex/p", "2026-01-02 00:00:00", b"same"),
+         ("https://a.ex/p", "2026-01-03 00:00:00", b"changed"),
+         ("https://A.EX/p", "2025-12-31 00:00:00", b"same"),  # surt folds
+         ("https://b.ex/q", "2026-01-01 00:00:00", b"same")],  # other key
+        "url string, ts string, payload binary").selectExpr(
+        "url", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "payload")
+    out = {(r["surt_key"], r["digest"][:6]): (r["first_ts14"],
+                                              r["n_captures"])
+           for r in cdx_dedup(cdx_records(caps)).collect()}
+    import hashlib
+    same6 = hashlib.md5(b"same").hexdigest()[:6]
+    chg6 = hashlib.md5(b"changed").hexdigest()[:6]
+    a_key = [k for k in out if k[0].startswith("ex,a)")][0][0]
+    b_key = [k for k in out if k[0].startswith("ex,b)")][0][0]
+    assert out[(a_key, same6)] == ("20251231000000", 3)
+    assert out[(a_key, chg6)] == ("20260103000000", 1)
+    assert out[(b_key, same6)] == ("20260101000000", 1)

@@ -105,3 +105,23 @@ def test_decontam_standard_n13_path(spark):
     got = {r["doc_id"]: r["n_hit_grams"]
            for r in decontaminate(corpus, bench, n=13).collect()}
     assert got == {0: 8}  # 20-13+1 windows, all present in doc 0
+
+
+def test_both_decontam_apis_coexist(spark):
+    # regression: the 13-gram window rewrite once dropped the original
+    # distinct-gram API and silently broke the decontam_overlap gate
+    # (caught only by a full parity sweep) — both must stay importable
+    # and behaviorally sane
+    from hickoryspark.ops.decontam import (benchmark_ngrams,
+                                           decontaminate, ngram_overlap)
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "z z z z z"), (3, "c d e f g")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(1, "b c d")], "doc_id long, text string")
+    assert benchmark_ngrams(bench, n=3).count() == 1
+    out = {r["doc_id"]: r["n_hits"]
+           for r in ngram_overlap(docs, bench, n=3).collect()}
+    assert out == {1: 1, 2: 0, 3: 0}
+    assert callable(decontaminate)
