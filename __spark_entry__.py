@@ -3493,6 +3493,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return tfidf_top_terms(load_documents(spark, sf), 3)
 
+    def q_term_bigrams(spark, sf):
+        # Dice-coefficient collocation mining (ops/terms.bigram_dice)
+        # over the documents corpus; exact bounded integers (PMI's
+        # N-squared ratio overflows BIGINT at web scale — documented
+        # in the op). Oracle = the full relational mirror.
+        from hickoryspark.ops.terms import bigram_dice
+
+        return bigram_dice(load_documents(spark, sf), min_count=2)
+
     def q_text_surprisal(spark, sf):
         # unigram-LM fluency scoring (ops/terms.py): token-weighted
         # mean surprisal under the corpus's own unigram distribution
@@ -4277,6 +4286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         index_term_stats=q_index_term_stats,
         text_tfidf=q_text_tfidf,
         text_surprisal=q_text_surprisal,
+        term_bigrams=q_term_bigrams,
         dedup_incremental=q_dedup_incremental,
         score_buckets=q_score_buckets,
         url_features=q_url_features,
@@ -7290,6 +7300,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(200 AS BIGINT) AS status,
                CAST(strlen(pay) AS BIGINT) AS length
         FROM caps"""
+    # term_bigrams: the GENERATED full mirror
+    from hickoryspark.ops.terms import duckdb_bigram_dice_sql
+
+    oracles["term_bigrams"] = duckdb_bigram_dice_sql(
+        "documents", min_count=2)
     # cdx_dedup: same revisit construction, grouped relationally on
     # the GENERATED surt mirror; ts14 string-min == time-min
     oracles["cdx_dedup"] = f"""

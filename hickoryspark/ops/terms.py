@@ -43,7 +43,8 @@ from pyspark.sql import functions as F
 
 from hickoryspark.ops.chunking import ASCII_WS_SPLIT_RE
 
-__all__ = ["term_frequencies", "tfidf_top_terms", "unigram_surprisal"]
+__all__ = ["term_frequencies", "tfidf_top_terms", "unigram_surprisal",
+           "bigram_dice", "duckdb_bigram_dice_sql"]
 
 
 def term_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -137,3 +138,84 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("avg_surprisal"),
         )
     )
+
+
+def bigram_dice(docs: DataFrame, min_count: int = 2,
+                text_col: str = "text") -> DataFrame:
+    """Collocation mining — corpus-wide adjacent-bigram affinity by
+    the Dice coefficient: ``dice_milli = (1000 * 2 * n_pair) div
+    (c_w1 + c_w2)`` over the shared ASCII-whitespace tokens.  The
+    standard phrase-vocabulary step (tokenizer merges, query
+    suggestion, stopword-phrase audits).
+
+    Dice, not PMI, by design: PMI's ``c_xy * N² / (N_bi * c_x *
+    c_y)`` ratio overflows BIGINT at web scale (N² alone passes 1e18
+    near 1e9 tokens) and needs a log for readability; Dice is bounded
+    in [0, 1000] milli-units, exact in 64-bit at ANY corpus size, and
+    ranks collocations the same way for the common screening use.
+
+    Scale shape: bigrams build row-locally (ops/dedup.join_ngrams —
+    the LINEAR zip_with chain, never the O(n²) transform/slice form),
+    count map-side, threshold AT the aggregation; the two unigram
+    attachments are plain term equi-joins (AQE handles the skew of
+    stopword terms). No windows, no Python."""
+    from hickoryspark.ops.dedup import join_ngrams
+
+    toks = F.filter(
+        F.split(F.col(text_col), ASCII_WS_SPLIT_RE), lambda t: t != "")
+    uni = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    pairs = (
+        docs.select(F.explode(join_ngrams(toks, 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+        .select(
+            F.substring_index("gram", " ", 1).alias("w1"),
+            F.substring_index("gram", " ", -1).alias("w2"),
+            "n_pair",
+        )
+    )
+    out = (
+        pairs.join(uni.withColumnsRenamed({"term": "w1", "c": "_c1"}),
+                   "w1")
+        .join(uni.withColumnsRenamed({"term": "w2", "c": "_c2"}), "w2")
+    )
+    return out.select(
+        "w1", "w2", "n_pair",
+        F.expr("(1000 * 2 * n_pair) div (_c1 + _c2)")
+        .cast("long").alias("dice_milli"),
+    )
+
+
+def duckdb_bigram_dice_sql(docs_rel: str, min_count: int = 2) -> str:
+    """Full DuckDB mirror of :func:`bigram_dice` (same tokenization,
+    same integer arithmetic)."""
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(
+                   text, '{ASCII_WS_SPLIT_RE}'), s -> s != '') AS lst
+          FROM {docs_rel}),
+        occ AS (
+          SELECT lst[i] AS term
+          FROM tok, unnest(range(1, len(lst) + 1)) AS u(i)),
+        uni AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+          FROM occ GROUP BY term),
+        big AS (
+          SELECT lst[i] AS w1, lst[i + 1] AS w2
+          FROM tok, unnest(range(1, len(lst))) AS u(i)),
+        pairs AS (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+          FROM big GROUP BY w1, w2
+          HAVING COUNT(*) >= {min_count})
+        SELECT p.w1, p.w2, p.n_pair,
+               CAST((1000 * 2 * p.n_pair) // (u1.c + u2.c) AS BIGINT)
+                   AS dice_milli
+        FROM pairs p
+        JOIN uni u1 ON u1.term = p.w1
+        JOIN uni u2 ON u2.term = p.w2"""

@@ -954,3 +954,20 @@ def test_frontier_priority_joins_and_no_sort(spark):
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan and "Sort [priority" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_bigram_dice_threshold_at_aggregation_no_window(spark):
+    """bigram counts combine map-side, the threshold filters at the
+    aggregation (before the unigram joins), joins are equi, no
+    window, no Python."""
+    from hickoryspark.ops.terms import bigram_dice
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text")
+    out = bigram_dice(docs, min_count=2)
+    out.count()
+    plan = _plan(out)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "partial" in plan.lower(), plan
