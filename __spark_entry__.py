@@ -6997,8 +6997,6 @@ def oracle_sql() -> dict[str, str]:
     # frontier_priority: every term rebuilt relationally — the
     # GENERATED url-feature mirror, the exact stability arithmetic,
     # the delay CASE, the pinned weights
-    from hickoryspark.ops.urls import duckdb_url_features_sql
-
     oracles["frontier_priority"] = f"""
         WITH u AS (
           SELECT doc_id, source,

@@ -76,13 +76,21 @@ def cdx_dedup(cdx: DataFrame) -> DataFrame:
 
     Pinned: the original is the ts14-minimum capture (ts14 is
     zero-padded UTC, so string min == time min); ``n_captures``
-    counts all identical-digest captures of the same SURT key.
+    counts all identical-digest captures of the same SURT key;
+    NULL-digest captures (payload-less fetches — cdx_records pins
+    NULL payload → NULL digest) are EXCLUDED: a revisit record
+    requires a matching digest, and grouping unknowns together would
+    claim dedup of payloads that were never compared.
 
     Scale shape: ONE map-side-combinable (surt_key, digest) groupBy —
     no window, no self-join (the CDX writer's global sort is the
     writer's job, ops/cdx.cdx_records docstring)."""
-    return cdx.groupBy("surt_key", "digest").agg(
-        F.min("ts14").alias("first_ts14"),
-        F.count(F.lit(1)).cast("long").alias("n_captures"),
-        F.max("length").cast("long").alias("length"),
+    return (
+        cdx.where(F.col("digest").isNotNull())
+        .groupBy("surt_key", "digest")
+        .agg(
+            F.min("ts14").alias("first_ts14"),
+            F.count(F.lit(1)).cast("long").alias("n_captures"),
+            F.max("length").cast("long").alias("length"),
+        )
     )

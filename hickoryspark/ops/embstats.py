@@ -11,7 +11,15 @@ norm sums are neither portable nor order-independent):
 - each component is MILLI-QUANTIZED first: ``q = floor(x * 1000)``
   as BIGINT (floor, not round — round-half ties differ between
   engines; the float32 component widens to float64 exactly in both);
-- ``norm2_micro = Σ q²`` — an exact BIGINT, order-independent;
+- NON-FINITE components (NaN/Inf — truncated downloads, the very
+  breakage this op screens for) quantize to the CLAMP BOUND, and
+  every q clamps to ±:data:`Q_CLAMP` (3e6 milli = component 3000.0):
+  un-clamped, NaN casts to INT64_MIN in NumPy (undefined behavior)
+  while DuckDB raises, and a huge component silently wraps the
+  int64 square — broken vectors must surface as extreme-but-exact
+  norms, identically on both engines;
+- ``norm2_micro = Σ q²`` — an exact BIGINT, order-independent
+  (clamped: ≤ 9e12 per dim, safe past 10⁵ dims);
 - the per-label rollup sums those BIGINTs (mergeable, map-side
   combinable) and carries min/max/count.
 
@@ -30,7 +38,12 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["vector_norms", "label_norm_rollup", "duckdb_vector_norms_sql"]
+__all__ = ["vector_norms", "label_norm_rollup", "duckdb_vector_norms_sql",
+           "Q_CLAMP"]
+
+#: quantized-component clamp (milli-units): non-finite and huge
+#: components pin here instead of wrapping/erroring
+Q_CLAMP = 3_000_000
 
 
 def vector_norms(emb: DataFrame) -> DataFrame:
@@ -49,9 +62,12 @@ def vector_norms(emb: DataFrame) -> DataFrame:
                     dims.append(0)
                     norms.append(0)
                     continue
-                q = np.floor(
-                    np.asarray(e, dtype=np.float64) * 1000.0
-                ).astype(np.int64)
+                x = np.asarray(e, dtype=np.float64) * 1000.0
+                qf = np.floor(x)
+                # non-finite -> clamp bound BEFORE the int cast (NaN
+                # casts to INT64_MIN otherwise); then clamp magnitude
+                qf = np.where(np.isfinite(qf), qf, float(Q_CLAMP))
+                q = np.clip(qf, -Q_CLAMP, Q_CLAMP).astype(np.int64)
                 dims.append(len(q))
                 norms.append(int(np.dot(q, q)))
             yield pd.DataFrame({
@@ -76,15 +92,17 @@ def label_norm_rollup(emb: DataFrame) -> DataFrame:
 
 def duckdb_vector_norms_sql(emb_rel: str) -> str:
     """DuckDB mirror of :func:`vector_norms` (same quantization:
-    float32 → float64 widening, *1000, floor, BIGINT square-sum)."""
+    float32 → float64 widening, *1000, floor, non-finite → clamp,
+    ±Q_CLAMP clamp, BIGINT square-sum)."""
+    q = (f"CAST(LEAST(GREATEST(CASE WHEN isfinite(CAST(u.x AS DOUBLE))"
+         f" THEN FLOOR(CAST(u.x AS DOUBLE) * 1000)"
+         f" ELSE {float(Q_CLAMP)} END, {-float(Q_CLAMP)}),"
+         f" {float(Q_CLAMP)}) AS BIGINT)")
     return f"""
         SELECT vec_id, label,
                CAST(COALESCE(len(embedding), 0) AS BIGINT) AS n_dims,
                CAST(COALESCE((
-                 SELECT SUM(CAST(FLOOR(CAST(u.x AS DOUBLE) * 1000)
-                                 AS BIGINT)
-                            * CAST(FLOOR(CAST(u.x AS DOUBLE) * 1000)
-                                 AS BIGINT))
+                 SELECT SUM({q} * {q})
                  FROM unnest(embedding) AS u(x)), 0) AS BIGINT)
                    AS norm2_micro
         FROM {emb_rel}"""

@@ -23,7 +23,8 @@ BIGINT so cross-engine hashes match):
 
 The weights are a documented policy default, not a tuned model — the
 point of the op is the JOIN SHAPE and the exact arithmetic; callers
-re-weight by passing their own coefficients.
+re-weight via the ``w_depth`` / ``w_param`` / ``w_nonroot`` keyword
+arguments.
 
 Scale shape: url_features is shuffle-free column work; the stability
 join is a url equi-join (the frontier's natural key); the delay join
@@ -53,6 +54,9 @@ def frontier_priority(
     stability: DataFrame | None = None,
     delays: DataFrame | None = None,
     default_stability: int = DEFAULT_STABILITY_MILLI,
+    w_depth: int = W_DEPTH,
+    w_param: int = W_PARAM,
+    w_nonroot: int = W_NONROOT,
 ) -> DataFrame:
     """pages(url, ...) x stability(url, stability_milli) x
     delays(host, delay_ms) → (url, host, priority_milli)."""
@@ -71,9 +75,9 @@ def frontier_priority(
         f = f.withColumn("delay_ms", F.lit(None).cast("long"))
 
     priority = (
-        F.lit(W_DEPTH) * F.col("path_depth")
-        + F.lit(W_PARAM) * F.col("n_params")
-        + F.when(F.col("is_root"), F.lit(0)).otherwise(F.lit(W_NONROOT))
+        F.lit(w_depth) * F.col("path_depth")
+        + F.lit(w_param) * F.col("n_params")
+        + F.when(F.col("is_root"), F.lit(0)).otherwise(F.lit(w_nonroot))
         + F.coalesce(F.col("stability_milli"),
                      F.lit(default_stability))
         + F.expr("COALESCE(delay_ms, 0) div 10")

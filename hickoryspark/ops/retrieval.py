@@ -261,21 +261,24 @@ def phrase_snippets(docs: DataFrame, phrases: DataFrame,
     ``window`` tokens of right context, space-joined.
 
     Scale shape: snippets are sliced only for MATCHED (doc, phrase)
-    rows (the phrase_match output, usually tiny), via one doc_id
-    equi-join against the per-doc token arrays; the slice is a
-    per-row array op. No windows, no Python."""
-    from hickoryspark.ops.postings import token_positions  # noqa: F401
+    rows (the phrase_match output, usually tiny) — the token arrays
+    are re-built ONLY for matched docs (a left-semi prune of the
+    corpus on the match set precedes the tokenize, so the full corpus
+    is never re-tokenized for a handful of hits), then one doc_id
+    equi-join; the slice is a per-row array op. No windows, no
+    Python."""
+    m = phrase_match(docs, phrases, text_col)
 
     toks_arr = F.filter(
         F.split(F.col(text_col), ASCII_WS_SPLIT_RE), lambda t: t != "")
-    doc_toks = docs.select("doc_id", toks_arr.alias("_toks"))
+    doc_toks = docs.join(
+        m.select("doc_id"), "doc_id", "left_semi"
+    ).select("doc_id", toks_arr.alias("_toks"))
 
     ptoks = F.filter(
         F.split(F.col("phrase"), ASCII_WS_SPLIT_RE), lambda t: t != "")
     plen = phrases.select(
         "phrase_id", F.size(ptoks).cast("long").alias("_plen"))
-
-    m = phrase_match(docs, phrases, text_col)
     start = F.greatest(F.col("first_pos") - window, F.lit(0))
     length = (F.col("first_pos") + F.col("_plen") + window) - start
     joined = (

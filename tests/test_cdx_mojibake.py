@@ -118,3 +118,18 @@ def test_cdx_dedup_revisits(spark):
     assert out[(a_key, same6)] == ("20251231000000", 3)
     assert out[(a_key, chg6)] == ("20260103000000", 1)
     assert out[(b_key, same6)] == ("20260101000000", 1)
+
+
+def test_cdx_dedup_excludes_null_digests(spark):
+    # review regression: payload-less fetches (NULL digest) must not
+    # group together as "revisits" of one another
+    from hickoryspark.ops.cdx import cdx_dedup, cdx_records
+
+    caps = spark.createDataFrame(
+        [("https://n.ex/p", "2026-01-01 00:00:00", None),
+         ("https://n.ex/p", "2026-01-02 00:00:00", None),
+         ("https://n.ex/p", "2026-01-03 00:00:00", b"real")],
+        "url string, ts string, payload binary").selectExpr(
+        "url", "CAST(ts AS TIMESTAMP_NTZ) AS ts", "payload")
+    out = cdx_dedup(cdx_records(caps)).collect()
+    assert len(out) == 1 and out[0]["n_captures"] == 1

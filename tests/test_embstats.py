@@ -80,3 +80,37 @@ def test_mirror_agrees_on_random_float32(spark):
     want = {v: (n, s) for v, _, n, s in con.execute(
         duckdb_vector_norms_sql("e")).fetchall()}
     assert got == want
+
+
+def test_nonfinite_and_huge_components_clamp_identically(spark):
+    # review regression: NaN cast to int64 is undefined behavior in
+    # NumPy (INT64_MIN) and an error in DuckDB; huge components wrap
+    # the int64 square — both must pin to Q_CLAMP on BOTH engines
+    import duckdb
+
+    from hickoryspark.ops.embstats import (Q_CLAMP,
+                                           duckdb_vector_norms_sql,
+                                           vector_norms)
+
+    rows = [
+        (1, [float("nan")], 0),
+        (2, [float("inf"), float("-inf")], 0),
+        (3, [1e13], 0),
+        (4, [-1e13, 0.5], 0),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = {r["vec_id"]: (r["n_dims"], r["norm2_micro"])
+           for r in vector_norms(emb).collect()}
+    c2 = Q_CLAMP * Q_CLAMP
+    assert got[1] == (1, c2)
+    assert got[2] == (2, 2 * c2)
+    assert got[3] == (1, c2)
+    assert got[4] == (2, c2 + 500 ** 2)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e(vec_id BIGINT, embedding FLOAT[], label INT)")
+    con.executemany("INSERT INTO e VALUES (?, ?, ?)", rows)
+    want = {v: (n, s) for v, _, n, s in con.execute(
+        duckdb_vector_norms_sql("e")).fetchall()}
+    assert got == want

@@ -65,3 +65,15 @@ def test_hostless_url_gets_no_delay(spark):
     (host, pr), = out.values()
     assert host is None
     assert pr == 500
+
+
+def test_custom_weights(spark):
+    # review regression: the docstring promises re-weighting kwargs
+    from hickoryspark.ops.frontier import frontier_priority
+
+    p = spark.createDataFrame(
+        [("https://a.ex/x/y",)], "url string")
+    row = frontier_priority(
+        p, w_depth=1, w_param=0, w_nonroot=10,
+        default_stability=0).collect()[0]
+    assert row["priority_milli"] == 2 * 1 + 10
