@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 
 from hickoryspark.ops.hosts import duckdb_url_host_sql, url_host
 
-__all__ = ["host_edges", "host_link_stats", "duckdb_host_edges_sql"]
+__all__ = ["host_edges", "host_link_stats", "duckdb_host_edges_sql",
+           "category_mix"]
 
 
 def host_edges(links: DataFrame, src_col: str = "url",
@@ -86,3 +87,33 @@ def duckdb_host_edges_sql(links_rel: str, src: str = "url",
           FROM {links_rel})
         WHERE src_host IS NOT NULL AND dst_host IS NOT NULL
         GROUP BY src_host, dst_host"""
+
+
+def category_mix(rows: DataFrame, key_col: str = "host",
+                 cat_col: str = "lang_pred") -> DataFrame:
+    """Per-key categorical composition: ``(key, cat, n_docs,
+    share_milli)`` with exact-integer shares ``1000 * n div total``.
+    The generic site-profile rollup — language mix per host, mime mix
+    per host, license mix per domain — used to pick crawl targets
+    ("hosts >=80% English") and audit corpus balance.
+
+    Scale shape: two chained aggregations sharing the key prefix
+    (per-(key, cat) counts, then per-key totals — the second groupBy
+    reuses the first exchange's partitioning) + one equi-join back;
+    no windows, no Python. NULL categories count like any other
+    value (they are a real bucket: un-identified docs)."""
+    counts = rows.groupBy(
+        F.col(key_col).alias("key"), F.col(cat_col).alias("cat")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    totals = counts.groupBy("key").agg(
+        F.sum("n_docs").cast("long").alias("_total"))
+    return (
+        counts.join(totals, "key")
+        .select(
+            F.col("key").alias(key_col),
+            F.col("cat").alias(cat_col),
+            "n_docs",
+            F.expr("(1000 * n_docs) div _total").cast("long")
+            .alias("share_milli"),
+        )
+    )

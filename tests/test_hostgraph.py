@@ -83,3 +83,18 @@ def test_mirror_agrees(spark):
     want = {(a, b): n for a, b, n in con.execute(
         duckdb_host_edges_sql("links")).fetchall()}
     assert e == want
+
+
+def test_category_mix_exact_shares(spark):
+    from hickoryspark.ops.hostgraph import category_mix
+
+    rows = spark.createDataFrame(
+        [("a.ex", "en"), ("a.ex", "en"), ("a.ex", "de"),
+         ("b.ex", None), ("b.ex", "en")],
+        "host string, lang_pred string")
+    out = {(r["host"], r["lang_pred"]): (r["n_docs"], r["share_milli"])
+           for r in category_mix(rows).collect()}
+    assert out[("a.ex", "en")] == (2, 666)
+    assert out[("a.ex", "de")] == (1, 333)
+    assert out[("b.ex", None)] == (1, 500)
+    assert out[("b.ex", "en")] == (1, 500)
