@@ -3493,6 +3493,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return tfidf_top_terms(load_documents(spark, sf), 3)
 
+    def q_host_link_quality(spark, sf):
+        # host link-spam signals (ops/hostgraph.host_link_quality)
+        # over synthetic edges: src host d%3, dst host d*2%5 (or a
+        # relative target on d%7==0 — dropped), nofollow on d%4==0;
+        # exact milli shares. Oracle = the same arithmetic grouped.
+        from hickoryspark.ops.hostgraph import host_link_quality
+
+        docs = load_documents(spark, sf).select("doc_id")
+        d = F.col("doc_id")
+        dst = (
+            F.when(d % 7 == 0, F.lit("/relative"))
+            .otherwise(F.concat(F.lit("https://h"),
+                                ((d * 2) % 5).cast("string"),
+                                F.lit(".ex/t"), d.cast("string")))
+        )
+        links = docs.select(
+            F.concat(F.lit("https://h"), (d % 3).cast("string"),
+                     F.lit(".ex/p"), d.cast("string")).alias("url"),
+            dst.alias("resolved"),
+            (d % 4 == 0).alias("rel_nofollow"),
+        )
+        return host_link_quality(links)
+
     def q_host_lang_mix(spark, sf):
         # per-host language composition (ops/hostgraph.category_mix
         # over the REAL trigram lang-id): hosts from source labels,
@@ -4303,6 +4326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_surprisal=q_text_surprisal,
         term_bigrams=q_term_bigrams,
         host_lang_mix=q_host_lang_mix,
+        host_link_quality=q_host_link_quality,
         dedup_incremental=q_dedup_incremental,
         score_buckets=q_score_buckets,
         url_features=q_url_features,
@@ -7314,6 +7338,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(200 AS BIGINT) AS status,
                CAST(strlen(pay) AS BIGINT) AS length
         FROM caps"""
+    # host_link_quality: same edge arithmetic grouped (relative
+    # targets drop before the rollup)
+    oracles["host_link_quality"] = """
+        WITH e AS (
+          SELECT 'h' || (doc_id % 3) || '.ex' AS src_host,
+                 'h' || ((doc_id * 2) % 5) || '.ex' AS dst_host,
+                 doc_id % 4 = 0 AS nf
+          FROM documents WHERE doc_id % 7 <> 0)
+        SELECT src_host, CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST((1000 * SUM(CASE WHEN nf THEN 1 ELSE 0 END))
+                    // COUNT(*) AS BIGINT) AS nofollow_milli,
+               CAST((1000 * SUM(CASE WHEN dst_host <> src_host
+                                     THEN 1 ELSE 0 END))
+                    // COUNT(*) AS BIGINT) AS external_milli
+        FROM e GROUP BY src_host"""
     # host_lang_mix: the lang_trigram scoring CASE (kept in lockstep
     # with oracles["text_lang_trigram"]) grouped by the same
     # exact-share arithmetic as category_mix

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from hickoryspark.ops.hosts import duckdb_url_host_sql, url_host
 
 __all__ = ["host_edges", "host_link_stats", "duckdb_host_edges_sql",
-           "category_mix"]
+           "category_mix", "host_link_quality"]
 
 
 def host_edges(links: DataFrame, src_col: str = "url",
@@ -116,4 +116,41 @@ def category_mix(rows: DataFrame, key_col: str = "host",
             F.expr("(1000 * n_docs) div _total").cast("long")
             .alias("share_milli"),
         )
+    )
+
+
+def host_link_quality(links: DataFrame, src_col: str = "url",
+                      dst_col: str = "resolved",
+                      nofollow_col: str = "rel_nofollow") -> DataFrame:
+    """Per-source-host link-spam signals: ``(src_host, n_edges,
+    nofollow_milli, external_milli)`` — the WEBSPAM-style host
+    features (a host whose pages are mostly nofollow'd external links
+    is a link farm or comment-spam sink; a host with zero external
+    edges is a closed template shell).
+
+    Pinned: edges lacking EITHER endpoint host drop (the host_edges
+    rule — no host signal, no row); shares are exact milli-integers
+    ``1000 * n div n_edges``.
+
+    Scale shape: ONE map-side-combinable src-host groupBy — no joins,
+    no windows, no Python."""
+    src = url_host(F.col(src_col))
+    dst = url_host(F.col(dst_col))
+    nf = F.coalesce(F.col(nofollow_col), F.lit(False))
+    rows = links.select(
+        src.alias("src_host"), dst.alias("dst_host"), nf.alias("nf"),
+    ).where(F.col("src_host").isNotNull()
+            & F.col("dst_host").isNotNull())
+    agg = rows.groupBy("src_host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.col("nf").cast("long")).cast("long").alias("_nf"),
+        F.sum((F.col("dst_host") != F.col("src_host")).cast("long"))
+        .cast("long").alias("_ext"),
+    )
+    return agg.select(
+        "src_host", "n_edges",
+        F.expr("(1000 * _nf) div n_edges").cast("long")
+        .alias("nofollow_milli"),
+        F.expr("(1000 * _ext) div n_edges").cast("long")
+        .alias("external_milli"),
     )

@@ -98,3 +98,20 @@ def test_category_mix_exact_shares(spark):
     assert out[("a.ex", "de")] == (1, 333)
     assert out[("b.ex", None)] == (1, 500)
     assert out[("b.ex", "en")] == (1, 500)
+
+
+def test_host_link_quality_shares(spark):
+    from hickoryspark.ops.hostgraph import host_link_quality
+
+    links = spark.createDataFrame(
+        [("https://a.ex/1", "https://a.ex/2", False),
+         ("https://a.ex/1", "https://b.ex/x", True),
+         ("https://a.ex/2", "https://c.ex/y", None),
+         ("https://a.ex/3", "/relative", True),     # dropped
+         ("https://b.ex/1", "https://b.ex/2", True)],
+        "url string, resolved string, rel_nofollow boolean")
+    out = {r["src_host"]: (r["n_edges"], r["nofollow_milli"],
+                           r["external_milli"])
+           for r in host_link_quality(links).collect()}
+    assert out["a.ex"] == (3, 333, 666)
+    assert out["b.ex"] == (1, 1000, 0)
