@@ -1,0 +1,168 @@
+"""BPE merge induction (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units") — learn the byte-pair
+merge table from a corpus, the vocabulary step of every modern
+tokenizer pipeline.
+
+Pinned semantics (oracle-reproducible):
+
+- words are the shared ASCII-whitespace tokens; words containing the
+  U+001F separator are dropped (they cannot be represented — pinned,
+  never silent corruption);
+- the initial symbol sequence is the word's characters;
+- each round counts adjacent symbol pairs weighted by word frequency,
+  picks the winner by ``(count DESC, left ASC, right ASC)``, and
+  applies the merge GREEDY LEFT-TO-RIGHT, all non-overlapping
+  occurrences at once ('aaaa' + (a,a) → 'aa','aa', no re-merge within
+  the round — the reference BPE behavior);
+- fewer than ``n_merges`` rows come back iff the vocabulary runs out
+  of adjacent pairs.
+
+The merge application is a SHARED STRING PROGRAM: every symbol is
+wrapped in its OWN ``\\x1f`` pair (``\\x1f a \\x1f \\x1f b \\x1f``
+…), and a merge is one literal ``replace(w, SEP+l+SEP + SEP+r+SEP,
+SEP+lr+SEP)``. The per-symbol wrapping matters: with single shared
+separators, back-to-back occurrences share a boundary character, the
+first replacement consumes it, and the scan then pairs the WRONG
+symbols in odd runs ('aaaa' came out aa,a,a — caught by the
+greedy-overlap test). With wrapped symbols no two occurrences share
+characters, so Java's and DuckDB's left-to-right non-overlapping
+``replace`` is exactly the greedy BPE rule (property-tested against
+an independent tuple-based Python reference); the DuckDB oracle
+unrolls the same program one CTE per round (the pagerank-oracle
+pattern).
+
+Scale shape: the corpus is touched ONCE (the word-frequency groupBy);
+every iteration runs on the DISTINCT-WORD table — bounded by
+vocabulary size, not corpus size — as pure JVM expressions, with a
+single-row collect per round for the winning pair (the pagerank-style
+driver loop; localCheckpoint every 8 rounds truncates lineage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hickoryspark.ops.chunking import ASCII_WS_SPLIT_RE
+
+__all__ = ["bpe_merges", "duckdb_bpe_sql", "SEP"]
+
+#: symbol separator inside the packed word string
+SEP = "\x1f"
+
+
+def bpe_merges(docs: DataFrame, n_merges: int = 8,
+               text_col: str = "text") -> DataFrame:
+    """docs(text) → merge table ``(merge_rank, lsym, rsym,
+    pair_count)``, ``merge_rank`` 1-based in learn order."""
+    spark = docs.sparkSession
+    toks = F.filter(
+        F.split(F.col(text_col), ASCII_WS_SPLIT_RE),
+        lambda t: (t != "") & ~F.contains(t, F.lit(SEP)),
+    )
+    words = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    chars = F.filter(F.split("word", ""), lambda c: c != "")
+    # each symbol individually wrapped: SEP s SEP SEP s SEP ...
+    cur = words.select(
+        F.concat(F.lit(SEP),
+                 F.array_join(chars, SEP + SEP),
+                 F.lit(SEP)).alias("w"),
+        "freq",
+    ).persist()
+    cur.count()
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        # symbols are the non-empty split segments (the wrapping
+        # yields '' fillers; symbols themselves are never empty)
+        inner = F.filter(F.split("w", SEP), lambda s: s != "")
+        n = F.size(inner)
+        pairs = cur.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(inner, 1, n - 1),
+                    F.slice(F.when(n >= 2, inner), 2, n - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy(F.col("p.l").alias("l"),
+                          F.col("p.r").alias("r"))
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(),
+                     F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        merges.append((rank, l, r, int(cnt)))
+        nxt = cur.select(
+            F.replace(
+                F.col("w"),
+                F.lit(SEP + l + SEP + SEP + r + SEP),
+                F.lit(SEP + l + r + SEP),
+            ).alias("w"),
+            "freq",
+        ).persist()
+        if rank % 8 == 0:
+            nxt = nxt.localCheckpoint()
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_rank long, lsym string, rsym string, "
+                "pair_count long")
+
+
+def duckdb_bpe_sql(docs_rel: str, n_merges: int = 8) -> str:
+    """DuckDB mirror: the identical program unrolled one CTE pair per
+    round (words_i / top_i)."""
+    sep = "chr(31)"
+    ctes = [f"""
+        w0 AS (
+          SELECT {sep} || array_to_string(
+                   list_filter(string_split(word, ''), c -> c != ''),
+                   {sep} || {sep}) || {sep} AS w,
+                 CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (
+            SELECT t.word
+            FROM {docs_rel},
+                 unnest(list_filter(regexp_split_to_array(
+                   text, '{ASCII_WS_SPLIT_RE}'),
+                   s -> s != '' AND NOT contains(s, {sep})))
+                 AS t(word))
+          GROUP BY 1)"""]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        ctes.append(f"""
+        p{i} AS (
+          SELECT lst[j] AS l, lst[j + 1] AS r,
+                 CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM (SELECT list_filter(string_split(w, {sep}),
+                                   s -> s != '') AS lst, freq
+                FROM {prev}),
+               unnest(range(1, len(lst))) AS u(j)
+          GROUP BY 1, 2),
+        t{i} AS (
+          SELECT l, r, cnt FROM p{i}
+          ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        w{i} AS (
+          SELECT replace(w,
+                         {sep} || t.l || {sep} || {sep} || t.r || {sep},
+                         {sep} || t.l || t.r || {sep}) AS w, freq
+          FROM {prev}, t{i} t)""")
+    union = "\n        UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS lsym, r AS rsym, "
+        f"cnt AS pair_count FROM t{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return ("WITH " + ",".join(ctes) + "\n        " + union)

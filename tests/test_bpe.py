@@ -1,0 +1,120 @@
+"""BPE merge induction (ops/bpe.py): Sennrich worked example, greedy
+overlap rule, tie rule, early stop, Python-reference fuzz, mirror."""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import Counter
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from hickoryspark.spark.session import get_spark
+
+    s = get_spark(4, app_name="hickoryspark-bpe-tests",
+                  shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _run(spark, texts, k):
+    from hickoryspark.ops.bpe import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    return [(r["merge_rank"], r["lsym"], r["rsym"], r["pair_count"])
+            for r in bpe_merges(docs, k).orderBy("merge_rank").collect()]
+
+
+def _reference(texts, k):
+    """Independent pure-Python BPE (dict-of-tuples formulation, the
+    Sennrich pseudocode — not the string program the op uses)."""
+    vocab = Counter()
+    for t in texts:
+        for w in t.split():
+            if "\x1f" in w:
+                continue
+            vocab[tuple(w)] += 1
+    merges = []
+    for rank in range(1, k + 1):
+        pairs = Counter()
+        for syms, freq in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq
+        if not pairs:
+            break
+        (l, r), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, l, r, cnt))
+        new = Counter()
+        for syms, freq in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] += freq
+        vocab = new
+    return merges
+
+
+def test_sennrich_style_example(spark):
+    texts = ["low low low low low lower lower newest newest newest "
+             "newest newest newest widest widest widest"]
+    got = _run(spark, texts, 4)
+    assert got == _reference(texts, 4)
+    # the classic corpus learns ('e','s') first: 6 newest + 3 widest
+    assert (got[0][1], got[0][2], got[0][3]) == ("e", "s", 9)
+
+
+def test_greedy_overlap_no_remerge_within_round(spark):
+    got = _run(spark, ["aaaa aaaa"], 2)
+    assert got == _reference(["aaaa aaaa"], 2)
+    # round 1: (a,a) count 6 (3 adjacent pairs x 2 words); round 2
+    # operates on aa,aa
+    assert got[0] == (1, "a", "a", 6)
+    assert got[1] == (2, "aa", "aa", 2)
+
+
+def test_tie_rule_and_early_stop(spark):
+    # 'ab' vs 'cd': equal counts, (a,b) wins lexicographically;
+    # single-char vocab stops early
+    got = _run(spark, ["ab cd ab cd"], 1)
+    assert got == [(1, "a", "b", 2)]
+    assert _run(spark, ["a b c"], 3) == []
+
+
+def test_fuzz_against_reference(spark):
+    import random
+
+    rng = random.Random(31)
+    texts = [
+        " ".join(
+            "".join(rng.choice("abc") for _ in range(rng.randrange(1, 6)))
+            for _ in range(rng.randrange(1, 15)))
+        for _ in range(12)
+    ]
+    assert _run(spark, texts, 6) == _reference(texts, 6)
+
+
+def test_mirror_agrees(spark):
+    import duckdb
+
+    from hickoryspark.ops.bpe import duckdb_bpe_sql
+
+    texts = ["low lower lowest", "newest news new", "wide widest ab"]
+    got = _run(spark, texts, 5)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    list(enumerate(texts)))
+    want = sorted(con.execute(duckdb_bpe_sql("documents", 5)).fetchall())
+    assert sorted(got) == [tuple(w) for w in want]
