@@ -647,6 +647,28 @@ _BM25_QUERIES = [(0, "hash join"), (1, "window sort order"),
 _PHRASE_QUERIES = [(0, "batch batch"), (1, "merge data"), (2, "join"),
                    (3, "sort merge part"), (4, "table nosuchterm")]
 
+#: ONE source for the trigram-language-ID oracle fragments (used by
+#: both the text_lang_trigram and host_lang_mix oracles — a manual
+#: lockstep copy diverges silently)
+_LANG_SCORES_SQL = ", ".join(
+    "("
+    + " + ".join(
+        f"(length(text) - length(replace(text, '{t}', '')))//3"
+        for t in tris
+    )
+    + f") AS score_{lang}"
+    for lang, tris in (
+        ("en", ("the", "and", "ing", "ion", "ent")),
+        ("de", ("der", "ein", "ich", "sch", "und")),
+        ("fr", ("les", "des", "que", "ait", "oir")),
+    )
+)
+_LANG_PRED_CASE_SQL = """
+    CASE WHEN score_fr > greatest(score_en, score_de, 0) THEN 'fr'
+         WHEN score_de > greatest(score_en, 0) THEN 'de'
+         WHEN score_en > 0 THEN 'en'
+         ELSE 'unk' END"""
+
 
 def _wat_oracle_sql() -> str:
     """Closed-form WAT records over the identically-built 5-variant
@@ -5158,30 +5180,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)""",
         # trigram-profile scores recomputed with replace-count; strict
         # argmax in en,de,fr order; all-zero -> 'unk'
-        "text_lang_trigram": """
+        "text_lang_trigram": f"""
             WITH s AS (
-              SELECT doc_id,
-                     """ + ", ".join(
-                         "("
-                         + " + ".join(
-                             f"(length(text) - length(replace(text, '{t}', '')))//3"
-                             for t in tris
-                         )
-                         + f") AS score_{lang}"
-                         for lang, tris in (
-                             ("en", ("the", "and", "ing", "ion", "ent")),
-                             ("de", ("der", "ein", "ich", "sch", "und")),
-                             ("fr", ("les", "des", "que", "ait", "oir")),
-                         )
-                     ) + """
+              SELECT doc_id, {_LANG_SCORES_SQL}
               FROM documents
             )
             SELECT doc_id,
-                   CASE WHEN score_fr > greatest(score_en, score_de, 0)
-                             THEN 'fr'
-                        WHEN score_de > greatest(score_en, 0) THEN 'de'
-                        WHEN score_en > 0 THEN 'en'
-                        ELSE 'unk' END AS lang_pred,
+                   {_LANG_PRED_CASE_SQL} AS lang_pred,
                    score_en, score_de, score_fr
             FROM s""",
         "text_gopher": """
@@ -7407,32 +7412,15 @@ def oracle_sql() -> dict[str, str]:
                                      THEN 1 ELSE 0 END))
                     // COUNT(*) AS BIGINT) AS external_milli
         FROM e GROUP BY src_host"""
-    # host_lang_mix: the lang_trigram scoring CASE (kept in lockstep
-    # with oracles["text_lang_trigram"]) grouped by the same
+    # host_lang_mix: the SHARED trigram scoring fragments (single
+    # source with the text_lang_trigram oracle) grouped by the same
     # exact-share arithmetic as category_mix
-    _LANG_SCORES = ", ".join(
-        "("
-        + " + ".join(
-            f"(length(text) - length(replace(text, '{t}', '')))//3"
-            for t in tris
-        )
-        + f") AS score_{lang}"
-        for lang, tris in (
-            ("en", ("the", "and", "ing", "ion", "ent")),
-            ("de", ("der", "ein", "ich", "sch", "und")),
-            ("fr", ("les", "des", "que", "ait", "oir")),
-        )
-    )
     oracles["host_lang_mix"] = f"""
         WITH s AS (
-          SELECT doc_id, source, {_LANG_SCORES} FROM documents
+          SELECT doc_id, source, {_LANG_SCORES_SQL} FROM documents
         ), langs AS (
           SELECT source || '.ex' AS host,
-                 CASE WHEN score_fr > greatest(score_en, score_de, 0)
-                           THEN 'fr'
-                      WHEN score_de > greatest(score_en, 0) THEN 'de'
-                      WHEN score_en > 0 THEN 'en'
-                      ELSE 'unk' END AS lang_pred
+                 {_LANG_PRED_CASE_SQL} AS lang_pred
           FROM s
         ), counts AS (
           SELECT host, lang_pred,

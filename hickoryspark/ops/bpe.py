@@ -112,11 +112,17 @@ def bpe_merges(docs: DataFrame, n_merges: int = 8,
             ).alias("w"),
             "freq",
         ).persist()
-        if rank % 8 == 0:
-            nxt = nxt.localCheckpoint()
         nxt.count()
         cur.unpersist()
         cur = nxt
+        # truncate lineage periodically, but never on the final round
+        # (pure overhead), and unpersist the pre-checkpoint frame —
+        # rebinding before unpersist would leak its cache entry for
+        # the session (the pagerank guard pattern, graph.py)
+        if rank % 8 == 0 and rank < n_merges:
+            ckpt = cur.localCheckpoint()
+            cur.unpersist()
+            cur = ckpt
     cur.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank long, lsym string, rsym string, "

@@ -97,18 +97,22 @@ def category_mix(rows: DataFrame, key_col: str = "host",
     per host, license mix per domain — used to pick crawl targets
     ("hosts >=80% English") and audit corpus balance.
 
-    Scale shape: two chained aggregations sharing the key prefix
-    (per-(key, cat) counts, then per-key totals — the second groupBy
-    reuses the first exchange's partitioning) + one equi-join back;
-    no windows, no Python. NULL categories count like any other
-    value (they are a real bucket: un-identified docs)."""
+    Scale shape: two aggregations + one join, but only the FIRST
+    touches corpus rows — the per-key totals groupBy and the join
+    back both run on the counts relation, bounded by (key, category)
+    cardinality, not corpus size (HashPartitioning(key, cat) does
+    not satisfy a key-only distribution, so the totals agg does
+    re-exchange — those are count rows, not documents). No windows,
+    no Python. NULL keys AND NULL categories are real buckets
+    (un-identified docs / hostless urls) — the join back is
+    null-safe."""
     counts = rows.groupBy(
         F.col(key_col).alias("key"), F.col(cat_col).alias("cat")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    totals = counts.groupBy("key").agg(
+    totals = counts.groupBy(F.col("key").alias("_tk")).agg(
         F.sum("n_docs").cast("long").alias("_total"))
     return (
-        counts.join(totals, "key")
+        counts.join(totals, F.col("key").eqNullSafe(F.col("_tk")))
         .select(
             F.col("key").alias(key_col),
             F.col("cat").alias(cat_col),

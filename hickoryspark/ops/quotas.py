@@ -74,9 +74,13 @@ def host_quota(docs: DataFrame, cap: int, host_col: str = "host",
         "left_semi",
     )
     # ties at the cutoff quality: rank by id among JUST those rows
+    # unhinted join (the round-4 convention): cut has one row per
+    # over-cap host — tiny on test corpora, but at RefinedWeb scale
+    # that's millions of rows and a forced broadcast would OOM the
+    # driver; AQE broadcasts at runtime when it is actually small
     cutr = cut.withColumnsRenamed({host_col: "_ch", quality_col: "_cq"})
     tie_rows = docs.join(
-        F.broadcast(cutr),
+        cutr,
         h.eqNullSafe(F.col("_ch")) & q.eqNullSafe(F.col("_cq")),
     ).drop("_ch", "_cq")
     tw = Window.partitionBy(host_col, quality_col).orderBy(i.asc())

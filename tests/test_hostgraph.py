@@ -115,3 +115,19 @@ def test_host_link_quality_shares(spark):
            for r in host_link_quality(links).collect()}
     assert out["a.ex"] == (3, 333, 666)
     assert out["b.ex"] == (1, 1000, 0)
+
+
+def test_category_mix_keeps_null_key_bucket(spark):
+    # review regression: the totals join must be null-safe — NULL
+    # keys (hostless urls) are a real bucket and a plain equi-join
+    # silently dropped them
+    from hickoryspark.ops.hostgraph import category_mix
+
+    rows = spark.createDataFrame(
+        [(None, "en"), (None, "en"), (None, "de"), ("a.ex", "en")],
+        "host string, lang_pred string")
+    out = {(r["host"], r["lang_pred"]): (r["n_docs"], r["share_milli"])
+           for r in category_mix(rows).collect()}
+    assert out[(None, "en")] == (2, 666)
+    assert out[(None, "de")] == (1, 333)
+    assert out[("a.ex", "en")] == (1, 1000)

@@ -89,8 +89,12 @@ def test_matches_plain_window_reference(spark):
 
 
 def test_no_full_corpus_window(spark):
-    # the only windows run over the histogram and the cut-bucket
-    # ties — never partitioned by host alone over the corpus rows
+    # the only windows run over the HISTOGRAM (an Aggregate feeds
+    # them) or the cut-bucket TIES (a join with the cut table feeds
+    # them) — a naive row_number over raw corpus rows would sit
+    # directly on the scan. Walk each physical Window's subtree by
+    # indentation and require an Aggregate or Join below it; also
+    # require at least one Window so the probe can't pass vacuously.
     from hickoryspark.ops.quotas import host_quota
 
     docs = spark.createDataFrame(
@@ -98,11 +102,23 @@ def test_no_full_corpus_window(spark):
         "host string, quality long, doc_id long")
     out = host_quota(docs, 4)
     out.count()
-    plan = out._jdf.queryExecution().optimizedPlan().toString()
-    import re
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
 
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-        spec = m.group(1)
-        # every window spec must key on quality too (histogram or
-        # tie window), never host alone
-        assert "quality" in spec, plan
+    def indent(s):
+        return len(s) - len(s.lstrip(" +-*:"))
+
+    n_windows = 0
+    for k, line in enumerate(lines):
+        if "Window [" not in line:
+            continue
+        n_windows += 1
+        base = indent(line)
+        subtree = []
+        for nxt in lines[k + 1:]:
+            if nxt.strip() and indent(nxt) <= base:
+                break
+            subtree.append(nxt)
+        sub = "\n".join(subtree)
+        assert ("Aggregate" in sub) or ("Join" in sub), (line, sub)
+    assert n_windows >= 1, plan
