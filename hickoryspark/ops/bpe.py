@@ -45,7 +45,8 @@ from pyspark.sql import functions as F
 
 from hickoryspark.ops.chunking import ASCII_WS_SPLIT_RE
 
-__all__ = ["bpe_merges", "duckdb_bpe_sql", "SEP"]
+__all__ = ["bpe_merges", "bpe_encode", "duckdb_bpe_sql",
+           "duckdb_bpe_encode_sql", "SEP"]
 
 #: symbol separator inside the packed word string
 SEP = "\x1f"
@@ -172,3 +173,100 @@ def duckdb_bpe_sql(docs_rel: str, n_merges: int = 8) -> str:
         for i in range(1, n_merges + 1)
     )
     return ("WITH " + ",".join(ctes) + "\n        " + union)
+
+
+def bpe_encode(docs: DataFrame, merges: DataFrame,
+               text_col: str = "text") -> DataFrame:
+    """Apply a learned merge table: docs x merges(merge_rank, lsym,
+    rsym) → ``(word, freq, n_subwords, subwords)`` over the corpus's
+    DISTINCT words (subwords space-joined — words are
+    whitespace-free by construction, so the join is unambiguous).
+
+    The merge list is collected driver-side (it is the learned
+    artifact — k rows) and applied as k chained literal replaces in
+    merge order over the wrapped-symbol packing, exactly the training
+    loop's step. Expression depth grows with k, so this JVM path is
+    for MODEST merge tables (the corpus-analysis use: auditing what a
+    vocab of size k captures); a production 30k-merge tokenizer
+    applies merges per word in a trained-tokenizer UDF instead —
+    documented bound, not a silent cliff.
+
+    Scale shape: one corpus pass for word frequencies, then pure
+    column expressions over the distinct-word table; no shuffle after
+    the frequency groupBy."""
+    rows = sorted(
+        ((r["merge_rank"], r["lsym"], r["rsym"])
+         for r in merges.select("merge_rank", "lsym", "rsym").collect()),
+    )  # bounded: the learned merge table
+    toks = F.filter(
+        F.split(F.col(text_col), ASCII_WS_SPLIT_RE),
+        lambda t: (t != "") & ~F.contains(t, F.lit(SEP)),
+    )
+    words = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    chars = F.filter(F.split("word", ""), lambda c: c != "")
+    w = F.concat(F.lit(SEP), F.array_join(chars, SEP + SEP),
+                 F.lit(SEP))
+    for _, l, r in rows:
+        w = F.replace(w, F.lit(SEP + l + SEP + SEP + r + SEP),
+                      F.lit(SEP + l + r + SEP))
+    subs = F.filter(F.split(w, SEP), lambda s: s != "")
+    return words.select(
+        "word", "freq",
+        F.size(subs).cast("long").alias("n_subwords"),
+        F.array_join(subs, " ").alias("subwords"),
+    )
+
+
+def duckdb_bpe_encode_sql(docs_rel: str, n_merges: int = 8) -> str:
+    """DuckDB mirror of learn-then-encode: the duckdb_bpe_sql CTE
+    chain with the word column carried through, final select = the
+    encoded distinct-word table."""
+    sep = "chr(31)"
+    ctes = [f"""
+        w0 AS (
+          SELECT word,
+                 {sep} || array_to_string(
+                   list_filter(string_split(word, ''), c -> c != ''),
+                   {sep} || {sep}) || {sep} AS w,
+                 CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (
+            SELECT t.word
+            FROM {docs_rel},
+                 unnest(list_filter(regexp_split_to_array(
+                   text, '{ASCII_WS_SPLIT_RE}'),
+                   s -> s != '' AND NOT contains(s, {sep})))
+                 AS t(word))
+          GROUP BY 1)"""]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        ctes.append(f"""
+        p{i} AS (
+          SELECT lst[j] AS l, lst[j + 1] AS r,
+                 CAST(SUM(freq) AS BIGINT) AS cnt
+          FROM (SELECT list_filter(string_split(w, {sep}),
+                                   s -> s != '') AS lst, freq
+                FROM {prev}),
+               unnest(range(1, len(lst))) AS u(j)
+          GROUP BY 1, 2),
+        t{i} AS (
+          SELECT l, r, cnt FROM p{i}
+          ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+        w{i} AS (
+          SELECT word,
+                 replace(w,
+                         {sep} || t.l || {sep} || {sep} || t.r || {sep},
+                         {sep} || t.l || t.r || {sep}) AS w, freq
+          FROM {prev}, t{i} t)""")
+    return ("WITH " + ",".join(ctes) + f"""
+        SELECT word, freq,
+               CAST(len(list_filter(string_split(w, {sep}),
+                                    s -> s != '')) AS BIGINT)
+                   AS n_subwords,
+               array_to_string(list_filter(string_split(w, {sep}),
+                                           s -> s != ''), ' ')
+                   AS subwords
+        FROM w{n_merges}""")

@@ -118,3 +118,60 @@ def test_mirror_agrees(spark):
                     list(enumerate(texts)))
     want = sorted(con.execute(duckdb_bpe_sql("documents", 5)).fetchall())
     assert sorted(got) == [tuple(w) for w in want]
+
+
+def _encode_reference(texts, k):
+    """Apply _reference merges with the same tuple algorithm."""
+    merges = _reference(texts, k)
+    vocab = Counter()
+    for t in texts:
+        for w in t.split():
+            if "\x1f" not in w:
+                vocab[w] += 1
+    out = {}
+    for w, freq in vocab.items():
+        syms = list(w)
+        for _, l, r, _ in merges:
+            new, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    new.append(l + r)
+                    i += 2
+                else:
+                    new.append(syms[i])
+                    i += 1
+            syms = new
+        out[w] = (freq, len(syms), " ".join(syms))
+    return out
+
+
+def test_encode_matches_reference(spark):
+    from hickoryspark.ops.bpe import bpe_encode, bpe_merges
+
+    texts = ["low low lower lowest", "newest new news", "aaaa abab"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    merges = bpe_merges(docs, 5)
+    got = {r["word"]: (r["freq"], r["n_subwords"], r["subwords"])
+           for r in bpe_encode(docs, merges).collect()}
+    assert got == _encode_reference(texts, 5)
+
+
+def test_encode_mirror_agrees(spark):
+    import duckdb
+
+    from hickoryspark.ops.bpe import (bpe_encode, bpe_merges,
+                                      duckdb_bpe_encode_sql)
+
+    texts = ["wide wider widest", "low slow glow", "a bb ccc"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["word"]: (r["freq"], r["n_subwords"], r["subwords"])
+           for r in bpe_encode(docs, bpe_merges(docs, 4)).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    list(enumerate(texts)))
+    want = {w: (f, n, s) for w, f, n, s in con.execute(
+        duckdb_bpe_encode_sql("documents", 4)).fetchall()}
+    assert got == want
