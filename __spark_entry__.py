@@ -3515,6 +3515,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return tfidf_top_terms(load_documents(spark, sf), 3)
 
+    def q_template_clusters(spark, sf):
+        # structural template clustering (ops/boilerplate.py
+        # dom_fingerprints): over the REAL page corpus, two pages
+        # share a fingerprint iff their element structure matches —
+        # exactly the (variant, np, has_link) combos the template
+        # generator enumerates, so the cluster-size distribution is a
+        # closed form over the pages CTE.
+        from hickoryspark.ops.boilerplate import template_cluster_sizes
+
+        return template_cluster_sizes(_cached_nodes(spark, sf))
+
     def q_sitemap_discovery(spark, sf):
         # END-TO-END sitemap discovery: robots_sitemaps pulls the
         # host-wide Sitemap: records (case/whitespace variants on
@@ -4467,6 +4478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bpe_merges=q_bpe_merges,
         bpe_encode=q_bpe_encode,
         sitemap_discovery=q_sitemap_discovery,
+        template_clusters=q_template_clusters,
         dedup_incremental=q_dedup_incremental,
         score_buckets=q_score_buckets,
         url_features=q_url_features,
@@ -7461,6 +7473,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(200 AS BIGINT) AS status,
                CAST(strlen(pay) AS BIGINT) AS length
         FROM caps"""
+    # template_clusters: the generator determines page structure by
+    # (variant, np, has_link) exactly (the _dv combo enumeration), so
+    # structural clusters ARE those combos
+    oracles["template_clusters"] = DUCKDB_PAGES_CTE + """
+        , combos AS (
+          SELECT variant, np, has_link,
+                 CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM pages GROUP BY 1, 2, 3)
+        SELECT cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM combos GROUP BY cluster_size"""
     # sitemap_discovery: closed form over (source, doc_id) — even
     # docs in sm0 (pos 1), odd docs in sm1 (pos 2, gzipped) on
     # odd-length sources only; entry_pos = 1-based rank within the

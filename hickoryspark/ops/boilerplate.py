@@ -151,3 +151,46 @@ def strip_boilerplate(
             "n_boiler",
         )
     )
+
+
+def dom_fingerprints(nodes: DataFrame) -> DataFrame:
+    """Structural page fingerprint for TEMPLATE CLUSTERING — two pages
+    share a fingerprint iff their ELEMENT structure is identical
+    (texts ignored): ``(url, fingerprint)`` where the fingerprint is
+    the md5 of the sorted multiset of ``parent_tag>tag@depth`` tokens.
+    The shape-based complement of the text-frequency template
+    detection above (pages with rotated copy but one layout cluster
+    together; SEO template farms and pagination families collapse).
+
+    Scale shape: one url groupBy whose collect frame is bounded by a
+    single page's own element count (the per-url agg rule); sorting
+    and hashing are row-local array ops. Exact equality — no banding,
+    no recall question."""
+    from hickoryspark.nodes import TYPE_ELEMENT
+
+    tok = F.concat_ws(
+        "", F.coalesce(F.col("parent_tag"), F.lit("")), F.lit(">"),
+        F.col("tag"), F.lit("@"), F.col("depth").cast("string"))
+    elems = nodes.where(F.col("type") == TYPE_ELEMENT).select(
+        "url", tok.alias("_t"))
+    return elems.groupBy("url").agg(
+        F.md5(
+            F.encode(
+                F.array_join(F.array_sort(F.collect_list("_t")),
+                             "\x1f"),
+                "UTF-8",
+            )
+        ).alias("fingerprint")
+    )
+
+
+def template_cluster_sizes(nodes: DataFrame) -> DataFrame:
+    """Distribution view over :func:`dom_fingerprints`:
+    ``(cluster_size, n_clusters)`` — how many structural templates
+    exist at each page count. The audit number a crawl engineer reads
+    first (one giant cluster = a template farm / one shared shell)."""
+    fps = dom_fingerprints(nodes)
+    clusters = fps.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"))
