@@ -156,31 +156,39 @@ def strip_boilerplate(
 def dom_fingerprints(nodes: DataFrame) -> DataFrame:
     """Structural page fingerprint for TEMPLATE CLUSTERING — two pages
     share a fingerprint iff their ELEMENT structure is identical
-    (texts ignored): ``(url, fingerprint)`` where the fingerprint is
-    the md5 of the sorted multiset of ``parent_tag>tag@depth`` tokens.
-    The shape-based complement of the text-frequency template
-    detection above (pages with rotated copy but one layout cluster
-    together; SEO template farms and pagination families collapse).
+    (texts and attributes ignored): ``(url, fingerprint)``, the md5
+    of the PRE-ORDER ``(tag, depth)`` sequence. The shape-based
+    complement of the text-frequency template detection above (pages
+    with rotated copy but one layout cluster together; SEO template
+    farms and pagination families collapse).
+
+    Two exactness pins (both review-caught):
+    - the hash covers the pre-order SEQUENCE, not a sorted multiset —
+      a multiset cannot tell which sibling subtree a node hangs under
+      (two divs where the <p> sits in the first vs the second
+      collide), while pre-order (tag, depth) uniquely determines the
+      tree shape;
+    - each token is SELF-DELIMITING (``len(tag):tag:depth;``) — tag
+      names may legally contain any separator byte, so a joined
+      string without length prefixes is ambiguous under hostile tag
+      names.
 
     Scale shape: one url groupBy whose collect frame is bounded by a
-    single page's own element count (the per-url agg rule); sorting
+    single page's own element count (the per-url agg rule); ordering
     and hashing are row-local array ops. Exact equality — no banding,
     no recall question."""
     from hickoryspark.nodes import TYPE_ELEMENT
 
     tok = F.concat_ws(
-        "", F.coalesce(F.col("parent_tag"), F.lit("")), F.lit(">"),
-        F.col("tag"), F.lit("@"), F.col("depth").cast("string"))
+        "", F.length("tag").cast("string"), F.lit(":"), F.col("tag"),
+        F.lit(":"), F.col("depth").cast("string"), F.lit(";"))
     elems = nodes.where(F.col("type") == TYPE_ELEMENT).select(
-        "url", tok.alias("_t"))
+        "url", F.struct(F.col("pre_ord"), tok.alias("t")).alias("_s"))
+    seq = F.transform(
+        F.array_sort(F.collect_list("_s")), lambda s: s["t"])
     return elems.groupBy("url").agg(
-        F.md5(
-            F.encode(
-                F.array_join(F.array_sort(F.collect_list("_t")),
-                             "\x1f"),
-                "UTF-8",
-            )
-        ).alias("fingerprint")
+        F.md5(F.encode(F.array_join(seq, ""), "UTF-8"))
+        .alias("fingerprint")
     )
 
 

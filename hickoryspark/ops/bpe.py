@@ -130,13 +130,22 @@ def bpe_merges(docs: DataFrame, n_merges: int = 8,
                 "pair_count long")
 
 
-def duckdb_bpe_sql(docs_rel: str, n_merges: int = 8) -> str:
-    """DuckDB mirror: the identical program unrolled one CTE pair per
-    round (words_i / top_i)."""
+def _bpe_cte_chain(docs_rel: str, n_merges: int,
+                   carry_word: bool) -> str:
+    """The ONE generator of the unrolled merge-program CTE chain —
+    both mirrors (duckdb_bpe_sql, duckdb_bpe_encode_sql) derive from
+    it so the separator scheme, tie rule, and token filter cannot
+    diverge. ``carry_word`` threads the original word column through
+    every w{i} (the encode mirror needs it). The merge step is a
+    LEFT JOIN on the (at most one-row) top table with COALESCE, so an
+    exhausted vocabulary passes w{i-1} through unchanged instead of
+    annihilating the relation — matching the ops' documented
+    early-stop behavior."""
     sep = "chr(31)"
+    word_col = "word, " if carry_word else ""
     ctes = [f"""
         w0 AS (
-          SELECT {sep} || array_to_string(
+          SELECT {word_col}{sep} || array_to_string(
                    list_filter(string_split(word, ''), c -> c != ''),
                    {sep} || {sep}) || {sep} AS w,
                  CAST(COUNT(*) AS BIGINT) AS freq
@@ -147,7 +156,7 @@ def duckdb_bpe_sql(docs_rel: str, n_merges: int = 8) -> str:
                    text, '{ASCII_WS_SPLIT_RE}'),
                    s -> s != '' AND NOT contains(s, {sep})))
                  AS t(word))
-          GROUP BY 1)"""]
+          GROUP BY 1{', 2' if carry_word else ''})"""]
     for i in range(1, n_merges + 1):
         prev = f"w{i - 1}"
         ctes.append(f"""
@@ -163,16 +172,25 @@ def duckdb_bpe_sql(docs_rel: str, n_merges: int = 8) -> str:
           SELECT l, r, cnt FROM p{i}
           ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
         w{i} AS (
-          SELECT replace(w,
-                         {sep} || t.l || {sep} || {sep} || t.r || {sep},
-                         {sep} || t.l || t.r || {sep}) AS w, freq
-          FROM {prev}, t{i} t)""")
+          SELECT {word_col}COALESCE(
+                   replace(w, {sep} || t.l || {sep} || {sep} || t.r
+                              || {sep},
+                           {sep} || t.l || t.r || {sep}),
+                   w) AS w, freq
+          FROM {prev} LEFT JOIN t{i} t ON TRUE)""")
+    return ",".join(ctes)
+
+
+def duckdb_bpe_sql(docs_rel: str, n_merges: int = 8) -> str:
+    """DuckDB mirror: the identical program unrolled one CTE pair per
+    round (words_i / top_i)."""
     union = "\n        UNION ALL ".join(
         f"SELECT {i} AS merge_rank, l AS lsym, r AS rsym, "
         f"cnt AS pair_count FROM t{i}"
         for i in range(1, n_merges + 1)
     )
-    return ("WITH " + ",".join(ctes) + "\n        " + union)
+    return ("WITH " + _bpe_cte_chain(docs_rel, n_merges, False)
+            + "\n        " + union)
 
 
 def bpe_encode(docs: DataFrame, merges: DataFrame,
@@ -222,46 +240,13 @@ def bpe_encode(docs: DataFrame, merges: DataFrame,
 
 
 def duckdb_bpe_encode_sql(docs_rel: str, n_merges: int = 8) -> str:
-    """DuckDB mirror of learn-then-encode: the duckdb_bpe_sql CTE
-    chain with the word column carried through, final select = the
-    encoded distinct-word table."""
+    """DuckDB mirror of learn-then-encode: the SHARED CTE chain
+    (_bpe_cte_chain, word carried through), final select = the
+    encoded distinct-word table. The chain's LEFT JOIN merge step
+    means an exhausted vocabulary yields the partially-encoded table
+    (matching bpe_encode), never zero rows."""
     sep = "chr(31)"
-    ctes = [f"""
-        w0 AS (
-          SELECT word,
-                 {sep} || array_to_string(
-                   list_filter(string_split(word, ''), c -> c != ''),
-                   {sep} || {sep}) || {sep} AS w,
-                 CAST(COUNT(*) AS BIGINT) AS freq
-          FROM (
-            SELECT t.word
-            FROM {docs_rel},
-                 unnest(list_filter(regexp_split_to_array(
-                   text, '{ASCII_WS_SPLIT_RE}'),
-                   s -> s != '' AND NOT contains(s, {sep})))
-                 AS t(word))
-          GROUP BY 1)"""]
-    for i in range(1, n_merges + 1):
-        prev = f"w{i - 1}"
-        ctes.append(f"""
-        p{i} AS (
-          SELECT lst[j] AS l, lst[j + 1] AS r,
-                 CAST(SUM(freq) AS BIGINT) AS cnt
-          FROM (SELECT list_filter(string_split(w, {sep}),
-                                   s -> s != '') AS lst, freq
-                FROM {prev}),
-               unnest(range(1, len(lst))) AS u(j)
-          GROUP BY 1, 2),
-        t{i} AS (
-          SELECT l, r, cnt FROM p{i}
-          ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
-        w{i} AS (
-          SELECT word,
-                 replace(w,
-                         {sep} || t.l || {sep} || {sep} || t.r || {sep},
-                         {sep} || t.l || t.r || {sep}) AS w, freq
-          FROM {prev}, t{i} t)""")
-    return ("WITH " + ",".join(ctes) + f"""
+    return ("WITH " + _bpe_cte_chain(docs_rel, n_merges, True) + f"""
         SELECT word, freq,
                CAST(len(list_filter(string_split(w, {sep}),
                                     s -> s != '')) AS BIGINT)

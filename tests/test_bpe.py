@@ -175,3 +175,27 @@ def test_encode_mirror_agrees(spark):
     want = {w: (f, n, s) for w, f, n, s in con.execute(
         duckdb_bpe_encode_sql("documents", 4)).fetchall()}
     assert got == want
+
+
+def test_encode_mirror_survives_merge_exhaustion(spark):
+    # review regression: an exhausted vocabulary (fewer merges than
+    # n_merges) must yield the partially-encoded table from the
+    # mirror, never zero rows
+    import duckdb
+
+    from hickoryspark.ops.bpe import (bpe_encode, bpe_merges,
+                                      duckdb_bpe_encode_sql)
+
+    texts = ["a bb ccc"]
+    docs = spark.createDataFrame(
+        [(0, texts[0])], "doc_id long, text string")
+    merges = bpe_merges(docs, 4)
+    assert merges.count() < 4  # exhaustion engaged
+    got = {r["word"]: (r["freq"], r["n_subwords"], r["subwords"])
+           for r in bpe_encode(docs, merges).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.execute("INSERT INTO documents VALUES (0, ?)", [texts[0]])
+    want = {w: (f, n, s) for w, f, n, s in con.execute(
+        duckdb_bpe_encode_sql("documents", 4)).fetchall()}
+    assert got == want and len(got) == 3

@@ -63,3 +63,25 @@ def test_cluster_sizes_distribution(spark):
     out = {r["cluster_size"]: r["n_clusters"]
            for r in template_cluster_sizes(explode_nodes(df)).collect()}
     assert out == {3: 1, 2: 1, 1: 1}
+
+
+def test_sibling_placement_distinguished(spark):
+    # review regression: a sorted multiset merges trees that differ
+    # only in WHICH sibling a subtree hangs under — the pre-order
+    # sequence must split them
+    out = _fps(spark, [
+        ("u1", "<html><body><div><p>x</p></div><div></div></body></html>"),
+        ("u2", "<html><body><div></div><div><p>y</p></div></body></html>"),
+    ])
+    assert out["u1"] != out["u2"]
+
+
+def test_hostile_tag_names_do_not_collide(spark):
+    # review regression: tags may contain separator bytes; the
+    # self-delimiting token encoding must keep distinct structures
+    # distinct
+    out = _fps(spark, [
+        ("u1", "<html><body><x\x1fy\x40z>a</x\x1fy\x40z></body></html>"),
+        ("u2", "<html><body><x>a</x><y\x40z>b</y\x40z></body></html>"),
+    ])
+    assert out["u1"] != out["u2"]
