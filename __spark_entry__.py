@@ -855,6 +855,133 @@ def _pagerank_oracle_sql(n_iter: int = 3) -> str:
         SELECT id, CAST(rank AS BIGINT) AS rank_e12 FROM r{n_iter}"""
 
 
+#: shared synthetic crawl graph for the BFS / HITS gates (pagerank's
+#: e1/e2 formulas without the %3 extra edge): every doc_id gets
+#: out-edges to (7id+1)%N and (13id+3)%N — collisions make real
+#: multi-edges, which both ops honor.
+_GRAPH_GATE_EDGES = """
+        WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        nodes AS (SELECT doc_id AS id FROM documents),
+        edges AS (
+          SELECT doc_id AS src,
+                 (doc_id * 7 + 1) % (SELECT n FROM nn) AS dst
+          FROM documents
+          UNION ALL
+          SELECT doc_id, (doc_id * 13 + 3) % (SELECT n FROM nn)
+          FROM documents)"""
+
+
+def _bfs_oracle_sql(max_depth: int, seed_mod: int) -> str:
+    """Unrolled BFS frontier expansion (see q_crawl_depth) — one CTE
+    per hop, NULL depth for nodes unreached within the budget;
+    mirrors ops/graph.py bfs_depth's settled/frontier recurrence."""
+    sql = _GRAPH_GATE_EDGES + f""",
+        d0 AS (SELECT doc_id AS id, 0 AS depth FROM documents
+               WHERE doc_id % {seed_mod} = 0)"""
+    for r in range(1, max_depth + 1):
+        sql += f""",
+        d{r} AS (
+          SELECT id, depth FROM d{r - 1}
+          UNION ALL
+          SELECT t.dst, {r} FROM (
+            SELECT DISTINCT e.dst
+            FROM edges e JOIN d{r - 1} f ON e.src = f.id
+                                        AND f.depth = {r - 1}
+          ) t(dst)
+          WHERE t.dst NOT IN (SELECT id FROM d{r - 1}))"""
+    return sql + f"""
+        SELECT n.id, CAST(d.depth AS BIGINT) AS depth
+        FROM nodes n LEFT JOIN d{max_depth} d ON d.id = n.id"""
+
+
+def _hits_oracle_sql(n_iter: int, scale: int = 10**6) -> str:
+    """Unrolled exact-integer HITS half-steps (see q_graph_hits) —
+    per iteration an auth CTE (sum of in-hubs, L-inf rescaled by
+    truncating integer division) then a hub CTE; arithmetic identical
+    to ops/graph.py hits()."""
+    sql = _GRAPH_GATE_EDGES + f""",
+        h0 AS (SELECT id, {scale} AS hub FROM nodes),
+        a0 AS (SELECT id, {scale} AS auth FROM nodes)"""
+    for i in range(n_iter):
+        sql += f""",
+        ra{i} AS (SELECT e.dst AS id, SUM(h.hub) AS s
+                  FROM edges e JOIN h{i} h ON h.id = e.src
+                  GROUP BY e.dst),
+        a{i + 1} AS (
+          SELECT n.id,
+                 CASE WHEN (SELECT MAX(s) FROM ra{i}) > 0
+                      THEN CAST((COALESCE(r.s, 0) * {scale})
+                                // (SELECT MAX(s) FROM ra{i}) AS BIGINT)
+                      ELSE 0 END AS auth
+          FROM nodes n LEFT JOIN ra{i} r ON r.id = n.id),
+        rh{i} AS (SELECT e.src AS id, SUM(a.auth) AS s
+                  FROM edges e JOIN a{i + 1} a ON a.id = e.dst
+                  GROUP BY e.src),
+        h{i + 1} AS (
+          SELECT n.id,
+                 CASE WHEN (SELECT MAX(s) FROM rh{i}) > 0
+                      THEN CAST((COALESCE(r.s, 0) * {scale})
+                                // (SELECT MAX(s) FROM rh{i}) AS BIGINT)
+                      ELSE 0 END AS hub
+          FROM nodes n LEFT JOIN rh{i} r ON r.id = n.id)"""
+    return sql + f"""
+        SELECT h.id, CAST(h.hub AS BIGINT) AS hub_e6,
+               CAST(a.auth AS BIGINT) AS auth_e6
+        FROM h{n_iter} h JOIN a{n_iter} a ON a.id = h.id"""
+
+
+def _kmeans_oracle_sql(k: int, n_iter: int, d: int) -> str:
+    """Unrolled exact-integer Lloyd recurrence (see q_embed_kmeans):
+    per iteration an assignment CTE (argmin BIGINT squared distance,
+    ties to the lowest cluster via ROW_NUMBER ORDER BY dist, cluster)
+    and a centroid CTE (per-position truncating-div mean, empty
+    clusters keep their previous centroid via LEFT JOIN + COALESCE).
+    The quantization expression is ops/kmeans.py's own DuckDB mirror
+    (single-sourced with embstats). d is pinned to the gate corpus's
+    fixed dimensionality — the oracle may use gate knowledge."""
+    from hickoryspark.ops.kmeans import duckdb_quantize_expr
+
+    dist = ("CAST(list_sum(list_transform(list_zip(q.qv, c.qv), "
+            "p -> CAST((p[1]-p[2])*(p[1]-p[2]) AS BIGINT))) AS BIGINT)")
+    sql = f"""
+        WITH q AS (
+          SELECT vec_id AS id,
+                 list_transform(embedding,
+                                x -> {duckdb_quantize_expr('x')}) AS qv
+          FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        c0 AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster, qv
+          FROM (SELECT id, qv FROM q ORDER BY id LIMIT {k}))"""
+    for i in range(n_iter + 1):
+        sql += f""",
+        a{i} AS (
+          SELECT id, cluster FROM (
+            SELECT q.id, c.cluster,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY q.id
+                     ORDER BY {dist}, c.cluster) AS rn
+            FROM q CROSS JOIN c{i} c
+            WHERE len(q.qv) = {d})
+          WHERE rn = 1)"""
+        if i == n_iter:
+            break
+        sql += f""",
+        u{i} AS (
+          SELECT a.cluster, g.i AS pos,
+                 CAST(SUM(q.qv[g.i]) // COUNT(*) AS BIGINT) AS m
+          FROM a{i} a JOIN q USING (id), generate_series(1, {d}) g(i)
+          GROUP BY a.cluster, g.i),
+        c{i + 1} AS (
+          SELECT c.cluster, COALESCE(u.qv, c.qv) AS qv
+          FROM c{i} c LEFT JOIN (
+            SELECT cluster, array_agg(m ORDER BY pos) AS qv
+            FROM u{i} GROUP BY cluster) u USING (cluster))"""
+    return sql + f"""
+        SELECT e.vec_id AS id, CAST(a.cluster AS BIGINT) AS cluster
+        FROM embeddings e LEFT JOIN a{n_iter} a ON a.id = e.vec_id"""
+
+
 #: mime_sniff gate: variant (doc_id % 16) -> (magic prefix, expected
 #: sniffed type). The Spark side classifies magic||md5-tail BYTES; the
 #: oracle maps the variant directly (charset_extract pattern — the
@@ -4592,6 +4719,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         streaming_extract=q_streaming_extract,
         warc_roundtrip=q_warc_roundtrip,
     )
+
+    def q_crawl_depth(spark, sf):
+        # BFS hop distance from a sparse seed set (ops/graph.py
+        # bfs_depth — frontier expansion, work proportional to the
+        # frontier) over the shared synthetic crawl graph
+        # id->(7id+1)%N, id->(13id+3)%N; seeds = doc_id%97==0,
+        # max_depth=4; unreached nodes stay NULL. Oracle unrolls the
+        # same settled/frontier recurrence one CTE per hop.
+        from hickoryspark.ops.graph import bfs_depth
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+        n = docs.count()
+        d = F.col("doc_id")
+        edges = docs.select(d.alias("src"), ((d * 7 + 1) % n).alias("dst")) \
+            .unionByName(
+                docs.select(d.alias("src"), ((d * 13 + 3) % n).alias("dst"))
+            )
+        seeds = docs.where(d % 97 == 0).select(d.alias("id"))
+        nodes = docs.select(d.alias("id"))
+        return bfs_depth(edges, seeds, max_depth=4, nodes=nodes)
+
+    def q_graph_hits(spark, sf):
+        # exact-integer HITS (ops/graph.py hits — L-inf fixed-point
+        # renormalization so BIGINT sums stay hash-comparable) on the
+        # same graph as crawl_depth; 2 iterations, oracle unrolled
+        # half-step per half-step.
+        from hickoryspark.ops.graph import hits
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+        n = docs.count()
+        d = F.col("doc_id")
+        edges = docs.select(d.alias("src"), ((d * 7 + 1) % n).alias("dst")) \
+            .unionByName(
+                docs.select(d.alias("src"), ((d * 13 + 3) % n).alias("dst"))
+            )
+        nodes = docs.select(d.alias("id"))
+        return hits(edges, n_iter=2, nodes=nodes)
+
+    def q_embed_kmeans(spark, sf):
+        # exact-integer Lloyd k-means over the embeddings table
+        # (ops/kmeans.py — the k-means fit job ivf_topk defers to):
+        # k=8, 2 full iterations + closing assignment; embstats
+        # milli-quantization, argmin with lowest-cluster tiebreak,
+        # truncating-div centroid means. Oracle unrolls the identical
+        # recurrence (d pinned to the corpus's fixed 64 dims).
+        from hickoryspark.ops.kmeans import kmeans_assign
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return kmeans_assign(emb, k=8, n_iter=2)
+
+    out.update(
+        crawl_depth=q_crawl_depth,
+        graph_hits=q_graph_hits,
+        embed_kmeans=q_embed_kmeans,
+    )
     # The driver's correctness gate records only the FIRST 50 entries in
     # dict order (round-2 verdict: 27 queries had never been driver-
     # value-checked because insertions pushed them past the cutoff).
@@ -5557,6 +5739,13 @@ def oracle_sql() -> dict[str, str]:
         # order-independent — the float formulation could never be
         # hash-compared across engines)
         "graph_pagerank": _pagerank_oracle_sql(3),
+        # unrolled BFS frontier recurrence, one CTE per hop
+        "crawl_depth": _bfs_oracle_sql(4, 97),
+        # unrolled exact-integer HITS half-steps (L-inf rescale)
+        "graph_hits": _hits_oracle_sql(2),
+        # unrolled exact-integer Lloyd recurrence (d=64 pinned to the
+        # embeddings corpus; quantization single-sourced with the op)
+        "embed_kmeans": _kmeans_oracle_sql(8, 2, 64),
         # linear 8-step unroll vs the engine's pointer doubling — an
         # independent recurrence formulation, not a mirror
         "redirect_resolve": _redirect_oracle_sql(8),

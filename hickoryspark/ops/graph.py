@@ -97,3 +97,138 @@ def pagerank(
         if (i + 1) % 10 == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def bfs_depth(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """(id, depth) — BFS hop distance from a seed set over directed
+    crawl edges; NULL depth = not reachable within ``max_depth``.
+
+    The crawl-depth signal (how many clicks from a seed/homepage a
+    page sits) is a standard frontier-prioritization and quality
+    feature. Unit weights make first-reach minimal, so the frontier
+    formulation is exact: round r expands ONLY the nodes settled at
+    depth r-1 (join edges on the frontier, distinct dst, anti-join
+    the settled set). Two key-shuffles per round, no full-graph
+    relaxation — work is proportional to the frontier, not the node
+    count, which is what survives a 100x edge-count scale-up.
+
+    ``seeds``: single ``id`` column. ``nodes`` optionally fixes the
+    output universe (default: seeds + every src/dst).
+    """
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0, got {max_depth}")
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .unionByName(seeds.select(F.col("id")))
+            .distinct()
+        )
+    settled = (
+        seeds.select("id").distinct()
+        .select("id", F.lit(0).cast("long").alias("depth"))
+        # settled feeds every round's anti-join AND the final union;
+        # checkpoint cuts the per-round union/join lineage growth
+        .localCheckpoint()
+    )
+    frontier = settled
+    for r in range(1, max_depth + 1):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["id"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(settled, "id", "left_anti")
+            .select("id", F.lit(r).cast("long").alias("depth"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        settled = settled.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return nodes.join(settled, "id", "left").select("id", "depth")
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 3,
+    scale: int = 10**6,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """(id, hub_e6, auth_e6) — Kleinberg HITS, exact-integer.
+
+    Same cross-engine rule as :func:`pagerank`: float HITS cannot be
+    hash-compared (summation order), so scores are BIGINT fixed-point
+    and each half-step renormalizes by the MAX score (L-inf, not L2 —
+    integer floor-divide, order-independent):
+
+        auth'(v) = sum_{u->v} hub(u);   auth = auth' * scale // max(auth')
+        hub'(u)  = sum_{u->v} auth(v);  hub  = hub' * scale // max(hub')
+
+    Magnitude bound (documented, mirrored by the oracle): the rescale
+    numerator is sum * scale <= max_degree * scale^2, so BIGINT is
+    safe for degrees up to ~9e6 at the default scale of 1e6 — raise
+    degree headroom by LOWERING scale. Each half-step is one
+    key-shuffle groupBy + a scalar max aggregate; nodes with no
+    in/out edges hold score 0 after the first step (standard).
+    """
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    nodes = nodes.persist()
+    edges = edges.persist()
+    hub = nodes.select("id", F.lit(scale).cast("long").alias("hub"))
+    auth = nodes.select("id", F.lit(scale).cast("long").alias("auth"))
+    for i in range(n_iter):
+        raw_auth = (
+            edges.join(hub, edges["src"] == hub["id"])
+            .groupBy("dst").agg(F.sum("hub").alias("_s"))
+        )
+        auth = _linf_norm(nodes, raw_auth, "dst", "auth", scale)
+        raw_hub = (
+            edges.join(auth, edges["dst"] == auth["id"])
+            .groupBy("src").agg(F.sum("auth").alias("_s"))
+        )
+        hub = _linf_norm(nodes, raw_hub, "src", "hub", scale)
+        if (i + 1) % 5 == 0 and i + 1 < n_iter:
+            hub = hub.localCheckpoint()
+            auth = auth.localCheckpoint()
+    return (
+        nodes.join(hub.withColumnRenamed("hub", "hub_e6"), "id", "left")
+        .join(auth.withColumnRenamed("auth", "auth_e6"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("hub_e6", F.lit(0)).cast("long").alias("hub_e6"),
+            F.coalesce("auth_e6", F.lit(0)).cast("long").alias("auth_e6"),
+        )
+    )
+
+
+def _linf_norm(nodes, raw, key, out, scale):
+    """nodes left-joined to per-key sums, rescaled to max == scale.
+
+    The max is computed RELATIONALLY (scalar agg cross-joined — AQE
+    broadcasts the 1-row side), never collected: the half-step stays
+    a single lazy plan."""
+    mx = raw.agg(F.max("_s").alias("_mx"))
+    return (
+        nodes.join(raw, nodes["id"] == raw[key], "left")
+        .crossJoin(mx)
+        .select(
+            "id",
+            F.when(
+                F.col("_mx").isNotNull() & (F.col("_mx") > 0),
+                F.expr(f"(coalesce(_s, 0) * {scale}) div _mx"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias(out),
+        )
+    )

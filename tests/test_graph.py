@@ -84,3 +84,113 @@ def test_damping_extremes(spark):
     assert len(flat) == 1
     with pytest.raises(ValueError):
         pagerank(edges, 1, damping_pct=101)
+
+
+# ---------------------------------------------------------------- bfs
+
+
+def _py_bfs(edges, seeds, max_depth):
+    adj = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+    dist = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    for r in range(1, max_depth + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = r
+                    nxt.append(v)
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+def test_bfs_depth_matches_reference(spark):
+    from hickoryspark.ops.graph import bfs_depth
+
+    # chain 0->1->2->3, branch 1->4, cycle back 3->0, island 9->10
+    E = [(0, 1), (1, 2), (2, 3), (1, 4), (3, 0), (9, 10)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {r["id"]: r["depth"] for r in bfs_depth(edges, seeds, 10).collect()}
+    want = _py_bfs(E, [0], 10)
+    assert {k: v for k, v in got.items() if v is not None} == want
+    assert got[9] is None and got[10] is None  # unreachable island
+    # depth cap: with max_depth=1 only 0 and its successors settle
+    got1 = {r["id"]: r["depth"] for r in bfs_depth(edges, seeds, 1).collect()}
+    assert got1 == {0: 0, 1: 1, 2: None, 3: None, 4: None, 9: None, 10: None}
+    # multiple seeds: min distance wins, seed depth is 0 even with in-edges
+    seeds2 = spark.createDataFrame([(0,), (3,)], "id long")
+    got2 = {r["id"]: r["depth"]
+            for r in bfs_depth(edges, seeds2, 10).collect()}
+    assert got2[3] == 0 and got2[0] == 0 and got2[1] == 1 and got2[2] == 2
+
+
+def test_bfs_depth_partition_invariant_and_validation(spark):
+    from hickoryspark.ops.graph import bfs_depth
+
+    E = [(i, (i * 3 + 1) % 20) for i in range(20)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (7,)], "id long")
+    a = sorted(bfs_depth(edges, seeds, 5).collect())
+    b = sorted(bfs_depth(edges.repartition(7), seeds, 5).collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        bfs_depth(edges, seeds, -1)
+
+
+# ---------------------------------------------------------------- hits
+
+
+def _py_hits(edges, nodes, n_iter, scale=10**6):
+    hub = {v: scale for v in nodes}
+    auth = {v: scale for v in nodes}
+
+    def norm(raw):
+        mx = max(raw.values()) if raw else 0
+        if mx <= 0:
+            return {v: 0 for v in nodes}
+        return {v: (raw.get(v, 0) * scale) // mx for v in nodes}
+
+    for _ in range(n_iter):
+        ra = defaultdict(int)
+        for s, d in edges:
+            ra[d] += hub[s]
+        auth = norm(ra)
+        rh = defaultdict(int)
+        for s, d in edges:
+            rh[s] += auth[d]
+        hub = norm(rh)
+    return hub, auth
+
+
+def test_hits_matches_reference_and_partition_invariant(spark):
+    from hickoryspark.ops.graph import hits
+
+    E = [(0, 1), (0, 2), (1, 2), (3, 2), (2, 0), (2, 0)]  # multi-edge
+    nodes = list(range(5))  # 4 is isolated
+    edges = spark.createDataFrame(E, "src long, dst long")
+    ndf = spark.createDataFrame([(i,) for i in nodes], "id long")
+    want_h, want_a = _py_hits(E, nodes, 3)
+    rows = hits(edges, 3, nodes=ndf).collect()
+    got_h = {r["id"]: r["hub_e6"] for r in rows}
+    got_a = {r["id"]: r["auth_e6"] for r in rows}
+    assert got_h == want_h and got_a == want_a
+    # node 2 has max in-mass -> top authority at exactly scale
+    assert got_a[2] == 10**6
+    assert got_h[4] == 0 and got_a[4] == 0  # isolated
+    rows7 = hits(edges.repartition(7), 3, nodes=ndf).collect()
+    assert sorted(map(tuple, rows7)) == sorted(map(tuple, rows))
+
+
+def test_hits_empty_edges(spark):
+    from hickoryspark.ops.graph import hits
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    ndf = spark.createDataFrame([(1,), (2,)], "id long")
+    got = {r["id"]: (r["hub_e6"], r["auth_e6"])
+           for r in hits(edges, 2, nodes=ndf).collect()}
+    assert got == {1: (0, 0), 2: (0, 0)}
