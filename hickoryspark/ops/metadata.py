@@ -270,6 +270,75 @@ def extract_hreflang(nodes: DataFrame) -> DataFrame:
     )
 
 
+#: leading-delay prefix of a refresh content value: ws* digits
+#: (fraction tolerated and ignored) — rows whose content doesn't
+#: start this way are INVALID and dropped (the WHATWG shared
+#: declarative refresh steps fail without leading digits)
+_REFRESH_DELAY_RE = "^[ \\t\\n\\x0B\\f\\r]*([0-9]+)"
+#: the post-delay tail: separator [;,] then optional url= (any case,
+#: ws-tolerant) then the rest. \\z + [\\s\\S] per the repo's
+#: Java-regex ∩ RE2 rule (newline-bearing attr values).
+_REFRESH_TARGET_RE = (
+    "^[ \\t\\n\\x0B\\f\\r]*[0-9]+(?:\\.[0-9]*)?[ \\t\\n\\x0B\\f\\r]*"
+    "[;,][ \\t\\n\\x0B\\f\\r]*"
+    "(?:[Uu][Rr][Ll][ \\t\\n\\x0B\\f\\r]*=[ \\t\\n\\x0B\\f\\r]*)?"
+    "([\\s\\S]*)\\z"
+)
+
+
+def meta_refresh(nodes: DataFrame) -> DataFrame:
+    """``(url, meta_pos, delay_secs, target, resolved)`` — one row per
+    valid ``<meta http-equiv=refresh>``: the third redirect carrier
+    next to HTTP 3xx (ops/http.py) and ``rel=canonical``; feed the
+    edges to ops/crawlgraph.resolve_redirects like the others.
+
+    Pinned parse (a WHATWG "shared declarative refresh steps" subset,
+    reproduced by the gate oracle): ``http-equiv`` matches
+    ``refresh`` ASCII-ws-trimmed case-insensitively; ``content`` must
+    open with ws* digits (the delay; a fraction is ignored) or the
+    row is dropped; a ``[;,]`` separator then optional ``url=`` (any
+    case) introduces the target; a target wrapped in a MATCHING
+    ``'``/``"`` pair is unwrapped, otherwise it is ws-trimmed; empty
+    target → NULL (a delay-only refresh reloads the page — still a
+    crawl signal, so the row is kept). ``meta_pos`` is the 1-based
+    document-order position among the page's valid refreshes
+    (browsers honor the first — ``meta_pos = 1``). Pure Catalyst,
+    one url window, no joins."""
+    from hickoryspark.ops.links import resolve_href
+    from pyspark.sql import Window
+
+    a = F.col("attrs")
+    metas = nodes.where(
+        (F.col("type") == TYPE_ELEMENT)
+        & (F.col("tag") == "meta")
+        & (F.lower(F.btrim(F.coalesce(a["http-equiv"], F.lit("")),
+                           F.lit(" \t\n\x0b\f\r"))) == "refresh")
+        & a["content"].isNotNull()
+        & (F.regexp_extract(a["content"], _REFRESH_DELAY_RE, 1) != "")
+    ).select(
+        "url",
+        F.col("pre_ord").alias("_ord"),
+        F.regexp_extract(a["content"], _REFRESH_DELAY_RE, 1)
+        .cast("long").alias("delay_secs"),
+        F.regexp_extract(a["content"], _REFRESH_TARGET_RE, 1).alias("_raw"),
+    )
+    raw = F.col("_raw")
+    unq = F.when(
+        raw.rlike("^\"[\\s\\S]*\"\\z") | raw.rlike("^'[\\s\\S]*'\\z"),
+        F.substring(raw, 2, F.length(raw) - 2),
+    ).otherwise(F.btrim(raw, F.lit(" \t\n\x0b\f\r")))
+    target = F.nullif(unq, F.lit(""))
+    w = Window.partitionBy("url").orderBy("_ord")
+    return metas.select(
+        "url",
+        F.row_number().over(w).cast("long").alias("meta_pos"),
+        "delay_secs",
+        target.alias("target"),
+        F.when(target.isNotNull(),
+               resolve_href(F.col("url"), target)).alias("resolved"),
+    )
+
+
 def duplicate_titles(meta: DataFrame, min_pages: int = 2) -> DataFrame:
     """SEO/template-hygiene rollup over ``page_metadata`` output: one
     row per (host, title) shared by at least ``min_pages`` DISTINCT
