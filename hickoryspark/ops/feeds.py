@@ -160,3 +160,72 @@ def parse_feeds_df(feeds: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return feeds.select("host", "payload").mapInPandas(gen, FEED_SCHEMA)
+
+
+#: the two autodiscoverable feed MIME types (WHATWG link rel=alternate
+#: feed discovery convention; type matched ASCII-case-insensitively
+#: after ASCII-ws trim)
+FEED_TYPES = {"application/rss+xml": "rss", "application/atom+xml": "atom"}
+
+
+def feed_autodiscovery(nodes) -> DataFrame:
+    """Node table -> one row per autodiscoverable feed link:
+    ``(url, feed_pos, feed_type, href, resolved, title)``.
+
+    Pinned semantics (closed-form gate oracle):
+
+    - a feed link is a ``<link>`` element whose ``rel`` token list
+      (ASCII-ws split, case-insensitive — the ops/links.rel_nofollow
+      rule) contains ``alternate``, whose ``type`` attribute
+      ASCII-ws-trimmed + lowercased is ``application/rss+xml`` or
+      ``application/atom+xml``, and which carries a non-NULL
+      ``href``;
+    - matched ANYWHERE in the document (parsers hoist head-ish
+      content inconsistently; scoping to the parsed head would make
+      discovery depend on tree-builder placement, documented);
+    - ``feed_pos``: 1-based document-order position among the page's
+      feed links; ``feed_type``: ``rss`` | ``atom``; ``title`` as
+      written (NULL when absent); ``resolved`` =
+      ops/links.resolve_href(url, href).
+
+    Shape: one JVM-side filter + project off the node table; the only
+    shuffle is the per-url feed_pos window.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hickoryspark.nodes import TYPE_ELEMENT
+    from hickoryspark.ops.links import resolve_href
+    from hickoryspark.ops.metadata import ASCII_WS_RE
+
+    a = F.col("attrs")
+    ws = " \t\n\x0b\f\r"
+    mime = F.lower(F.btrim(a["type"], F.lit(ws)))
+    kind = (
+        F.when(mime == "application/rss+xml", F.lit("rss"))
+        .when(mime == "application/atom+xml", F.lit("atom"))
+    )
+    links = nodes.where(
+        (F.col("type") == TYPE_ELEMENT)
+        & (F.col("tag") == "link")
+        & a["href"].isNotNull()
+        & F.array_contains(
+            F.split(F.lower(F.coalesce(a["rel"], F.lit(""))), ASCII_WS_RE),
+            "alternate",
+        )
+    ).select(
+        "url",
+        F.col("pre_ord").alias("l_ord"),
+        kind.alias("feed_type"),
+        a["href"].alias("href"),
+        a["title"].alias("title"),
+    ).where(F.col("feed_type").isNotNull())
+    w = Window.partitionBy("url").orderBy("l_ord")
+    return links.select(
+        "url",
+        F.row_number().over(w).cast("long").alias("feed_pos"),
+        "feed_type",
+        "href",
+        resolve_href(F.col("url"), F.col("href")).alias("resolved"),
+        "title",
+    )

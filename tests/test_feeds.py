@@ -152,3 +152,33 @@ def test_null_payload_rows_skip(spark):
         [("a.test", None)], "host string, payload binary"
     )
     assert parse_sitemaps_df(sm).count() == 0
+
+
+def test_feed_autodiscovery(spark):
+    from hickoryspark.ops.feeds import feed_autodiscovery
+    from hickoryspark.spark.nodes_table import explode_nodes
+
+    html = (
+        '<head>'
+        '<link rel="alternate" type="application/rss+xml" href="/feed.xml"'
+        ' title="Main">'
+        '<link rel="ALTERNATE stylesheet" type=" Application/Atom+XML "'
+        ' href="atom.xml">'
+        '<link rel="alternate" type="text/html" href="/alt.html">'
+        '<link rel="stylesheet" type="application/rss+xml" href="/no.css">'
+        '<link rel="alternate" type="application/rss+xml">'
+        '</head><body>'
+        '<link rel="alternate" type="application/atom+xml" href="/body.xml">'
+        '</body>'
+    )
+    pages = spark.createDataFrame(
+        [("https://f.ex/dir/page", html)], "url string, html string")
+    rows = sorted(feed_autodiscovery(explode_nodes(pages)).collect(),
+                  key=lambda r: r["feed_pos"])
+    got = [(r["feed_pos"], r["feed_type"], r["href"], r["resolved"],
+            r["title"]) for r in rows]
+    assert got == [
+        (1, "rss", "/feed.xml", "https://f.ex/feed.xml", "Main"),
+        (2, "atom", "atom.xml", "https://f.ex/dir/atom.xml", None),
+        (3, "atom", "/body.xml", "https://f.ex/body.xml", None),
+    ]
