@@ -226,3 +226,65 @@ def extract_tables(pages_df, max_grid_cells: int = DEFAULT_MAX_GRID_CELLS):
                 yield _tables_batch(b, max_grid_cells)
 
     return pages_df.select("url", "html").mapInPandas(gen, TABLES_SCHEMA)
+
+
+def table_records(cells) -> "DataFrame":
+    """Cell grid (``extract_tables`` output) → header-keyed records —
+    the WikiTables-style "table to facts" step that turns infobox /
+    spec-sheet tables into (key, value) training rows.
+
+    Pinned semantics (the gate oracle reproduces them):
+
+    - a table QUALIFIES iff it has at least one row-0 cell and EVERY
+      row-0 cell is a header (``th``) — data-first tables yield no
+      records (layout tables, not fact tables);
+    - the KEY for grid column ``c`` is the text of the row-0 cell
+      whose ``[col_idx, col_idx + colspan)`` span covers ``c``;
+    - every cell in rows >= 1 (``td`` AND ``th`` — row-header ths are
+      values here) emits one record at its ANCHOR column:
+      ``(url, table_idx, record_idx = row_idx, col_idx, key, value)``;
+      a data cell wider than the header keeps its row with ``key``
+      NULL (lossless — the consumer decides);
+    - ``record_idx`` is the grid row index (rendering order, 0 = the
+      header row, so records start at 1).
+
+    Scale shape: one groupBy + two joins, ALL keyed by
+    (url, table_idx) — a single co-partitioned shuffle family; the
+    header-column explode is bounded by the WHATWG colspan clamp
+    (1000) times the header row width.
+    """
+    from pyspark.sql import DataFrame, functions as F  # noqa: F811
+
+    key = ["url", "table_idx"]
+    row0 = cells.where(F.col("row_idx") == 0)
+    qualified = (
+        row0.groupBy(*key)
+        .agg(F.min(F.col("is_header").cast("int")).alias("_allh"))
+        .where(F.col("_allh") == 1)
+        .select(*key)
+    )
+    headers = (
+        row0.join(qualified, key, "left_semi")
+        .select(
+            *key,
+            F.explode(
+                F.sequence(
+                    F.col("col_idx"),
+                    F.col("col_idx") + F.col("colspan") - 1,
+                )
+            ).alias("h_col"),
+            F.col("cell_text").alias("key"),
+        )
+    )
+    data = cells.where(F.col("row_idx") >= 1).join(qualified, key, "left_semi")
+    out = data.join(
+        headers.withColumnRenamed("h_col", "col_idx"),
+        key + ["col_idx"],
+        "left",
+    )
+    return out.select(
+        "url", "table_idx",
+        F.col("row_idx").alias("record_idx"),
+        "col_idx", "key",
+        F.col("cell_text").alias("value"),
+    )
