@@ -141,3 +141,52 @@ def extract_code_blocks(
         n_lines.alias("n_lines"),
         F.length("code").cast("long").alias("n_chars"),
     )
+
+
+#: normalization for clone keys: per-line trailing blanks dropped,
+#: leading/trailing whitespace (incl. newlines) trimmed. Java ∩ RE2
+#: portable (explicit class, no $); btrim exists on both engines.
+_CLONE_TRIM = " \t\n\r"
+
+
+def code_clone_groups(blocks: DataFrame, min_pages: int = 2) -> DataFrame:
+    """Cross-page duplicate code blocks — boilerplate snippet
+    detection for code-corpus dedup (the same install command /
+    license header / tracking snippet pasted across a site should be
+    ONE training example, not thousands).
+
+    Input: ``extract_code_blocks`` rows. Key = md5 of the normalized
+    code (per-line trailing blanks dropped, ends trimmed). Output one
+    row per clone group appearing on >= ``min_pages`` DISTINCT pages:
+    ``(code_md5, n_blocks, n_pages, first_url, n_chars)`` with
+    ``first_url`` the lexicographically smallest url and ``n_chars``
+    the normalized length.
+
+    Scale shape: one groupBy on the digest — group state is four
+    scalars (the member list is never collected).
+    """
+    norm = F.expr(
+        "btrim(regexp_replace(code, '[ \\t]+\\n', '\\n'), ' \\t\\n\\r')")
+    keyed = blocks.select(
+        F.md5(norm).alias("code_md5"),
+        F.length(norm).cast("long").alias("n_chars"),
+        "url",
+    )
+    return (
+        keyed.groupBy("code_md5")
+        .agg(
+            F.count("*").cast("long").alias("n_blocks"),
+            F.countDistinct("url").cast("long").alias("n_pages"),
+            F.min("url").alias("first_url"),
+            F.min("n_chars").alias("n_chars"),
+        )
+        .where(F.col("n_pages") >= min_pages)
+        .select("code_md5", "n_blocks", "n_pages", "first_url", "n_chars")
+    )
+
+
+def duckdb_clone_norm_sql(expr: str) -> str:
+    """DuckDB mirror of the clone normalization (same pattern/trim)."""
+    return ("trim(regexp_replace(" + expr +
+            ", '[ \t]+\n', chr(10), 'g'), ' ' || chr(9) || chr(10) || "
+            "chr(13))")

@@ -139,3 +139,48 @@ def duckdb_mojibake_sql(text_expr: str) -> str:
         f"AS BIGINT) AS mojibake_ppm"
     )
     return ", ".join(cols)
+
+
+# --------------------------------------------------------------- dehyphenate
+
+#: line-break hyphenation join: a letter, a hyphen, an optional \r, a
+#: newline, then a LOWERCASE letter (uppercase after the break usually
+#: means a real compound or a new sentence — the standard PDF/OCR
+#: heuristic). Java-regex ∩ RE2 portable: explicit classes, no $,
+#: no lookaround. ONE non-overlapping pass on both engines —
+#: consecutive hyphenated breaks ("a-\nb-\nc") leave the second break
+#: for a later pass by design (Java and RE2 both resume scanning after
+#: the match, so the engines agree exactly).
+DEHYPHEN_RE = r"([A-Za-z])-\r?\n([a-z])"
+
+
+def dehyphenate_col(col: "Column") -> "Column":
+    """Soft hyphens (U+00AD) removed, hyphenated line breaks joined."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(
+        F.regexp_replace(col, "\u00ad", ""), DEHYPHEN_RE, "$1$2")
+
+
+def dehyphenate(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """docs(doc_id, <text_col>, ...) -> (doc_id, fixed, changed) — the
+    PDF/OCR text cleanup pass (ops/pdf.py output is the natural
+    input). Pure JVM column expressions, shuffle-free."""
+    from pyspark.sql import functions as F
+
+    fixed = dehyphenate_col(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        fixed.alias("fixed"),
+        (fixed != F.col(text_col)).cast("long").alias("changed"),
+    )
+
+
+def duckdb_dehyphenate_sql(expr: str) -> str:
+    """Exact DuckDB mirror of ``dehyphenate_col`` (same pattern, RE2
+    backref syntax, global flag)."""
+    return (
+        "regexp_replace(regexp_replace(" + expr +
+        ", chr(173), '', 'g'), '([A-Za-z])-\\r?\\n([a-z])', "
+        "'\\1\\2', 'g')"
+    )
