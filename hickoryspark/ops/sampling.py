@@ -249,3 +249,58 @@ def percentile_buckets(df: DataFrame, score_col: str,
         .alias("bucket"),
     )
     return df.join(F.broadcast(verdict), score_col, "left")
+
+
+def grouped_percentile_buckets(
+    df: DataFrame, score_col: str, group_cols: list[str],
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Per-group exact percentile buckets — the CCNet move: bucket
+    each document's LM perplexity WITHIN its language so 'head /
+    middle / tail' means the same thing for every language regardless
+    of corpus share.
+
+    Same pinned integer rule as :func:`percentile_buckets` but scoped:
+    ``bucket = (n_buckets * rows_below_in_group) div N_group`` with
+    strictly-smaller counting over the group's non-NULL scores; NULL
+    scores keep their row with bucket NULL (and a NULL in a group
+    column is a group value like any other).
+
+    Scale shape: ranks live on the per-group DISTINCT-VALUE histogram
+    (windows partition by group — no single-task sort); the verdict
+    equi-joins back on (group, score). Unhinted — AQE broadcasts the
+    verdict when the histogram is small (the integer-score case).
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    s = F.col(score_col)
+    hist = df.where(s.isNotNull()).groupBy(*group_cols, score_col).agg(
+        F.count("*").cast("long").alias("_c"))
+    w_before = (
+        Window.partitionBy(*group_cols).orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = (
+        Window.partitionBy(*group_cols).orderBy(score_col)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    verdict = hist.select(
+        *group_cols, score_col,
+        F.coalesce(F.sum("_c").over(w_before), F.lit(0)).cast("long")
+        .alias("_before"),
+        F.sum("_c").over(w_all).cast("long").alias("_total"),
+    ).select(
+        *group_cols, score_col,
+        F.expr(f"({int(n_buckets)} * _before) div _total").cast("long")
+        .alias("bucket"),
+    )
+    # null-safe on the group keys (a NULL group is still a group);
+    # plain equality on the score (NULL scores take the left-join
+    # miss). Aliased sides — verdict derives from df, so bare column
+    # references would be ambiguous in the self-join.
+    left, right = df.alias("_pb_l"), verdict.alias("_pb_r")
+    cond = F.col(f"_pb_l.{score_col}") == F.col(f"_pb_r.{score_col}")
+    for c in group_cols:
+        cond = cond & F.col(f"_pb_l.{c}").eqNullSafe(F.col(f"_pb_r.{c}"))
+    return left.join(right, cond, "left").select(
+        "_pb_l.*", F.col("_pb_r.bucket"))

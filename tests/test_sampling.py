@@ -257,3 +257,38 @@ def test_percentile_buckets_rows_never_reshuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_grouped_percentile_buckets(spark):
+    from hickoryspark.ops.sampling import grouped_percentile_buckets
+
+    rows = [
+        # lang en: scores 10,20,30,40 -> n=4, buckets 0,1,2,3 at k=4
+        ("en", 1, 10), ("en", 2, 20), ("en", 3, 30), ("en", 4, 40),
+        # lang de: ties share a bucket; n=3
+        ("de", 5, 7), ("de", 6, 7), ("de", 7, 9),
+        # NULL group is a group; NULL score keeps bucket NULL
+        (None, 8, 1), (None, 9, 2), ("en", 10, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, doc_id long, s long")
+    got = {r["doc_id"]: r["bucket"]
+           for r in grouped_percentile_buckets(df, "s", ["g"], 4).collect()}
+    assert got == {
+        1: 0, 2: 1, 3: 2, 4: 3,
+        5: 0, 6: 0, 7: 2,       # (4*0) div 3 = 0 twice, (4*2) div 3 = 2
+        8: 0, 9: 2,             # NULL group: n=2 -> 0 and 2
+        10: None,
+    }
+
+
+def test_grouped_buckets_match_ungrouped_on_one_group(spark):
+    from hickoryspark.ops.sampling import (
+        grouped_percentile_buckets, percentile_buckets)
+
+    rows = [("x", i, (i * 37) % 11) for i in range(50)]
+    df = spark.createDataFrame(rows, "g string, doc_id long, s long")
+    a = {r["doc_id"]: r["bucket"]
+         for r in grouped_percentile_buckets(df, "s", ["g"], 5).collect()}
+    b = {r["doc_id"]: r["bucket"]
+         for r in percentile_buckets(df, "s", 5).collect()}
+    assert a == b
