@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "PII_RULES", "redact_pii_col", "redact_pii", "pii_counts",
     "pii_report", "duckdb_redact_sql", "duckdb_count_sql",
+    "DEOBFUSCATE_RULES", "deobfuscate_col", "deobfuscated_emails",
+    "duckdb_deobfuscated_sql",
 ]
 
 _EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -115,3 +117,67 @@ def duckdb_count_sql(expr: str) -> dict[str, str]:
         counts[key] = f"{counts[key]} + {n}" if key in counts else n
         expr = f"regexp_replace({expr}, {_sql_quote(pat)}, '{repl}', 'g')"
     return counts
+
+
+# ------------------------------------------------------- deobfuscation
+
+#: ' [at] ' / '(at)' / '{at}' -> '@'; same bracket family for dot.
+#: Explicit ASCII case classes (the soft404 rule: never (?i));
+#: optional SINGLE surrounding spaces; open/close brackets are not
+#: pair-matched ('[at)' folds too — obfuscators are not consistent,
+#: documented). Java ∩ RE2: no $, no lookaround, no backrefs.
+DEOBFUSCATE_RULES = [
+    (" ?[\\[({][aA][tT][\\])}] ?", "@"),
+    (" ?[\\[({][dD][oO][tT][\\])}] ?", "."),
+]
+
+
+def deobfuscate_col(col: Column) -> Column:
+    """Bracket-obfuscated address syntax folded back to ``@`` / ``.``
+    (rules applied in order, each a global non-overlapping pass)."""
+    out = col
+    for pat, repl in DEOBFUSCATE_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def deobfuscated_emails(docs: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """docs(doc_id, <text_col>, ...) ->
+    ``(doc_id, n_plain, n_deobfuscated, n_hidden)`` — email counts in
+    the raw text, in the deobfuscated text, and the delta (addresses
+    the bracket folding revealed). The PII-audit companion: a corpus
+    that scrubs only plain addresses ships ``n_hidden`` leaks.
+
+    Shuffle-free column expressions; mirror =
+    ``duckdb_deobfuscated_sql``."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    deob = deobfuscate_col(raw)
+    n_plain = F.size(F.regexp_extract_all(raw, F.lit(_EMAIL), F.lit(0)))
+    n_deob = F.size(F.regexp_extract_all(deob, F.lit(_EMAIL), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        n_plain.cast("long").alias("n_plain"),
+        n_deob.cast("long").alias("n_deobfuscated"),
+        (n_deob - n_plain).cast("long").alias("n_hidden"),
+    )
+
+
+def duckdb_deobfuscated_sql(rel: str, text_expr: str = "text") -> str:
+    """Full DuckDB mirror of :func:`deobfuscated_emails`."""
+    raw = f"COALESCE({text_expr}, '')"
+    deob = raw
+    for pat, repl in DEOBFUSCATE_RULES:
+        deob = (f"regexp_replace({deob}, {_sql_quote(pat)}, "
+                f"'{repl}', 'g')")
+    em = _sql_quote(_EMAIL)
+    return f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all({raw}, {em})) AS BIGINT)
+                 AS n_plain,
+               CAST(len(regexp_extract_all({deob}, {em})) AS BIGINT)
+                 AS n_deobfuscated,
+               CAST(len(regexp_extract_all({deob}, {em}))
+                 - len(regexp_extract_all({raw}, {em})) AS BIGINT)
+                 AS n_hidden
+        FROM {rel}"""

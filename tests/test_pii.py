@@ -121,3 +121,44 @@ def test_duckdb_mirror_matches_spark(spark):
         ).fetchone()
         assert r["red"] == red, t
         assert (r["n_email"], r["n_ip"], r["n_phone"]) == (ne, ni, np_), t
+
+
+# ------------------------------------------------------- deobfuscation
+
+DEOB_CASES = [
+    ("mail me: jo [at] ex [dot] com", 0, 1),
+    ("jo(at)ex(dot)com and a@b.org", 1, 2),
+    ("curly jo {at} ex {dot} org", 0, 1),
+    ("mixed jo [at) ex (dot] net", 0, 1),   # unmatched pairs fold too
+    ("plain a@b.org only", 1, 1),
+    ("the cat sat", 0, 0),                  # bare words never fold
+    (None, 0, 0),
+]
+
+
+def test_deobfuscated_emails(spark):
+    from hickoryspark.ops.pii import deobfuscated_emails
+
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _, _) in enumerate(DEOB_CASES)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_plain"], r["n_deobfuscated"], r["n_hidden"])
+           for r in deobfuscated_emails(df).collect()}
+    for i, (t, plain, deob) in enumerate(DEOB_CASES):
+        assert got[i] == (plain, deob, deob - plain), (t, got[i])
+
+
+def test_deobfuscated_mirror(spark):
+    import duckdb
+
+    from hickoryspark.ops.pii import duckdb_deobfuscated_sql
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO d VALUES (?, ?)",
+        [(i, t) for i, (t, _, _) in enumerate(DEOB_CASES)])
+    mir = {r[0]: r[1:] for r in con.execute(
+        duckdb_deobfuscated_sql("d")).fetchall()}
+    for i, (t, plain, deob) in enumerate(DEOB_CASES):
+        assert mir[i] == (plain, deob, deob - plain), (t, mir[i])
