@@ -971,3 +971,73 @@ def test_bigram_dice_threshold_at_aggregation_no_window(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert "partial" in plan.lower(), plan
+
+
+def test_prices_shuffle_free_jvm_only(spark):
+    """regexp extract + posexplode + column parsing: no exchange, no
+    Python crossing."""
+    from hickoryspark.ops.prices import extract_prices
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = extract_prices(docs)
+    out.count()
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_dom_stats_single_rollup_jvm_only(spark):
+    """one url groupBy with partial aggregation below the single
+    exchange; everything else is conditional aggregation."""
+    from hickoryspark.ops.domstats import dom_stats
+    from hickoryspark.spark.nodes_table import explode_nodes
+    from hickoryspark.spark.pages import load_pages
+
+    out = dom_stats(explode_nodes(load_pages(spark, SF_DIR)))
+    out.count()
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial" in plan  # map-side combine before the shuffle
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_deobfuscated_emails_shuffle_free_jvm_only(spark):
+    from hickoryspark.ops.pii import deobfuscated_emails
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = deobfuscated_emails(docs)
+    out.count()
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_line_similarity_no_nested_loop_and_no_body_in_shuffle(spark):
+    """every join is an equi-join (never BroadcastNestedLoop); the
+    exploded line relations shuffle lines, never whole payloads."""
+    from hickoryspark.ops.snapshots import delta_line_similarity
+
+    rows = [(f"u{i}", "a\nb\nc") for i in range(10)]
+    old = spark.createDataFrame(rows, "url string, text string")
+    new = spark.createDataFrame(rows, "url string, text string")
+    out = delta_line_similarity(old, new)
+    out.count()
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grouped_percentile_ranks_on_histogram(spark):
+    """the window runs over the per-group distinct-score histogram
+    (an aggregate sits BELOW the window), never over the raw rows."""
+    from hickoryspark.ops.sampling import grouped_percentile_buckets
+
+    df = spark.createDataFrame(
+        [("g", i, (i * 7) % 13) for i in range(100)],
+        "g string, doc_id long, s long")
+    out = grouped_percentile_buckets(df, "s", ["g"], 4)
+    out.count()
+    opt = _optimized(out)
+    w = opt.find("Window")
+    assert w != -1, opt
+    assert "Aggregate" in opt[w:], opt  # histogram below the window
