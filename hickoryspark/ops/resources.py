@@ -1,0 +1,150 @@
+"""Page-requisite resource extraction — the fetch-graph complement to
+ops/links.py's navigation edges.
+
+A rendering crawler (and any third-party/tracker audit) needs the
+full set of subresources a page pulls in: scripts, stylesheets,
+frames, images, media, plugins. The reference engine has no
+equivalent; this extends the §2 surface the same way ops/links.py
+does for anchors, as one pure JVM-side DataFrame program over the
+exploded node table.
+
+Pinned semantics (so the closed-form gate oracle can reproduce them):
+
+- a resource row is an element from the table below carrying its
+  carrier attribute (NULL attribute -> no row; an EMPTY string value
+  still emits a row — this is an extraction, not a fetcher, and the
+  resolve rule for '' is the links.py base rule):
+
+    ``script[src]``->script, ``img[src]``->image, ``iframe[src]``->
+    frame, ``embed[src]``->embed, ``object[data]``->object,
+    ``video[src]``/``audio[src]``/``source[src]``->media,
+    ``link[href]``->stylesheet|icon|preload by its ``rel`` tokens;
+
+- ``link`` participates only when its ``rel`` token list (split on
+  ASCII whitespace, matched case-insensitively — the ops/metadata.py
+  token rule) contains one of ``stylesheet``/``icon``/``preload``;
+  ONE row per element, kind = the FIRST match in that priority order
+  (a ``rel="stylesheet icon"`` is a stylesheet);
+- ``img[srcset]`` without ``src`` emits NO row here — srcset
+  candidate mining is ops/media.extract_images' job;
+- ``res_pos`` is the 1-based document-order position among the
+  page's resource rows;
+- ``resolved`` = ops/links.resolve_href(url, src) — the CPython
+  urljoin-pinned rule, dot-segments folded;
+- ``res_host`` = ops/hosts.url_host(resolved) (WHATWG host fold;
+  NULL for schemeless/data:/mailto: targets);
+- ``third_party`` (int 1/0): res_host differs from the PAGE's host
+  under the same fold; NULL when either host is NULL. The host
+  compare is the folded string only — no PSL collapse; compose with
+  ops/psl.registered_domain when "same site" (not "same host") is
+  the audit boundary.
+
+Spark shape: one filter + projection over the node table, then a
+single url window for res_pos — ONE url shuffle total (plan-guarded
+in tests/test_plan_shapes.py). resolve_href's regex program exceeds
+the 64 KB whole-stage-codegen limit (CLAUDE.md invariant): the
+projection stage runs interpreted, correctly, at regex-dominated
+cost — same cost class as extract_links.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hickoryspark.nodes import TYPE_ELEMENT
+from hickoryspark.ops.hosts import url_host
+from hickoryspark.ops.links import resolve_href
+from hickoryspark.ops.metadata import ASCII_WS_RE
+
+__all__ = ["extract_resources", "SRC_TAGS", "LINK_KINDS"]
+
+#: tags whose resource carrier is the ``src`` attribute, -> kind
+SRC_TAGS = {
+    "script": "script",
+    "img": "image",
+    "iframe": "frame",
+    "embed": "embed",
+    "video": "media",
+    "audio": "media",
+    "source": "media",
+}
+
+#: rel tokens that make a <link href> a resource row, in priority
+#: order (first match wins when several tokens are present)
+LINK_KINDS = ("stylesheet", "icon", "preload")
+
+
+def _rel_tokens(rel_col) -> "F.Column":
+    return F.split(F.lower(F.coalesce(rel_col, F.lit(""))), ASCII_WS_RE)
+
+
+def extract_resources(
+    nodes: DataFrame, pre_partitioned: bool = False
+) -> DataFrame:
+    """Node table -> one row per subresource reference:
+    (url, res_pos, kind, src, resolved, res_host, third_party).
+
+    ``pre_partitioned``: set True when ``nodes`` is already
+    hash-partitioned/bucketed by url (materialize_nodes) — the res_pos
+    window then reuses the existing partitioning.
+    """
+    attrs = F.col("attrs")
+    tag = F.col("tag")
+
+    src_kind = F.create_map(
+        *[F.lit(x) for kv in SRC_TAGS.items() for x in kv]
+    )[tag]
+    carrier = F.when(
+        src_kind.isNotNull(), attrs["src"]
+    ).when(tag == "object", attrs["data"]).when(
+        tag == "link", attrs["href"]
+    )
+    toks = _rel_tokens(attrs["rel"])
+    link_kind = F.coalesce(
+        *[
+            F.when(F.array_contains(toks, k), F.lit(k))
+            for k in LINK_KINDS
+        ]
+    )
+    kind = F.when(src_kind.isNotNull(), src_kind).when(
+        tag == "object", F.lit("object")
+    ).when(tag == "link", link_kind)
+
+    rows = (
+        nodes.where(F.col("type") == TYPE_ELEMENT)
+        .select(
+            "url",
+            F.col("pre_ord").alias("r_ord"),
+            kind.alias("kind"),
+            carrier.alias("src"),
+        )
+        .where(F.col("kind").isNotNull() & F.col("src").isNotNull())
+    )
+    if not pre_partitioned:
+        rows = rows.repartition("url")
+    resolved = resolve_href(F.col("url"), F.col("src"))
+    w = Window.partitionBy("url").orderBy("r_ord")
+    out = rows.select(
+        "url",
+        F.row_number().over(w).cast("long").alias("res_pos"),
+        "kind",
+        "src",
+        resolved.alias("resolved"),
+    )
+    res_host = url_host(F.col("resolved"))
+    page_host = url_host(F.col("url"))
+    return out.select(
+        "url",
+        "res_pos",
+        "kind",
+        "src",
+        "resolved",
+        res_host.alias("res_host"),
+        F.when(
+            res_host.isNull() | page_host.isNull(), F.lit(None)
+        )
+        .otherwise((res_host != page_host).cast("int"))
+        .alias("third_party"),
+    )

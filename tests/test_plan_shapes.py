@@ -1041,3 +1041,20 @@ def test_grouped_percentile_ranks_on_histogram(spark):
     w = opt.find("Window")
     assert w != -1, opt
     assert "Aggregate" in opt[w:], opt  # histogram below the window
+
+
+def test_extract_resources_single_url_shuffle_jvm_only(spark):
+    """filter + projection + one url window: exactly one url hash
+    exchange (the res_pos window reuses the explicit repartition), no
+    joins, no Python crossing (resolve_href runs interpreted but
+    JVM-side — CLAUDE.md codegen-limit invariant)."""
+    from hickoryspark.ops.resources import extract_resources
+    from hickoryspark.spark.nodes_table import explode_nodes
+    from hickoryspark.spark.pages import load_pages
+
+    out = extract_resources(explode_nodes(load_pages(spark, SF_DIR)))
+    out.count()
+    plan = _plan(out)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
