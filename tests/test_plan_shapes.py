@@ -1058,3 +1058,17 @@ def test_extract_resources_single_url_shuffle_jvm_only(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_image_dims_shuffle_free_jvm_only(spark):
+    """fixed-offset header arithmetic: pure projection — no exchange,
+    no Python crossing."""
+    from hickoryspark.ops.imagemeta import image_dims
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = image_dims(
+        docs.selectExpr("doc_id", "CAST(text AS BINARY) AS payload"))
+    out.count()
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
