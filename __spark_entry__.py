@@ -930,15 +930,17 @@ def _hits_oracle_sql(n_iter: int, scale: int = 10**6) -> str:
         FROM h{n_iter} h JOIN a{n_iter} a ON a.id = h.id"""
 
 
-def _kmeans_oracle_sql(k: int, n_iter: int, d: int) -> str:
-    """Unrolled exact-integer Lloyd recurrence (see q_embed_kmeans):
-    per iteration an assignment CTE (argmin BIGINT squared distance,
-    ties to the lowest cluster via ROW_NUMBER ORDER BY dist, cluster)
-    and a centroid CTE (per-position truncating-div mean, empty
-    clusters keep their previous centroid via LEFT JOIN + COALESCE).
-    The quantization expression is ops/kmeans.py's own DuckDB mirror
+def _kmeans_ctes(k: int, n_iter: int, d: int) -> str:
+    """Unrolled exact-integer Lloyd recurrence CTE chain (see
+    q_embed_kmeans): per iteration an assignment CTE (argmin BIGINT
+    squared distance, ties to the lowest cluster via ROW_NUMBER ORDER
+    BY dist, cluster) and a centroid CTE (per-position truncating-div
+    mean, empty clusters keep their previous centroid via LEFT JOIN +
+    COALESCE); ends with the final assignment CTE ``a{n_iter}``. The
+    quantization expression is ops/kmeans.py's own DuckDB mirror
     (single-sourced with embstats). d is pinned to the gate corpus's
-    fixed dimensionality — the oracle may use gate knowledge."""
+    fixed dimensionality — the oracle may use gate knowledge. Shared
+    by the embed_kmeans and embed_semdedup oracles."""
     from hickoryspark.ops.kmeans import duckdb_quantize_expr
 
     dist = ("CAST(list_sum(list_transform(list_zip(q.qv, c.qv), "
@@ -977,9 +979,41 @@ def _kmeans_oracle_sql(k: int, n_iter: int, d: int) -> str:
           FROM c{i} c LEFT JOIN (
             SELECT cluster, array_agg(m ORDER BY pos) AS qv
             FROM u{i} GROUP BY cluster) u USING (cluster))"""
-    return sql + f"""
+    return sql
+
+
+def _kmeans_oracle_sql(k: int, n_iter: int, d: int) -> str:
+    """Full embed_kmeans oracle: the shared Lloyd CTE chain plus the
+    final per-vector assignment select."""
+    return _kmeans_ctes(k, n_iter, d) + f"""
         SELECT e.vec_id AS id, CAST(a.cluster AS BIGINT) AS cluster
         FROM embeddings e LEFT JOIN a{n_iter} a ON a.id = e.vec_id"""
+
+
+def _semdedup_oracle_sql(k: int, n_iter: int, d: int,
+                         threshold: float) -> str:
+    """embed_semdedup oracle: the shared Lloyd CTE chain, then the
+    pinned keep-first-by-id EXISTS rule over round-6
+    list_cosine_similarity pairs inside each cell (the embed_neardup
+    float convention). Unscoreable vectors (cluster NULL) never join
+    a pair — kept. Zero-norm guard is moot on this corpus (no zero
+    embeddings) and DuckDB's NaN-sorts-high comparison never engages
+    because the norms are strictly positive."""
+    return _kmeans_ctes(k, n_iter, d) + f""",
+        v AS (
+          SELECT e.vec_id AS id, a.cluster,
+                 e.embedding::DOUBLE[] AS emb
+          FROM embeddings e LEFT JOIN a{n_iter} a ON a.id = e.vec_id),
+        drops AS (
+          SELECT DISTINCT b.id
+          FROM v a JOIN v b
+            ON a.cluster = b.cluster AND a.id < b.id
+          WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 6)
+                >= {threshold})
+        SELECT v.id, CAST(v.cluster AS BIGINT) AS cluster,
+               CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS INT)
+                   AS kept
+        FROM v LEFT JOIN drops d ON d.id = v.id"""
 
 
 #: mime_sniff gate: variant (doc_id % 16) -> (magic prefix, expected
@@ -4769,10 +4803,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         return kmeans_assign(emb, k=8, n_iter=2)
 
+    def q_embed_semdedup(spark, sf):
+        # SemDeDup (ops/semdedup.semdedup): REAL kmeans_assign cells
+        # (k=8, 2 Lloyd iterations) + intra-cell round-6 cosine
+        # keep-first-by-id pruning at threshold 0.3. Oracle = the
+        # shared unrolled Lloyd CTE chain + the EXISTS drop rule.
+        from hickoryspark.ops.semdedup import semdedup
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return semdedup(emb, k=8, n_iter=2, threshold=0.3)
+
     out.update(
         crawl_depth=q_crawl_depth,
         graph_hits=q_graph_hits,
         embed_kmeans=q_embed_kmeans,
+        embed_semdedup=q_embed_semdedup,
     )
 
     def q_kv_pairs(spark, sf):
@@ -6404,6 +6449,7 @@ def oracle_sql() -> dict[str, str]:
         # unrolled exact-integer Lloyd recurrence (d=64 pinned to the
         # embeddings corpus; quantization single-sourced with the op)
         "embed_kmeans": _kmeans_oracle_sql(8, 2, 64),
+        "embed_semdedup": _semdedup_oracle_sql(8, 2, 64, 0.3),
         # linear 8-step unroll vs the engine's pointer doubling — an
         # independent recurrence formulation, not a mirror
         "redirect_resolve": _redirect_oracle_sql(8),
