@@ -116,6 +116,243 @@ def charset_param(raw: Column) -> Column:
     return F.when(cs != "", cs)
 
 
+def set_cookies(
+    headers: DataFrame, id_cols: tuple = ("url",)
+) -> DataFrame:
+    """RFC 6265 Set-Cookie parsing + security audit over the output of
+    :func:`parse_headers_df` — one row per VALID cookie:
+
+    ``(*id_cols, status, field_pos, cookie_name, cookie_value, domain,
+    path, secure, httponly, samesite, max_age, persistent,
+    samesite_insecure)``
+
+    Pinned semantics (RFC 6265 §5.2/§5.3 user-agent subset):
+
+    - the value splits on ``;``; segment 1 is the name-value pair,
+      the rest are attributes. A pair with no ``=`` or an empty
+      (post-trim) name is INVALID — the whole header is ignored
+      (§5.2 steps 1-4). Value kept verbatim after OWS trim (quotes
+      NOT stripped — browsers keep them).
+    - attribute names are case-insensitive; when an attribute repeats
+      the LAST occurrence wins (§5.3 "the last attribute in the
+      cookie-attribute-list").
+    - ``Domain``: lowercased, ONE leading ``.`` stripped (§5.2.3);
+      empty → NULL. ``Path``: kept only when it starts with ``/``
+      (§5.2.4 default-path rule → NULL here). ``SameSite``: lowercased,
+      one of strict/lax/none, else NULL.
+    - ``Max-Age``: valid iff ``-?[0-9]{1,18}`` (§5.2.2 first char
+      DIGIT or '-'; 18-digit bound keeps the BIGINT cast exact);
+      invalid → NULL.
+    - ``persistent`` = 1 iff a valid Max-Age OR any Expires attribute
+      is present (§5.3 steps 2-3; Expires VALUE is not date-validated
+      here — presence is what makes a UA attempt persistence).
+    - ``samesite_insecure`` = 1 iff SameSite=None without Secure (the
+      combination modern browsers reject).
+
+    Scale shape: narrow per-row column program on the header table —
+    no shuffle, no Python."""
+    is_sc = F.col("name") == "set-cookie"
+    segs = F.split(F.col("value"), ";")
+    nv = F.trim(segs[0])
+    eq = F.instr(nv, "=")
+    cname = F.trim(F.substring(nv, F.lit(1), eq - 1))
+    cval = F.trim(F.substring(nv, eq + 1, F.length(nv)))
+    attrs = F.slice(segs, 2, F.greatest(F.size(segs) - 1, F.lit(0)))
+
+    def last_val(attr_name: str) -> Column:
+        """Trimmed text after '=' of the LAST 'name=...' attribute
+        (case-insensitive name match); NULL when absent."""
+        hits = F.filter(
+            attrs,
+            lambda a: F.lower(F.trim(F.substring_index(a, "=", 1)))
+            == attr_name,
+        )
+        last = F.try_element_at(hits, F.lit(-1))
+        return F.when(
+            last.isNotNull() & (F.instr(last, "=") > 0),
+            F.trim(
+                F.substring(last, F.instr(last, "=") + 1, F.length(last))
+            ),
+        )
+
+    def flag(attr_name: str) -> Column:
+        return F.exists(
+            attrs, lambda a: F.lower(F.trim(a)) == attr_name
+        ).cast("int")
+
+    domain_raw = F.lower(last_val("domain"))
+    domain = F.when(
+        domain_raw.isNotNull() & (domain_raw != ""),
+        F.regexp_replace(domain_raw, r"\A\.", ""),
+    )
+    path_raw = last_val("path")
+    path = F.when(path_raw.startswith("/"), path_raw)
+    ss_raw = F.lower(last_val("samesite"))
+    samesite = F.when(ss_raw.isin("strict", "lax", "none"), ss_raw)
+    ma_raw = last_val("max-age")
+    max_age = F.when(
+        ma_raw.rlike(r"\A-?[0-9]{1,18}\z"), ma_raw.cast("long")
+    )
+    has_expires = F.exists(
+        attrs,
+        lambda a: F.lower(F.trim(F.substring_index(a, "=", 1)))
+        == "expires",
+    )
+    secure = flag("secure")
+    persistent = (max_age.isNotNull() | has_expires).cast("int")
+    ss_insecure = ((samesite == F.lit("none")) & (secure == 0))
+    out = headers.where(
+        is_sc & (eq > 0) & (cname != "")
+    ).select(
+        *id_cols, "status", "field_pos",
+        cname.alias("cookie_name"), cval.alias("cookie_value"),
+        domain.alias("domain"), path.alias("path"),
+        secure.alias("secure"), flag("httponly").alias("httponly"),
+        samesite.alias("samesite"), max_age.alias("max_age"),
+        persistent.alias("persistent"),
+        F.coalesce(ss_insecure, F.lit(False)).cast("int").alias(
+            "samesite_insecure"),
+    )
+    return out
+
+
+#: IMF-fixdate (RFC 9110 §5.6.7 preferred form) — day-name validated
+#: by shape only (3 alpha + ", "), zone must be literal GMT
+_IMF_CORE_RE = (
+    r"\A[A-Za-z]{3}, ([0-9]{2} [A-Za-z]{3} [0-9]{4} "
+    r"[0-9]{2}:[0-9]{2}:[0-9]{2}) GMT\z"
+)
+
+
+def http_date_epoch(c: Column) -> Column:
+    """Epoch seconds of an IMF-fixdate header value, NULL when the
+    value is not the preferred RFC 9110 form or the date is invalid
+    (obsolete RFC 850 / asctime forms are deliberately not parsed —
+    RFC 9110 §5.6.7 only REQUIRES accepting them on receipt of
+    messages, and a recrawl planner treating them as absent just
+    falls through to the heuristic)."""
+    core = F.regexp_extract(c, _IMF_CORE_RE, 1)
+    return F.try_to_timestamp(
+        F.when(core != "", core), F.lit("dd MMM yyyy HH:mm:ss")
+    ).cast("long")
+
+
+def cache_policy(
+    headers: DataFrame, id_cols: tuple = ("url",),
+    heuristic_frac: int = 10,
+) -> DataFrame:
+    """Per-response freshness lifetime for a recrawl scheduler — one
+    row per response: ``(*id_cols, status, ttl_s, source,
+    revalidable)``.
+
+    Pinned RFC 9111 precedence (§4.2.1 + §4.2.2 heuristic):
+
+    1. ``no-store`` directive → ttl 0, source ``no-store``
+    2. ``no-cache`` → 0, ``no-cache``
+    3. valid ``s-maxage=N`` → N, ``s-maxage`` (shared-cache view)
+    4. valid ``max-age=N`` → N, ``max-age``
+    5. Expires present AND Date valid IMF-fixdate → max(0, expires −
+       date), ``expires``; an unparseable Expires counts as already
+       past (RFC 9111 §5.3 "treat invalid dates as expired") → 0
+    6. Last-Modified AND Date parseable with date ≥ last-modified →
+       (date − last-modified) / heuristic_frac (floor), ``heuristic``
+       (the §4.2.2 10% convention)
+    7. else ttl NULL, ``none``
+
+    Directive scan: ALL Cache-Control headers of the response
+    contribute (RFC 9110 §5.3 list field); each value comma-splits,
+    ASCII-trims, lowercases. A directive value is valid iff unquoted
+    ``[0-9]{1,18}`` (quoted forms are rare-to-nonexistent on the wire
+    and left invalid on purpose); when a directive repeats the MAX
+    wins — order-independent, so the aggregation below never depends
+    on header order. Date/Expires/Last-Modified: FIRST occurrence by
+    field_pos (min-struct). ``revalidable`` = 1 iff an ETag or
+    Last-Modified is present.
+
+    Scale shape: ONE groupBy from header grain back to response grain
+    (conditional aggregates); everything else is a narrow column
+    program."""
+    name, value = F.col("name"), F.col("value")
+
+    def first_of(header: str) -> Column:
+        s = F.when(
+            name == header,
+            F.struct(F.col("field_pos").alias("p"), value.alias("v")),
+        )
+        return F.min(s)["v"]
+
+    cc = F.concat_ws(
+        ",", F.collect_list(F.when(name == "cache-control", value))
+    )
+    agg = headers.groupBy(*id_cols, "status").agg(
+        cc.alias("_cc"),
+        first_of("expires").alias("_expires"),
+        first_of("date").alias("_date"),
+        first_of("last-modified").alias("_lm"),
+        F.max((name == "etag").cast("int")).alias("_etag"),
+    )
+    dirs = F.transform(
+        F.split(F.col("_cc"), ","), lambda d: F.lower(F.trim(d))
+    )
+    has = lambda d: F.exists(dirs, lambda x: x == d)
+
+    def max_directive(prefix: str) -> Column:
+        vals = F.filter(
+            F.transform(
+                dirs,
+                lambda d: F.regexp_extract(
+                    d, r"\A" + prefix + r"=([0-9]{1,18})\z", 1
+                ),
+            ),
+            lambda v: v != "",
+        )
+        return F.array_max(vals.cast("array<long>"))
+
+    s_maxage = max_directive("s-maxage")
+    max_age = max_directive("max-age")
+    exp_e = http_date_epoch(F.col("_expires"))
+    date_e = http_date_epoch(F.col("_date"))
+    lm_e = http_date_epoch(F.col("_lm"))
+    # RFC 9111 §5.3: an unparseable Expires value means "already
+    # expired" — coalesce to epoch 0 so any valid Date clamps to 0.
+    # Both branches need a valid Date (no current-time notion here).
+    exp_ttl = F.when(
+        F.col("_expires").isNotNull() & date_e.isNotNull(),
+        F.greatest(
+            F.coalesce(exp_e, F.lit(0).cast("long")) - date_e,
+            F.lit(0).cast("long"),
+        ),
+    )
+    heur = F.when(
+        date_e >= lm_e,
+        ((date_e - lm_e) / F.lit(heuristic_frac)).cast("long"),
+    )
+    ttl = (
+        F.when(has("no-store"), F.lit(0).cast("long"))
+        .when(has("no-cache"), F.lit(0).cast("long"))
+        .when(s_maxage.isNotNull(), s_maxage)
+        .when(max_age.isNotNull(), max_age)
+        .when(exp_ttl.isNotNull(), exp_ttl)
+        .when(heur.isNotNull(), heur)
+    )
+    source = (
+        F.when(has("no-store"), F.lit("no-store"))
+        .when(has("no-cache"), F.lit("no-cache"))
+        .when(s_maxage.isNotNull(), F.lit("s-maxage"))
+        .when(max_age.isNotNull(), F.lit("max-age"))
+        .when(exp_ttl.isNotNull(), F.lit("expires"))
+        .when(heur.isNotNull(), F.lit("heuristic"))
+        .otherwise(F.lit("none"))
+    )
+    revalidable = (
+        (F.col("_etag") == 1) | F.col("_lm").isNotNull()
+    ).cast("int")
+    return agg.select(
+        *id_cols, "status", ttl.alias("ttl_s"), source.alias("source"),
+        F.coalesce(revalidable, F.lit(0)).alias("revalidable"),
+    )
+
+
 #: directive names that may legitimately contain a ':' in their value
 #: (or start a value) — a prefix matching one of these is NEVER an
 #: agent scope (the unavailable_after case)

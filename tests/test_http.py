@@ -179,3 +179,141 @@ def test_x_robots_colon_after_comma_never_scopes(spark):
         "url string, raw string")
     got = x_robots_flags(df).collect()[0]
     assert (got["noindex"], got["nofollow"]) == (True, False)
+
+
+def _cookies(spark, raw):
+    from hickoryspark.ops.http import parse_headers_df, set_cookies
+
+    df = spark.createDataFrame([("u", raw)], "url string, raw string")
+    return set_cookies(parse_headers_df(df)).orderBy("field_pos").collect()
+
+
+def test_set_cookie_full_attributes(spark):
+    rows = _cookies(
+        spark,
+        "HTTP/1.1 200 OK\r\nSet-Cookie: id=abc; Path=/; Secure; "
+        "HttpOnly; SameSite=Lax; Max-Age=3600\r\n\r\n")
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["cookie_name"], r["cookie_value"]) == ("id", "abc")
+    assert (r["secure"], r["httponly"], r["samesite"]) == (1, 1, "lax")
+    assert (r["max_age"], r["persistent"], r["samesite_insecure"]) == (
+        3600, 1, 0)
+    assert r["path"] == "/" and r["domain"] is None
+
+
+def test_set_cookie_domain_fold_and_samesite_none(spark):
+    r = _cookies(
+        spark,
+        "HTTP/1.1 200 OK\r\nSet-Cookie: s=x; Domain=.Example.COM; "
+        "SameSite=None\r\n\r\n")[0]
+    assert r["domain"] == "example.com"
+    assert r["samesite"] == "none" and r["samesite_insecure"] == 1
+    # only ONE leading dot is stripped (RFC 6265 5.2.3)
+    r2 = _cookies(
+        spark,
+        "HTTP/1.1 200 OK\r\nSet-Cookie: s=x; Domain=..a.com\r\n\r\n")[0]
+    assert r2["domain"] == ".a.com"
+
+
+def test_set_cookie_invalid_forms(spark):
+    # no '=' → dropped; empty name → dropped; last Path wins;
+    # non-/ path → NULL; invalid Max-Age → NULL but Expires presence
+    # still makes the cookie persistent
+    rows = _cookies(
+        spark,
+        "HTTP/1.1 200 OK\r\n"
+        "Set-Cookie: noequals\r\n"
+        "Set-Cookie: =v; Secure\r\n"
+        "Set-Cookie: b=2; Path=/a; Path=/b\r\n"
+        "Set-Cookie: a=1; Path=rel; Max-Age=12x; "
+        "Expires=Wed, 21 Oct 2015 07:28:00 GMT\r\n\r\n")
+    assert [(r["cookie_name"], r["path"], r["max_age"], r["persistent"])
+            for r in rows] == [("b", "/b", None, 0), ("a", None, None, 1)]
+    # negative Max-Age is VALID per 5.2.2 (first char may be '-')
+    r = _cookies(spark,
+                 "HTTP/1.1 200 OK\r\nSet-Cookie: m=1; Max-Age=-5\r\n\r\n")[0]
+    assert r["max_age"] == -5 and r["persistent"] == 1
+
+
+def test_set_cookie_plan_is_narrow_map(spark):
+    from hickoryspark.ops.http import parse_headers_df, set_cookies
+
+    df = set_cookies(parse_headers_df(spark.createDataFrame(
+        [("u", "HTTP/1.1 200 OK\r\nSet-Cookie: a=1\r\n\r\n")],
+        "url string, raw string")))
+    df.collect()
+    assert "Exchange" not in \
+        df._jdf.queryExecution().executedPlan().toString()
+
+
+def _policy(spark, raw):
+    from hickoryspark.ops.http import cache_policy, parse_headers_df
+
+    df = spark.createDataFrame([("u", raw)], "url string, raw string")
+    r = cache_policy(parse_headers_df(df)).collect()[0]
+    return (r["ttl_s"], r["source"], r["revalidable"])
+
+
+def test_cache_policy_directive_precedence(spark):
+    h = "HTTP/1.1 200 OK\r\n"
+    assert _policy(spark, h + "Cache-Control: max-age=500\r\n\r\n") == (
+        500, "max-age", 0)
+    assert _policy(
+        spark, h + "Cache-Control: no-store, max-age=500\r\n\r\n"
+    ) == (0, "no-store", 0)
+    assert _policy(
+        spark, h + "Cache-Control: private, no-cache\r\n\r\n"
+    ) == (0, "no-cache", 0)
+    assert _policy(
+        spark, h + "Cache-Control: s-maxage=600, max-age=60\r\n\r\n"
+    ) == (600, "s-maxage", 0)
+    # repeated directive across headers: MAX wins (order-independent)
+    assert _policy(
+        spark, h + "Cache-Control: max-age=5\r\nCache-Control: "
+        "max-age=900\r\n\r\n") == (900, "max-age", 0)
+    # invalid numeric form (quoted / non-digit) is ignored
+    assert _policy(
+        spark, h + 'Cache-Control: max-age="60"\r\n\r\n') == (
+        None, "none", 0)
+
+
+def test_cache_policy_dates(spark):
+    h = "HTTP/1.1 200 OK\r\n"
+    assert _policy(
+        spark, h + "Expires: Wed, 21 Oct 2015 08:28:00 GMT\r\n"
+        "Date: Wed, 21 Oct 2015 07:28:00 GMT\r\n\r\n") == (
+        3600, "expires", 0)
+    # Expires before Date clamps to 0; bogus Expires = already past
+    assert _policy(
+        spark, h + "Expires: Wed, 21 Oct 2015 06:28:00 GMT\r\n"
+        "Date: Wed, 21 Oct 2015 07:28:00 GMT\r\n\r\n") == (
+        0, "expires", 0)
+    assert _policy(
+        spark, h + "Expires: -1\r\n"
+        "Date: Wed, 21 Oct 2015 07:28:00 GMT\r\n\r\n") == (
+        0, "expires", 0)
+    # heuristic: (date - last_modified) / 10, floor; ETag → revalidable
+    assert _policy(
+        spark, h + "Date: Wed, 21 Oct 2015 07:28:00 GMT\r\n"
+        "Last-Modified: Wed, 21 Oct 2015 06:28:01 GMT\r\n"
+        "ETag: \"x\"\r\n\r\n") == (359, "heuristic", 1)
+    # Date missing → no expires/heuristic path
+    assert _policy(
+        spark, h + "Expires: Wed, 21 Oct 2015 08:28:00 GMT\r\n\r\n"
+    ) == (None, "none", 0)
+    assert _policy(spark, h + "ETag: W/\"y\"\r\n\r\n") == (None, "none", 1)
+
+
+def test_cache_policy_single_exchange(spark):
+    from hickoryspark.ops.http import cache_policy, parse_headers_df
+
+    df = cache_policy(parse_headers_df(spark.createDataFrame(
+        [("u", "HTTP/1.1 200 OK\r\nCache-Control: max-age=1\r\n\r\n")],
+        "url string, raw string")))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE toString repeats the plan under "== Initial Plan ==" — count
+    # the final section only: exactly the one groupBy shuffle
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
