@@ -274,3 +274,182 @@ def extract_jsonld(
             for col, path in fields.items()
         ],
     )
+
+
+def extract_rdfa(nodes: DataFrame) -> DataFrame:
+    """RDFa Lite (typeof/property/vocab) → flat property rows:
+    ``(url, subject_idx, rdf_type, vocab, prop_name, prop_pos,
+    prop_value, nested_subject)`` — the third structured-data carrier
+    next to :func:`extract_microdata` and :func:`extract_jsonld`.
+
+    Pinned RDFa-Lite subset (oracle-reproducible; CURIE/prefix
+    resolution and document-level subjects are out of scope, tokens
+    kept verbatim — recorded in COVERAGE.md):
+
+    - a SUBJECT is any element carrying ``typeof`` (presence test);
+      ``subject_idx`` is its 0-based document-order index on the
+      page; ``rdf_type`` is the attribute verbatim;
+    - ``vocab``: the value of the NEAREST ancestor-or-self element
+      with a non-empty (post-ASCII-trim) ``vocab`` attribute, NULL
+      when none — the Lite inheritance rule;
+    - a PROPERTY is any element carrying ``property``; the attribute
+      splits on ASCII whitespace into one row per token; ownership is
+      the NEAREST STRICTLY-CONTAINING subject (an element with both
+      ``typeof`` and ``property`` is — per RDFa chaining — a property
+      of the subject ABOVE it whose value is its own subject:
+      ``prop_value`` NULL, ``nested_subject`` = its ``subject_idx``);
+      properties outside every subject are dropped;
+    - ``prop_value`` precedence (the Lite processing order):
+      ``@content`` if present, else ``@href``, else ``@src``, else
+      subtree text (all descendant text nodes in document order);
+    - ``prop_pos``: 0-based (document order, token order) index among
+      the owning subject's property rows.
+
+    Spark shape: identical to extract_microdata — url-local interval
+    joins (vocab inheritance + subject ownership + subtree text) and
+    one url window; co-partitioned end-to-end on a url-bucketed node
+    table.
+    """
+    elems = nodes.where(F.col("type") == TYPE_ELEMENT)
+    a = F.col("attrs")
+    subjects = elems.where(a["typeof"].isNotNull()).select(
+        "url",
+        F.col("pre_ord").alias("s_ord"),
+        F.col("subtree_end").alias("s_end"),
+        a["typeof"].alias("rdf_type"),
+    )
+    w_subj = Window.partitionBy("url").orderBy("s_ord")
+    subjects = subjects.withColumn(
+        "subject_idx", (F.row_number().over(w_subj) - 1).cast("int")
+    )
+
+    vtrim = F.regexp_replace(
+        F.regexp_replace(a["vocab"], r"\A[ \t\n\x0b\f\r]+", ""),
+        r"[ \t\n\x0b\f\r]+\z", "",
+    )
+    vocabs = elems.where(
+        a["vocab"].isNotNull() & (vtrim != "")
+    ).select(
+        F.col("url").alias("v_url"),
+        F.col("pre_ord").alias("v_ord"),
+        F.col("subtree_end").alias("v_end"),
+        vtrim.alias("vocab"),
+    )
+    # ancestor-OR-SELF: v_ord <= s_ord (a subject element may carry
+    # its own vocab), nearest = max v_ord
+    subj_v = (
+        subjects.join(
+            vocabs,
+            (subjects["url"] == vocabs["v_url"])
+            & (vocabs["v_ord"] <= subjects["s_ord"])
+            & (subjects["s_ord"] <= vocabs["v_end"]),
+            "left",
+        )
+        .groupBy("url", "s_ord")
+        .agg(
+            F.first("s_end").alias("s_end"),
+            F.first("rdf_type").alias("rdf_type"),
+            F.first("subject_idx").alias("subject_idx"),
+            F.max(F.struct("v_ord", "vocab"))["vocab"].alias("vocab"),
+        )
+    )
+
+    props = elems.where(a["property"].isNotNull()).select(
+        "url",
+        F.col("pre_ord").alias("p_ord"),
+        F.col("subtree_end").alias("p_end"),
+        a["property"].alias("property"),
+        a["typeof"].isNotNull().alias("is_nested"),
+        F.coalesce(a["content"], a["href"], a["src"]).alias("attr_value"),
+        (
+            a["typeof"].isNull()
+            & a["content"].isNull()
+            & a["href"].isNull()
+            & a["src"].isNull()
+        ).alias("needs_text"),
+    )
+
+    texts = nodes.where(F.col("type") == TYPE_TEXT).select(
+        F.col("url").alias("t_url"),
+        F.col("pre_ord").alias("t_ord"),
+        F.col("text").alias("t_text"),
+    )
+    need = props.where(F.col("needs_text"))
+    stext = (
+        need.join(
+            texts,
+            (need["url"] == texts["t_url"])
+            & (texts["t_ord"] > need["p_ord"])
+            & (texts["t_ord"] <= need["p_end"]),
+            "left",
+        )
+        .groupBy("url", "p_ord")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("t_ord", "t_text"))),
+                    lambda s: s["t_text"],
+                ),
+                "",
+            ).alias("subtree_text")
+        )
+    )
+    props = props.join(stext, ["url", "p_ord"], "left")
+
+    owned = (
+        props.join(
+            subj_v,
+            (props["url"] == subj_v["url"])
+            & (subj_v["s_ord"] < props["p_ord"])
+            & (props["p_ord"] <= subj_v["s_end"]),
+        )
+        .drop(subj_v["url"])
+        .groupBy("url", "p_ord")
+        .agg(
+            F.max(
+                F.struct("s_ord", "subject_idx", "rdf_type", "vocab")
+            ).alias("owner"),
+            F.first("property").alias("property"),
+            F.first("is_nested").alias("is_nested"),
+            F.first("attr_value").alias("attr_value"),
+            F.first("subtree_text").alias("subtree_text"),
+        )
+    )
+
+    nested = subjects.select(
+        "url",
+        F.col("s_ord").alias("p_ord"),
+        F.col("subject_idx").alias("nested_subject"),
+    )
+    rows = (
+        owned.join(nested, ["url", "p_ord"], "left")
+        .select(
+            "url",
+            "p_ord",
+            F.col("owner")["subject_idx"].alias("subject_idx"),
+            F.col("owner")["rdf_type"].alias("rdf_type"),
+            F.col("owner")["vocab"].alias("vocab"),
+            F.posexplode(
+                F.filter(
+                    F.split(F.col("property"), ASCII_WS_RE),
+                    lambda t: t != "",
+                )
+            ).alias("tok_pos", "prop_name"),
+            F.when(F.col("is_nested"), F.lit(None).cast("string"))
+            .otherwise(
+                F.coalesce("attr_value", "subtree_text", F.lit(""))
+            )
+            .alias("prop_value"),
+            F.when(F.col("is_nested"), F.col("nested_subject"))
+            .cast("int")
+            .alias("nested_subject"),
+        )
+    )
+    w_props = Window.partitionBy("url", "subject_idx").orderBy(
+        "p_ord", "tok_pos"
+    )
+    return rows.select(
+        "url", "subject_idx", "rdf_type", "vocab", "prop_name",
+        (F.row_number().over(w_props) - 1).cast("int").alias("prop_pos"),
+        "prop_value", "nested_subject",
+    )
