@@ -102,6 +102,7 @@ def extract_links(
     nodes: DataFrame,
     pre_partitioned: bool = False,
     subtree_text: bool = False,
+    honor_base: bool = False,
 ) -> DataFrame:
     """Node table -> one row per ``<a href>``:
     (url, link_pos, href, resolved, anchor_text, rel_nofollow).
@@ -131,6 +132,18 @@ def extract_links(
     hash-partitioned/bucketed by url (materialize_nodes) — the explicit
     url repartition is then skipped (a user repartition always lowers
     to a shuffle, even over an identically-partitioned child).
+
+    ``honor_base=True`` resolves hrefs against the page's WHATWG
+    effective base: the FIRST (tree-order) ``<base href>`` element's
+    href, itself resolved against the page url (so relative base
+    hrefs compose), falling back to the page url when absent. ALL
+    refs — including query/fragment-only — resolve against the
+    effective base, i.e. ``urljoin(effective_base, href)`` semantics
+    (WHATWG's empty-href-means-document-URL nuance is not modeled;
+    default False preserves the page-url-only behavior the literal
+    edge-list oracles pin). Codegen note: the base resolution runs in
+    the tiny per-page aggregate's OWN stage, so no stage ever inlines
+    resolve_href's regex program twice (CLAUDE.md invariant).
     """
     anchors = (
         nodes.where(
@@ -183,12 +196,41 @@ def extract_links(
             ).alias("anchor_text")
         )
     )
+    if honor_base:
+        bases = (
+            nodes.where(
+                (F.col("type") == TYPE_ELEMENT)
+                & (F.col("tag") == "base")
+                & F.col("attrs")["href"].isNotNull()
+            )
+            .groupBy("url")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("pre_ord").alias("o"),
+                        F.col("attrs")["href"].alias("h"),
+                    )
+                )["h"].alias("_base_href")
+            )
+            # resolved HERE, in the aggregate's own stage — the join
+            # below is a stage barrier, so the final projection holds
+            # only ONE resolve_href program (codegen-limit rule)
+            .select(
+                "url",
+                resolve_href(F.col("url"), F.col("_base_href"))
+                .alias("_eff_base"),
+            )
+        )
+        atext = atext.join(bases, "url", "left")
+        res_base = F.coalesce(F.col("_eff_base"), F.col("url"))
+    else:
+        res_base = F.col("url")
     w = Window.partitionBy("url").orderBy("a_ord")
     return atext.select(
         "url",
         F.row_number().over(w).cast("long").alias("link_pos"),
         "href",
-        resolve_href(F.col("url"), F.col("href")).alias("resolved"),
+        resolve_href(res_base, F.col("href")).alias("resolved"),
         "anchor_text",
         F.array_contains(
             F.split(F.lower(F.coalesce(F.col("rel"), F.lit(""))),

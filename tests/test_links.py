@@ -370,3 +370,39 @@ class TestAnchorTextProfile:
             FROM totals t LEFT JOIN tops p USING (target)
         """).fetchall())
         assert got == want
+
+
+def _blinks(spark, html, url="https://ex.test/a/b", honor_base=True):
+    from hickoryspark.ops.links import extract_links
+    from hickoryspark.spark.nodes_table import explode_nodes
+
+    pages = spark.createDataFrame([(url, html)], "url string, html string")
+    rows = extract_links(explode_nodes(pages), honor_base=honor_base)
+    return [r["resolved"] for r in
+            sorted(rows.collect(), key=lambda r: r["link_pos"])]
+
+
+def test_base_href_absolute_and_dot_fold(spark):
+    assert _blinks(
+        spark,
+        '<base href="https://cdn.ex/assets/">'
+        '<a href="x/../img.png">t</a><a href="/root">r</a>') == [
+        "https://cdn.ex/assets/img.png", "https://cdn.ex/root"]
+
+
+def test_base_href_relative_composes_with_page_url(spark):
+    assert _blinks(
+        spark, '<base href="sub/"><a href="q">t</a>') == [
+        "https://ex.test/a/sub/q"]
+
+
+def test_base_first_wins_and_default_off(spark):
+    html = '<base href="/one/"><base href="/two/"><a href="f">t</a>'
+    assert _blinks(spark, html) == ["https://ex.test/one/f"]
+    # default honor_base=False keeps page-url resolution
+    assert _blinks(spark, html, honor_base=False) == [
+        "https://ex.test/a/f"]
+
+
+def test_base_absent_falls_back_to_page_url(spark):
+    assert _blinks(spark, '<a href="f">t</a>') == ["https://ex.test/a/f"]
