@@ -148,3 +148,50 @@ def extract_resources(
         .otherwise((res_host != page_host).cast("int"))
         .alias("third_party"),
     )
+
+
+#: W3C Mixed Content kinds: optionally-blockable ("passive") vs
+#: blockable ("active") — images and media may load with a warning,
+#: everything else (script/stylesheet/frame/object/embed/preload) is
+#: blocked outright by browsers
+PASSIVE_KINDS = ("image", "media", "icon")
+
+
+def mixed_content(resources: DataFrame) -> DataFrame:
+    """Per-page mixed-content + third-party audit rollup over
+    :func:`extract_resources` rows: ``(url, n_resources,
+    n_mixed_active, n_mixed_passive, n_third_party)``.
+
+    Pinned semantics: a resource is MIXED iff the page url's scheme is
+    ``https`` and the resolved resource url's scheme is ``http``
+    (schemes = the text before the first ``:``, ASCII-lowercased; a
+    resolved value with no ``:`` has no scheme and is never mixed —
+    protocol-relative refs resolve to the page scheme upstream, so
+    they never flag). Active vs passive follows ``PASSIVE_KINDS``
+    (the W3C optionally-blockable set). ``n_third_party`` counts rows
+    with ``third_party = 1`` (NULL hosts excluded by definition).
+    Pages with zero resource rows don't appear — LEFT JOIN from a
+    page universe to zero-fill, as the gate query does.
+
+    Scale shape: one url groupBy over the already-extracted rows
+    (which end url-partitioned), nothing else.
+    """
+    scheme = lambda c: F.when(
+        F.instr(c, ":") > 0, F.lower(F.substring_index(c, ":", 1))
+    )
+    is_mixed = F.coalesce(
+        (scheme(F.col("url")) == "https")
+        & (scheme(F.col("resolved")) == "http"),
+        F.lit(False),
+    )
+    passive = F.col("kind").isin(*PASSIVE_KINDS)
+    return resources.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_resources"),
+        F.sum((is_mixed & ~passive).cast("long")).cast("long")
+        .alias("n_mixed_active"),
+        F.sum((is_mixed & passive).cast("long")).cast("long")
+        .alias("n_mixed_passive"),
+        F.sum(
+            F.coalesce(F.col("third_party"), F.lit(0)).cast("long")
+        ).cast("long").alias("n_third_party"),
+    )

@@ -103,3 +103,29 @@ def test_res_pos_is_per_page(spark):
     got = {(r["url"], r["res_pos"], r["src"]) for r in out.collect()}
     assert got == {("https://r.ex/1", 1, "a"), ("https://r.ex/1", 2, "b"),
                    ("https://r.ex/2", 1, "c")}
+
+
+def test_mixed_content_rollup(spark):
+    from hickoryspark.ops.resources import extract_resources, mixed_content
+    from hickoryspark.spark.nodes_table import explode_nodes
+
+    pages = spark.createDataFrame([
+        ("https://s.ex/p",
+         '<script src="http://ads.ex/a.js"></script>'
+         '<img src="http://i.ex/i.png">'
+         '<link rel=stylesheet href="https://s.ex/s.css">'),
+        # protocol-relative resolves to page scheme — never mixed
+        ("https://s.ex/q", '<img src="//img.ex/x"><script src="/l.js">'
+                           "</script>"),
+        # http page: nothing is mixed by definition
+        ("http://s.ex/r", '<script src="http://other.ex/s.js"></script>'),
+    ], "url string, html string")
+    got = {
+        r["url"]: (r["n_resources"], r["n_mixed_active"],
+                   r["n_mixed_passive"], r["n_third_party"])
+        for r in mixed_content(
+            extract_resources(explode_nodes(pages))).collect()
+    }
+    assert got["https://s.ex/p"] == (3, 1, 1, 2)
+    assert got["https://s.ex/q"] == (2, 0, 0, 1)
+    assert got["http://s.ex/r"] == (1, 0, 0, 1)
