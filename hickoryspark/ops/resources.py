@@ -195,3 +195,64 @@ def mixed_content(resources: DataFrame) -> DataFrame:
             F.coalesce(F.col("third_party"), F.lit(0)).cast("long")
         ).cast("long").alias("n_third_party"),
     )
+
+
+#: W3C SRI hash-expression: algo prefix + base64 value ("options" —
+#: the ?-suffix the spec reserves — are accepted and ignored)
+_SRI_TOKEN_RE = r"\A(?:sha256|sha384|sha512)-[A-Za-z0-9+/]+={0,2}(?:\?[\x21-\x7e]*)?\z"
+
+
+def sri_audit(nodes: DataFrame) -> DataFrame:
+    """Per-page Subresource-Integrity coverage audit:
+    ``(url, n_ext_scripts, n_sri_scripts, n_stylesheets,
+    n_sri_styles, n_invalid_integrity)``.
+
+    Pinned semantics:
+
+    - external scripts are ``script[src]``; stylesheets are ``link``
+      with ``href`` whose ``rel`` token list (ASCII-ws split,
+      case-insensitive) contains ``stylesheet``;
+    - an element is SRI-COVERED iff its ``integrity`` attribute
+      (ASCII-ws token list) contains at least one token matching the
+      W3C hash-expression grammar, algo matched case-insensitively:
+      ``(sha256|sha384|sha512)-<base64>[?options]``;
+    - ``n_invalid_integrity`` counts elements OF EITHER KIND whose
+      integrity attribute is present (even ``''``) but carries NO
+      valid token — the misconfiguration the audit exists to find
+      (browsers treat those as "no valid metadata" and, with a CSP
+      require-sri-for, block).
+
+    Scale shape: one narrow filter + one url groupBy, pure JVM.
+    """
+    elems = nodes.where(F.col("type") == TYPE_ELEMENT)
+    a = F.col("attrs")
+    rel_toks = F.transform(
+        F.split(F.coalesce(a["rel"], F.lit("")), ASCII_WS_RE),
+        lambda t: F.lower(t),
+    )
+    is_script = (F.col("tag") == "script") & a["src"].isNotNull()
+    is_style = (
+        (F.col("tag") == "link")
+        & a["href"].isNotNull()
+        & F.array_contains(rel_toks, "stylesheet")
+    )
+    sri_ok = F.exists(
+        F.split(F.coalesce(a["integrity"], F.lit("")), ASCII_WS_RE),
+        lambda t: F.lower(t).rlike(_SRI_TOKEN_RE),
+    )
+    has_integrity = a["integrity"].isNotNull()
+    rows = elems.where(is_script | is_style).select(
+        "url",
+        is_script.cast("long").alias("s"),
+        (is_script & sri_ok).cast("long").alias("ss"),
+        is_style.cast("long").alias("c"),
+        (is_style & sri_ok).cast("long").alias("cs"),
+        (has_integrity & ~sri_ok).cast("long").alias("bad"),
+    )
+    return rows.groupBy("url").agg(
+        F.sum("s").cast("long").alias("n_ext_scripts"),
+        F.sum("ss").cast("long").alias("n_sri_scripts"),
+        F.sum("c").cast("long").alias("n_stylesheets"),
+        F.sum("cs").cast("long").alias("n_sri_styles"),
+        F.sum("bad").cast("long").alias("n_invalid_integrity"),
+    )
