@@ -5783,6 +5783,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return faq_pairs(explode_nodes(pages))
 
+    def q_doc_keywords(spark, sf):
+        # per-doc top-k TF-IDF keywords (ops/keywords.doc_keywords)
+        # over the REAL documents text, stopword control engaged
+        # (max_df_milli=800 drops the most ubiquitous terms).
+        # Oracle = the op's full mirror.
+        from hickoryspark.ops.keywords import doc_keywords
+
+        docs = load_documents(spark, sf)
+        return doc_keywords(docs.select("doc_id", "text"),
+                            top_k=4, max_df_milli=800)
+
     out.update(
         list_items=q_list_items,
         table_records=q_table_records,
@@ -5808,6 +5819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         amp_pairs=q_amp_pairs,
         sri_audit=q_sri_audit,
         faq_pairs=q_faq_pairs,
+        doc_keywords=q_doc_keywords,
     )
     # The driver's correctness gate records only the FIRST 50 entries in
     # dict order (round-2 verdict: 27 queries had never been driver-
@@ -9430,4 +9442,9 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT url, 2, 'h2', 'B' || ds || '?',
                'only b answer' || ds
         FROM u WHERE v = 3"""
+    # doc_keywords: the op's full mirror over the real documents text
+    from hickoryspark.ops.keywords import duckdb_keywords_sql
+    oracles["doc_keywords"] = duckdb_keywords_sql(
+        "(SELECT doc_id, text FROM documents)",
+        top_k=4, max_df_milli=800)
     return oracles

@@ -1072,3 +1072,24 @@ def test_image_dims_shuffle_free_jvm_only(spark):
     plan = _plan(out)
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_doc_keywords_jvm_only_scalars_broadcast(spark):
+    """tf/df rollups + one term join + one per-doc window; the 1-row
+    scalars relation arrives broadcast (never a CartesianProduct),
+    and no Python crosses the path."""
+    from hickoryspark.ops.keywords import doc_keywords
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = doc_keywords(docs.select("doc_id", "text"),
+                       top_k=4, max_df_milli=800)
+    out.collect()  # AQE must finalize for ReusedExchange to appear
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalars side
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    # map-side top-k (partial WindowGroupLimit) before the doc shuffle
+    assert "WindowGroupLimit" in plan, plan
+    # the df branch must REUSE the tf branch's (doc_id, term)
+    # exchange — one corpus scan + explode, not two
+    assert "ReusedExchange" in plan, plan
