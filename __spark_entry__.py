@@ -5965,6 +5965,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return fragment_links(explode_nodes(pages))
 
+    def q_vocab_stats(spark, sf):
+        # corpus vocabulary rollup (ops/vocab.vocab_stats) over the
+        # REAL documents text. Oracle = the op's full mirror.
+        from hickoryspark.ops.vocab import vocab_stats
+
+        docs = load_documents(spark, sf)
+        return vocab_stats(docs.select("doc_id", "text"))
+
     out.update(
         list_items=q_list_items,
         table_records=q_table_records,
@@ -5996,6 +6004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         comment_sections=q_comment_sections,
         anchor_pairs=q_anchor_pairs,
         fragment_links=q_fragment_links,
+        vocab_stats=q_vocab_stats,
     )
     # The driver's correctness gate records only the FIRST 50 entries in
     # dict order (round-2 verdict: 27 queries had never been driver-
@@ -9708,4 +9717,8 @@ def oracle_sql() -> dict[str, str]:
         FROM u WHERE v = 1
         UNION ALL SELECT url, 1, '', 0, NULL FROM u WHERE v = 2
         UNION ALL SELECT url, 2, 'x', 1, 'h2' FROM u WHERE v = 2"""
+    # vocab_stats: the op's full mirror over the real documents text
+    from hickoryspark.ops.vocab import duckdb_vocab_sql
+    oracles["vocab_stats"] = duckdb_vocab_sql(
+        "(SELECT doc_id, text FROM documents)")
     return oracles
