@@ -270,6 +270,46 @@ def extract_hreflang(nodes: DataFrame) -> DataFrame:
     )
 
 
+def hreflang_symmetry(nodes: DataFrame) -> DataFrame:
+    """Reciprocity audit over the hreflang alternate graph:
+    ``(url, target, reciprocal)`` — Google's hreflang rule is that
+    annotations must be RECIPROCAL (if A lists B, B must list A back
+    or A's annotation is ignored); one-way edges are the audit
+    finding.
+
+    Pinned semantics: edges are DISTINCT (normalize_url(page),
+    normalize_url(resolved)) pairs from :func:`extract_hreflang`
+    (several hreflang tags to one target count once); self edges
+    (page listing itself — standard and trivially reciprocal) are
+    excluded; ``reciprocal`` is 1 when the reversed pair exists.
+
+    Codegen note: normalize∘resolve composes ONCE per key (the
+    canonical_targets stance). One key-shuffle family: distinct, then
+    a self equi-join on the swapped pair."""
+    from hickoryspark.ops.urls import normalize_url
+
+    alts = extract_hreflang(nodes)
+    edges = alts.select(
+        normalize_url(F.col("url")).alias("src"),
+        normalize_url(F.col("resolved")).alias("dst"),
+    ).where(F.col("src") != F.col("dst")).distinct()
+
+    back = edges.select(F.col("dst").alias("b_src"),
+                        F.col("src").alias("b_dst"))
+    return (
+        edges.join(
+            back,
+            (edges["src"] == back["b_src"])
+            & (edges["dst"] == back["b_dst"]),
+            "left",
+        )
+        .select(
+            F.col("src").alias("url"), F.col("dst").alias("target"),
+            F.col("b_src").isNotNull().cast("long").alias("reciprocal"),
+        )
+    )
+
+
 #: leading-delay prefix of a refresh content value: ws* digits
 #: (fraction tolerated and ignored) — rows whose content doesn't
 #: start this way are INVALID and dropped (the WHATWG shared
