@@ -6049,6 +6049,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return cross_host_duplicates(pages)
 
+    def q_structured_union(spark, sf):
+        # unified structured-data view
+        # (ops/structured.structured_union): one variant per carrier
+        # plus an invalid-JSON variant with no rows. Oracle =
+        # per-variant literal rows.
+        from hickoryspark.ops.structured import structured_union
+        from hickoryspark.spark.nodes_table import explode_nodes
+
+        docs = load_documents(spark, sf)
+        d = F.col("doc_id").cast("string")
+        v = F.col("doc_id") % 4
+        html = (
+            F.when(v == 0, F.concat(
+                F.lit('<div itemscope itemtype="https://schema.org/'
+                      'Person"><span itemprop="name">Ada'), d,
+                F.lit("</span></div>")))
+            .when(v == 1, F.concat(
+                F.lit('<div vocab="https://schema.org/" typeof='
+                      '"Book"><span property="name">SICP'), d,
+                F.lit("</span></div>")))
+            .when(v == 2, F.concat(
+                F.lit('<script type="application/ld+json">'
+                      '{"@type": "Article", "headline": "H'), d,
+                F.lit('", "name": "N'), d, F.lit('"}</script>')))
+            .otherwise(F.concat(
+                F.lit('<script type="application/ld+json">{broken'),
+                d, F.lit("</script><p>x</p>")))
+        )
+        pages = docs.select(
+            F.concat(F.lit("https://su.ex/p"), d).alias("url"),
+            html.alias("html"),
+        )
+        return structured_union(explode_nodes(pages))
+
     out.update(
         list_items=q_list_items,
         table_records=q_table_records,
@@ -6084,6 +6118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_integrity=q_text_integrity,
         hreflang_symmetry=q_hreflang_symmetry,
         syndication_groups=q_syndication_groups,
+        structured_union=q_structured_union,
     )
     # The driver's correctness gate records only the FIRST 50 entries in
     # dict order (round-2 verdict: 27 queries had never been driver-
@@ -9825,4 +9860,26 @@ def oracle_sql() -> dict[str, str]:
         " THEN ' u' || a.doc_id ELSE '' END AS text"
         " FROM documents a JOIN documents b"
         " ON b.doc_id = a.doc_id - (a.doc_id % 3))")
+    # structured_union: per-variant literal rows (see
+    # q_structured_union)
+    oracles["structured_union"] = """
+        WITH u AS (SELECT CAST(doc_id AS VARCHAR) AS ds,
+                          'https://su.ex/p' || doc_id AS url,
+                          doc_id % 4 AS v
+                   FROM documents)
+        SELECT url, 'microdata' AS carrier,
+               CAST(0 AS BIGINT) AS entity_idx,
+               'https://schema.org/Person' AS entity_type,
+               'name' AS prop_name, CAST(0 AS BIGINT) AS prop_pos,
+               'Ada' || ds AS prop_value
+        FROM u WHERE v = 0
+        UNION ALL SELECT url, 'rdfa', 0, 'Book', 'name', 0,
+               'SICP' || ds
+        FROM u WHERE v = 1
+        UNION ALL SELECT url, 'jsonld', 0, 'Article', 'name', 0,
+               'N' || ds
+        FROM u WHERE v = 2
+        UNION ALL SELECT url, 'jsonld', 0, 'Article', 'headline', 1,
+               'H' || ds
+        FROM u WHERE v = 2"""
     return oracles

@@ -453,3 +453,69 @@ def extract_rdfa(nodes: DataFrame) -> DataFrame:
         (F.row_number().over(w_props) - 1).cast("int").alias("prop_pos"),
         "prop_value", "nested_subject",
     )
+
+
+#: the JSON-LD fields structured_union unpivots into property rows
+#: (jsonld_type becomes the entity type, not a property)
+_UNION_JSONLD_PROPS = ["name", "headline", "author_name",
+                       "date_published"]
+
+
+def structured_union(nodes: DataFrame) -> DataFrame:
+    """All three structured-data carriers in ONE schema:
+    ``(url, carrier, entity_idx, entity_type, prop_name, prop_pos,
+    prop_value)`` — the KG-loader view (schema.org entities regardless
+    of how the page shipped them).
+
+    Pinned mapping:
+
+    - microdata: entity = item (``item_idx``/``itemtype``); property
+      rows as :func:`extract_microdata` emits them (nested-item edge
+      rows keep prop_value NULL);
+    - rdfa: entity = subject (``subject_idx``/``rdf_type``); same;
+    - jsonld: entity = VALID script block (``script_pos``; type =
+      the block's ``@type``); properties are the non-NULL extracted
+      default fields (name, headline, author_name, date_published)
+      in that order, ``prop_pos`` re-based over the kept ones;
+      invalid blocks contribute no rows.
+
+    Three independent url-local programs unioned by name — no new
+    shuffle beyond what the carriers already do.
+    """
+    md = extract_microdata(nodes).select(
+        "url", F.lit("microdata").alias("carrier"),
+        F.col("item_idx").cast("long").alias("entity_idx"),
+        F.col("itemtype").alias("entity_type"),
+        "prop_name", F.col("prop_pos").cast("long").alias("prop_pos"),
+        "prop_value",
+    )
+    rd = extract_rdfa(nodes).select(
+        "url", F.lit("rdfa").alias("carrier"),
+        F.col("subject_idx").cast("long").alias("entity_idx"),
+        F.col("rdf_type").alias("entity_type"),
+        "prop_name", F.col("prop_pos").cast("long").alias("prop_pos"),
+        "prop_value",
+    )
+    pairs = F.filter(
+        F.array(*[
+            F.struct(F.lit(p).alias("n"), F.col(p).alias("v"))
+            for p in _UNION_JSONLD_PROPS
+        ]),
+        lambda s: s["v"].isNotNull(),
+    )
+    jl = (
+        extract_jsonld(nodes).where(F.col("is_valid"))
+        .select(
+            "url", F.lit("jsonld").alias("carrier"),
+            F.col("script_pos").cast("long").alias("entity_idx"),
+            F.col("jsonld_type").alias("entity_type"),
+            F.posexplode(pairs).alias("prop_pos", "_p"),
+        )
+        .select(
+            "url", "carrier", "entity_idx", "entity_type",
+            F.col("_p.n").alias("prop_name"),
+            F.col("prop_pos").cast("long").alias("prop_pos"),
+            F.col("_p.v").alias("prop_value"),
+        )
+    )
+    return md.unionByName(rd).unionByName(jl)
