@@ -6083,6 +6083,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return structured_union(explode_nodes(pages))
 
+    def q_name_candidates(spark, sf):
+        # capitalized-run mining (ops/names.name_candidates) over the
+        # real text plus a name-bearing suffix (runs, singleton,
+        # acronym/digit/punct breaks). Oracle = the op's full mirror.
+        from hickoryspark.ops.names import name_candidates
+
+        docs = load_documents(spark, sf)
+        text = F.concat(
+            F.col("text"),
+            F.lit(" Alan Turing met Grace Brewster Hopper in"
+                  " Yorktown while IBM Watson Labs beat X1 Foo"))
+        return name_candidates(
+            docs.select("doc_id", text.alias("text")))
+
     out.update(
         list_items=q_list_items,
         table_records=q_table_records,
@@ -6119,6 +6133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         hreflang_symmetry=q_hreflang_symmetry,
         syndication_groups=q_syndication_groups,
         structured_union=q_structured_union,
+        name_candidates=q_name_candidates,
     )
     # The driver's correctness gate records only the FIRST 50 entries in
     # dict order (round-2 verdict: 27 queries had never been driver-
@@ -9882,4 +9897,10 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT url, 'jsonld', 0, 'Article', 'headline', 1,
                'H' || ds
         FROM u WHERE v = 2"""
+    # name_candidates: the op's full mirror over the same suffix
+    from hickoryspark.ops.names import duckdb_names_sql
+    oracles["name_candidates"] = duckdb_names_sql(
+        "(SELECT doc_id, text || ' Alan Turing met Grace Brewster"
+        " Hopper in Yorktown while IBM Watson Labs beat X1 Foo'"
+        " AS text FROM documents)")
     return oracles
