@@ -6127,6 +6127,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return social_cards(explode_nodes(pages))
 
+    def q_stopword_induction(spark, sf):
+        # corpus stopword induction (ops/vocab.stopword_candidates)
+        # over the real documents text, threshold splitting the df
+        # distribution mid-band. Oracle = the op's full mirror.
+        from hickoryspark.ops.vocab import stopword_candidates
+
+        docs = load_documents(spark, sf)
+        return stopword_candidates(docs.select("doc_id", "text"),
+                                   min_df_milli=750)
+
     out.update(
         list_items=q_list_items,
         table_records=q_table_records,
@@ -6165,6 +6175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         structured_union=q_structured_union,
         name_candidates=q_name_candidates,
         social_cards=q_social_cards,
+        stopword_induction=q_stopword_induction,
     )
     # The driver's correctness gate records only the FIRST 50 entries in
     # dict order (round-2 verdict: 27 queries had never been driver-
@@ -9949,4 +9960,8 @@ def oracle_sql() -> dict[str, str]:
         FROM u WHERE v = 1
         UNION ALL SELECT url, 2, 'og', 'og:video', NULL
         FROM u WHERE v = 1"""
+    # stopword_induction: the op's full mirror over the real text
+    from hickoryspark.ops.vocab import duckdb_stopwords_sql
+    oracles["stopword_induction"] = duckdb_stopwords_sql(
+        "(SELECT doc_id, text FROM documents)", min_df_milli=750)
     return oracles

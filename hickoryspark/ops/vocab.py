@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 from hickoryspark.ops.chunking import ASCII_WS_SPLIT_RE
 
-__all__ = ["vocab_stats", "duckdb_vocab_sql"]
+__all__ = ["vocab_stats", "duckdb_vocab_sql",
+           "stopword_candidates", "duckdb_stopwords_sql"]
 
 
 def vocab_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -97,3 +98,49 @@ def duckdb_vocab_sql(docs_rel: str) -> str:
                CAST((1000 * n_hapax) // greatest(n_types, 1)
                     AS BIGINT) AS hapax_milli
         FROM ndocs, v"""
+
+
+def stopword_candidates(docs: DataFrame, text_col: str = "text",
+                        min_df_milli: int = 500) -> DataFrame:
+    """Corpus-specific stopword induction: ``(term, df, cf,
+    df_milli)`` for every term present in at least ``min_df_milli``
+    per-mille of all docs (``df * 1000 >= min_df_milli * n_docs``),
+    ``df_milli = (1000 * df) div n_docs``.
+
+    THRESHOLD-based on purpose — a global top-k rank of the vocab
+    would funnel the whole term relation through one task; the df
+    cut is a map-side filter against one broadcast scalar."""
+    from hickoryspark.ops.postings import term_stats
+
+    terms = term_stats(docs, text_col)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        terms.crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") * 1000 >= int(min_df_milli)
+               * F.col("n_docs"))
+        .select(
+            "term", "df", "cf",
+            F.expr("(1000 * df) div n_docs").cast("long")
+            .alias("df_milli"),
+        )
+    )
+
+
+def duckdb_stopwords_sql(docs_rel: str, min_df_milli: int = 500) -> str:
+    """Full DuckDB mirror of :func:`stopword_candidates`."""
+    return f"""
+        WITH occ AS (
+          SELECT doc_id, t.term
+          FROM {docs_rel}, unnest(list_filter(
+            regexp_split_to_array(text, '{ASCII_WS_SPLIT_RE}'),
+            s -> s != '')) AS t(term)),
+        ts AS (
+          SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+                 CAST(COUNT(*) AS BIGINT) AS cf
+          FROM occ GROUP BY term),
+        ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+                  FROM {docs_rel})
+        SELECT term, df, cf,
+               CAST((1000 * df) // n_docs AS BIGINT) AS df_milli
+        FROM ts, ndocs
+        WHERE df * 1000 >= {int(min_df_milli)} * n_docs"""

@@ -55,3 +55,24 @@ def test_duckdb_mirror_agrees(spark):
     want = [tuple(r) for r in
             con.execute(duckdb_vocab_sql("d")).fetchall()]
     assert got == want
+
+
+def test_stopword_candidates_threshold_and_mirror(spark):
+    from hickoryspark.ops.vocab import (duckdb_stopwords_sql,
+                                        stopword_candidates)
+
+    rows = [(1, "the cat sat"), (2, "the dog ran"), (3, "the cat")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in
+                 stopword_candidates(docs, min_df_milli=600).collect())
+    # the: df=3 (1000 milli); cat: df=2 (666) -> both >= 600
+    assert got == [("cat", 2, 2, 666), ("the", 3, 3, 1000)]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ",".join("(%d, '%s')" % r for r in rows)
+        + ") t(doc_id, text)")
+    want = sorted(tuple(r) for r in con.execute(
+        duckdb_stopwords_sql("d", min_df_milli=600)).fetchall())
+    assert got == want
