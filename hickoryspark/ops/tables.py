@@ -288,3 +288,49 @@ def table_records(cells) -> "DataFrame":
         "col_idx", "key",
         F.col("cell_text").alias("value"),
     )
+
+
+#: pinned numeric-cell rule (ASCII-only, Java-regex ∩ RE2 — character
+#: classes only): optional sign, digits with comma groups, optional
+#: decimal tail, optional trailing percent
+NUMERIC_CELL_RE = r"^[+-]?[0-9][0-9,]*([.][0-9]+)?%?$"
+
+
+def table_column_profile(cells) -> "DataFrame":
+    """Cell grid (``extract_tables`` output) → per-column typing
+    profile: ``(url, table_idx, col_idx, n_cells, n_numeric, n_empty,
+    numeric_milli)`` — the column-typing signal table-QA corpus
+    builders cut on (a column that is 95% numeric is a measure, not a
+    label).
+
+    Pinned semantics: DATA cells only (``row_idx >= 1`` — row 0 is
+    the candidate header, profiled by ``table_records``); a cell
+    anchors at its own ``col_idx`` (spans don't fan out); NUMERIC =
+    the ASCII-trimmed text matches ``NUMERIC_CELL_RE``; EMPTY = the
+    trimmed text is ``''`` (empty cells count in ``n_cells`` but in
+    neither class); ``numeric_milli = (1000 * n_numeric) div
+    greatest(n_cells - n_empty, 1)`` — typed share of NON-empty
+    cells. One groupBy, map-side combinable."""
+    from pyspark.sql import functions as F
+
+    t = F.expr("btrim(cell_text, ' \\t\\n\\r')")
+    return (
+        cells.where(F.col("row_idx") >= 1)
+        .select(
+            "url", "table_idx", "col_idx",
+            t.rlike(NUMERIC_CELL_RE).cast("long").alias("_num"),
+            (t == "").cast("long").alias("_emp"),
+        )
+        .groupBy("url", "table_idx", "col_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum(F.expr("CASE WHEN _emp = 0 THEN _num ELSE 0 END"))
+            .cast("long").alias("n_numeric"),
+            F.sum("_emp").cast("long").alias("n_empty"),
+        )
+        .withColumn(
+            "numeric_milli",
+            F.expr("(1000 * n_numeric)"
+                   " div greatest(n_cells - n_empty, 1)").cast("long"),
+        )
+    )

@@ -216,3 +216,22 @@ def test_extract_tables_spark_path(spark):
         (2, 1, "b"),
     ]
     assert rows[0]["is_header"] is True and rows[1]["rowspan"] == 2
+
+
+def test_table_column_profile(spark):
+    from hickoryspark.ops.tables import (extract_tables,
+                                         table_column_profile)
+
+    html = ('<table><tr><th>name</th><th>price</th><th>pct</th></tr>'
+            '<tr><td>ab</td><td>1,234.50</td><td>12%</td></tr>'
+            '<tr><td>cd</td><td>-7</td><td></td></tr>'
+            '<tr><td>ef</td><td>n/a</td><td>+3.5%</td></tr></table>')
+    pages = spark.createDataFrame([("u", html)],
+                                  "url string, html string")
+    got = sorted(tuple(r) for r in
+                 table_column_profile(extract_tables(pages)).collect())
+    assert got == [
+        ("u", 0, 0, 3, 0, 0, 0),     # label column
+        ("u", 0, 1, 3, 2, 0, 666),   # 'n/a' breaks the numeric share
+        ("u", 0, 2, 3, 2, 1, 1000),  # empty cell out of the base
+    ]
