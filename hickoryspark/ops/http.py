@@ -389,6 +389,19 @@ def x_robots_flags(df: DataFrame, raw_col: str = "raw",
     X-Robots-Tag values — head-bounded, not corpus-bounded)."""
     from hickoryspark.ops.metadata import meta_robots_flags
 
+    agg = x_robots_values(df, raw_col=raw_col, agent=agent,
+                          id_cols=id_cols).withColumnRenamed(
+                              "xr", "_xr")
+    return meta_robots_flags(agg, col="_xr").drop("_xr")
+
+
+def x_robots_values(df: DataFrame, raw_col: str = "raw",
+                    agent: str | None = None,
+                    id_cols: tuple = ("url",)) -> DataFrame:
+    """``(*id_cols, status, xr)`` — the response's APPLICABLE
+    X-Robots-Tag directive lists, comma-joined (the scope rule of
+    :func:`x_robots_flags`, factored out so other directive consumers
+    — e.g. ops/optout.py — share one parse)."""
     headers = parse_headers_df(df, raw_col=raw_col, id_cols=id_cols)
     value = F.col("value")
     pre = F.lower(F.trim(F.substring_index(value, ":", 1)))
@@ -412,7 +425,6 @@ def x_robots_flags(df: DataFrame, raw_col: str = "raw",
     contrib = F.when(
         (F.col("name") == "x-robots-tag") & applies, directives
     )
-    agg = headers.groupBy(*id_cols, "status").agg(
-        F.concat_ws(",", F.collect_list(contrib)).alias("_xr")
+    return headers.groupBy(*id_cols, "status").agg(
+        F.concat_ws(",", F.collect_list(contrib)).alias("xr")
     )
-    return meta_robots_flags(agg, col="_xr").drop("_xr")
