@@ -1096,6 +1096,16 @@ _INVIS_SFX = {
     3: " hy\u00adphen\ufeff",
 }
 
+#: lang_segments gate — paragraph suffixes appended to the real text
+#: (SINGLE SOURCE for the Spark literal and the SQL literal; no
+#: single quotes inside; blocks chosen from the LANG_TRIGRAMS
+#: profiles so predictions are stable)
+_CS_SFX = {
+    1: "\n\nder ein und sch ich",
+    2: "\n\nles des que ait\n\nzz qq xx",
+    3: "\n\nder ein und\n\nles des que\n\nder sch und",
+}
+
 #: compression_signal gate — three payload classes x five repeat
 #: counts = 15 deterministic payloads; the oracle computes the 15
 #: zlib sizes driver-side at SQL-build time (same zlib build as the
@@ -6289,6 +6299,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).repartition(32)
         return compression_signal(payload)
 
+    def q_lang_segments(spark, sf):
+        # paragraph code-switching rollup (ops/codeswitch.py) over
+        # the REAL text + per-variant paragraph suffixes (_CS_SFX:
+        # v1 German block, v2 French + unk blocks, v3 de/fr
+        # alternation). Oracle = the op's full mirror over the same
+        # construction.
+        from hickoryspark.ops.codeswitch import codeswitch_stats
+
+        docs = load_documents(spark, sf)
+        v = F.col("doc_id") % 4
+        text = F.concat(
+            F.col("text"),
+            F.when(v == 1, F.lit(_CS_SFX[1]))
+            .when(v == 2, F.lit(_CS_SFX[2]))
+            .when(v == 3, F.lit(_CS_SFX[3]))
+            .otherwise(F.lit("")),
+        )
+        return codeswitch_stats(
+            docs.select("doc_id", text.alias("text")))
+
     def q_ai_optout(spark, sf):
         # AI-training/TDM opt-out audit (ops/optout.ai_optout):
         # v0 clean, v1 meta noai+nosnippet, v2 TDMRep meta pair,
@@ -6416,6 +6446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         invis_audit=q_invis_audit,
         cdc_chunks=q_cdc_chunks,
         ai_optout=q_ai_optout,
+        lang_segments=q_lang_segments,
     )
     # The driver's correctness gate records only the FIRST 50 entries in
     # dict order (round-2 verdict: 27 queries had never been driver-
@@ -10343,4 +10374,14 @@ def oracle_sql() -> dict[str, str]:
         FROM u WHERE v = 4
         UNION ALL SELECT url, 0, 0, 0, 1, NULL, 0, NULL, 0
         FROM u WHERE v = 5"""
+    # lang_segments: the op's full mirror over the same text+suffix
+    # construction (suffixes embed verbatim — newlines are legal in
+    # DuckDB string literals)
+    from hickoryspark.ops.codeswitch import duckdb_codeswitch_sql
+    _cs_inp = ("(SELECT doc_id, text || CASE doc_id % 4"
+               f" WHEN 1 THEN '{_CS_SFX[1]}'"
+               f" WHEN 2 THEN '{_CS_SFX[2]}'"
+               f" WHEN 3 THEN '{_CS_SFX[3]}'"
+               " ELSE '' END AS text FROM documents)")
+    oracles["lang_segments"] = duckdb_codeswitch_sql(_cs_inp)
     return oracles

@@ -100,17 +100,21 @@ def _substr_count(text: Column, s: str) -> Column:
     ).cast("long")
 
 
-def lang_trigram(docs: DataFrame) -> DataFrame:
-    """Character-n-gram language ID: score each language profile by
-    summed trigram occurrence counts; argmax wins (ties broken by the
-    profile order en, de, fr), all-zero → 'unk'. Pure JVM expressions."""
-    text = F.col("text")
-    scores = {
+def lang_scores(text: Column) -> dict:
+    """Per-language summed trigram occurrence counts (profile order
+    preserved) — the shared scoring core of :func:`lang_trigram` and
+    ops/codeswitch.py."""
+    return {
         lang: sum(
             (_substr_count(text, t) for t in tris), F.lit(0).cast("long")
         )
         for lang, tris in LANG_TRIGRAMS.items()
     }
+
+
+def lang_best(scores: dict) -> Column:
+    """Argmax language over :func:`lang_scores` output — ties keep
+    the EARLIER profile, all-zero → 'unk'."""
     best = F.lit("unk")
     best_score = F.lit(0).cast("long")
     # iterate in profile order; strict > keeps the earlier lang on ties
@@ -118,6 +122,16 @@ def lang_trigram(docs: DataFrame) -> DataFrame:
         take = sc > best_score
         best = F.when(take, F.lit(lang)).otherwise(best)
         best_score = F.when(take, sc).otherwise(best_score)
+    return best
+
+
+def lang_trigram(docs: DataFrame) -> DataFrame:
+    """Character-n-gram language ID: score each language profile by
+    summed trigram occurrence counts; argmax wins (ties broken by the
+    profile order en, de, fr), all-zero → 'unk'. Pure JVM expressions."""
+    text = F.col("text")
+    scores = lang_scores(text)
+    best = lang_best(scores)
     return docs.select(
         "doc_id",
         best.alias("lang_pred"),
