@@ -6299,6 +6299,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).repartition(32)
         return compression_signal(payload)
 
+    def q_audio_fp_pairs(spark, sf):
+        # audio fingerprint near-dup over the REAL WAV codec:
+        # per-doc 65-frame level walks encode the SAME mask⊕spread
+        # signature family as the image gate (_ahash_gate_hash),
+        # with per-doc gain / channel-count / frame-length variation
+        # the fingerprint must be invariant to; decode→fingerprint→
+        # banded-join recall graded by the brute-force arithmetic
+        # all-pairs oracle (group_cap=None for exact semantics).
+        import pandas as pd
+
+        from hickoryspark.ops.audiofp import (audio_fingerprints,
+                                              audio_near_pairs)
+        from hickoryspark.ops.multimodal import encode_wav
+
+        def gen(batches):
+            import numpy as np
+
+            for b in batches:
+                if not len(b):
+                    continue
+                payloads = []
+                for doc_id in b["doc_id"]:
+                    d = int(doc_id)
+                    bits = _ahash_gate_hash(d)
+                    step = 1 + d % 5
+                    levels = [2000]
+                    for i in range(64):
+                        levels.append(
+                            levels[-1]
+                            + (step if (bits >> i) & 1 else -step))
+                    gain = 1 + d % 7
+                    samples = np.repeat(
+                        np.array(levels, dtype=np.int64) * gain,
+                        10 + d % 6)
+                    if d % 2:
+                        samples = np.stack([samples, samples], axis=1)
+                    payloads.append(encode_wav(
+                        samples.astype(np.int16), 8000 + d % 3))
+                yield pd.DataFrame(
+                    {"media_id": b["doc_id"], "payload": payloads}
+                )
+
+        media = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id")
+            .repartition(32)
+            .mapInPandas(gen, "media_id long, payload binary")
+        )
+        return audio_near_pairs(
+            audio_fingerprints(media), max_hamming=2, group_cap=None)
+
     def q_lang_segments(spark, sf):
         # paragraph code-switching rollup (ops/codeswitch.py) over
         # the REAL text + per-variant paragraph suffixes (_CS_SFX:
@@ -6447,6 +6498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cdc_chunks=q_cdc_chunks,
         ai_optout=q_ai_optout,
         lang_segments=q_lang_segments,
+        audio_fp_pairs=q_audio_fp_pairs,
     )
     # The driver's correctness gate records only the FIRST 50 entries in
     # dict order (round-2 verdict: 27 queries had never been driver-
@@ -10384,4 +10436,8 @@ def oracle_sql() -> dict[str, str]:
                f" WHEN 3 THEN '{_CS_SFX[3]}'"
                " ELSE '' END AS text FROM documents)")
     oracles["lang_segments"] = duckdb_codeswitch_sql(_cs_inp)
+    # audio_fp_pairs: the gate encodes the SAME _ahash_gate_hash
+    # signature per doc (levels walk the bits), so the brute-force
+    # arithmetic all-pairs ground truth is the image oracle verbatim
+    oracles["audio_fp_pairs"] = oracles["image_ahash_pairs"]
     return oracles
