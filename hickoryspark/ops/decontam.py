@@ -40,7 +40,8 @@ from pyspark.sql import functions as F
 from hickoryspark.ops.chunking import ASCII_WS_SPLIT_RE
 from hickoryspark.ops.dedup import join_ngrams
 
-__all__ = ["decontaminate", "duckdb_decontam_sql",
+__all__ = ["canary_hits", "duckdb_canary_sql",
+           "decontaminate", "duckdb_decontam_sql",
            "benchmark_ngrams", "ngram_overlap"]
 
 
@@ -213,3 +214,56 @@ def ngram_overlap(docs: DataFrame, benchmark: DataFrame, n: int = 13,
             .alias("n_hits"),
         )
     )
+
+
+def canary_hits(docs: DataFrame, canaries: list,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Benchmark canary-string scan — the complement of n-gram
+    decontamination: eval suites embed a GLOBALLY UNIQUE canary GUID
+    (the BIG-bench convention) precisely so corpus builders can drop
+    any document carrying it. One row per (doc, canary) HIT:
+    ``(doc_id, canary_idx, n_occurrences)`` with the 0-based index
+    into ``canaries`` and the non-overlapping occurrence count (the
+    textstats._substr_count length-difference rule).
+
+    Scale shape: the canary list is a plan-time constant folded into
+    one projected array of (idx, count) structs — no join, no
+    shuffle, one scan; rows exist only for hits so the output is
+    near-empty on a clean corpus."""
+    if not canaries:
+        raise ValueError("canaries must be a non-empty list")
+    t = F.col(text_col)
+    entries = F.array(*[
+        F.struct(
+            F.lit(i).cast("long").alias("canary_idx"),
+            ((F.length(t) - F.length(F.replace(t, F.lit(c), F.lit(""))))
+             / len(c)).cast("long").alias("n_occurrences"),
+        )
+        for i, c in enumerate(canaries)
+    ])
+    hit = F.filter(entries, lambda e: e["n_occurrences"] > 0)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(hit).alias("_h")
+    ).select(
+        "doc_id",
+        F.col("_h.canary_idx").alias("canary_idx"),
+        F.col("_h.n_occurrences").alias("n_occurrences"),
+    )
+
+
+def duckdb_canary_sql(docs_rel: str, canaries: list,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> str:
+    """Full DuckDB mirror of :func:`canary_hits` (canaries must not
+    contain single quotes)."""
+    parts = []
+    for i, c in enumerate(canaries):
+        cnt = (f"(length({text_col}) - length(replace({text_col},"
+               f" '{c}', ''))) // {len(c)}")
+        parts.append(
+            f"SELECT {id_col} AS doc_id,"
+            f" CAST({i} AS BIGINT) AS canary_idx,"
+            f" CAST({cnt} AS BIGINT) AS n_occurrences"
+            f" FROM {docs_rel} WHERE {cnt} > 0")
+    return " UNION ALL ".join(parts)

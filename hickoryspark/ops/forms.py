@@ -45,7 +45,9 @@ from pyspark.sql import functions as F
 from hickoryspark.nodes import TYPE_ELEMENT
 from hickoryspark.ops.links import resolve_href
 
-__all__ = ["extract_forms", "CONTROL_TAGS"]
+__all__ = ["extract_forms", "CONTROL_TAGS", "classify_forms",
+           "page_form_profile", "duckdb_form_classify_sql",
+           "TEXTISH_TYPES", "SEARCH_NAMES"]
 
 CONTROL_TAGS = ("input", "select", "textarea", "button")
 
@@ -142,3 +144,112 @@ def extract_forms(nodes: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("value"),
     )
     return ctl_rows.drop("_f_ord").unionByName(empty_forms)
+
+
+#: text-entry control types for the search/subscribe heuristics
+TEXTISH_TYPES = ("text", "search", "email", "tel", "url", "number")
+
+#: control names that mark a lone text box as a search form
+SEARCH_NAMES = ("q", "s", "query", "search")
+
+
+def classify_forms(form_rows: DataFrame) -> DataFrame:
+    """Per-form page-type classification over :func:`extract_forms`
+    output — the login-wall / search-box / newsletter detector crawl
+    schedulers read.
+
+    Pinned rules (priority order, full DuckDB mirror):
+
+    - ``login``: any control with ``ctl_type = 'password'``;
+    - ``upload``: else any ``ctl_type = 'file'``;
+    - ``search``: else EXACTLY one text-entry control (``ctl_type``
+      in TEXTISH_TYPES or ``ctl_tag = 'textarea'``) and that form has
+      a control whose type is ``search`` or whose lowercased name is
+      in SEARCH_NAMES;
+    - ``subscribe``: else any ``ctl_type = 'email'``;
+    - ``other`` otherwise (including control-less forms).
+
+    Output: ``(url, form_pos, method, resolved_action, n_controls,
+    form_type)``. One (url, form_pos) groupBy — map-side combinable.
+    """
+    is_ctl = F.col("ctl_pos") > 0
+    textish = is_ctl & (
+        F.col("ctl_type").isin(*TEXTISH_TYPES)
+        | (F.col("ctl_tag") == "textarea")
+    )
+    search_hint = is_ctl & (
+        (F.col("ctl_type") == "search")
+        | F.lower(F.coalesce(F.col("name"), F.lit("")))
+        .isin(*SEARCH_NAMES)
+    )
+    agg = form_rows.groupBy("url", "form_pos").agg(
+        F.min("method").alias("method"),
+        F.min("resolved_action").alias("resolved_action"),
+        F.sum(is_ctl.cast("long")).cast("long").alias("n_controls"),
+        F.max((F.col("ctl_type") == "password").cast("long"))
+        .alias("_pw"),
+        F.max((F.col("ctl_type") == "file").cast("long")).alias("_file"),
+        F.sum(textish.cast("long")).alias("_ntext"),
+        F.max(search_hint.cast("long")).alias("_shint"),
+        F.max((F.col("ctl_type") == "email").cast("long")).alias("_em"),
+    )
+    form_type = (
+        F.when(F.col("_pw") == 1, "login")
+        .when(F.col("_file") == 1, "upload")
+        .when((F.col("_ntext") == 1) & (F.col("_shint") == 1), "search")
+        .when(F.col("_em") == 1, "subscribe")
+        .otherwise("other")
+    )
+    return agg.select(
+        "url", "form_pos", "method", "resolved_action", "n_controls",
+        form_type.alias("form_type"),
+    )
+
+
+def page_form_profile(form_rows: DataFrame) -> DataFrame:
+    """Page rollup of :func:`classify_forms`: ``(url, n_forms,
+    has_login, has_search, has_upload, has_subscribe)`` — the
+    login-wall routing signal. Flags are BIGINT 0/1."""
+    cf = classify_forms(form_rows)
+
+    def has(t: str):
+        return F.max((F.col("form_type") == t).cast("long")).alias(
+            f"has_{t}")
+
+    return cf.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_forms"),
+        has("login"), has("search"), has("upload"), has("subscribe"),
+    )
+
+
+def duckdb_form_classify_sql(rows_rel: str) -> str:
+    """Full DuckDB mirror of :func:`classify_forms`; ``rows_rel``
+    must expose extract_forms' columns."""
+    textish_in = ", ".join(f"'{t}'" for t in TEXTISH_TYPES)
+    names_in = ", ".join(f"'{n}'" for n in SEARCH_NAMES)
+    return f"""
+        WITH agg AS (
+          SELECT url, form_pos, MIN(method) AS method,
+                 MIN(resolved_action) AS resolved_action,
+                 CAST(SUM(CASE WHEN ctl_pos > 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_controls,
+                 MAX(CASE WHEN ctl_type = 'password' THEN 1 ELSE 0
+                     END) AS pw,
+                 MAX(CASE WHEN ctl_type = 'file' THEN 1 ELSE 0
+                     END) AS fi,
+                 SUM(CASE WHEN ctl_pos > 0 AND (ctl_type IN
+                     ({textish_in}) OR ctl_tag = 'textarea')
+                     THEN 1 ELSE 0 END) AS ntext,
+                 MAX(CASE WHEN ctl_pos > 0 AND (ctl_type = 'search'
+                     OR lower(COALESCE(name, '')) IN ({names_in}))
+                     THEN 1 ELSE 0 END) AS shint,
+                 MAX(CASE WHEN ctl_type = 'email' THEN 1 ELSE 0
+                     END) AS em
+          FROM {rows_rel} GROUP BY url, form_pos)
+        SELECT url, form_pos, method, resolved_action, n_controls,
+               CASE WHEN pw = 1 THEN 'login'
+                    WHEN fi = 1 THEN 'upload'
+                    WHEN ntext = 1 AND shint = 1 THEN 'search'
+                    WHEN em = 1 THEN 'subscribe'
+                    ELSE 'other' END AS form_type
+        FROM agg"""
