@@ -184,3 +184,65 @@ def duckdb_dehyphenate_sql(expr: str) -> str:
         ", chr(173), '', 'g'), '([A-Za-z])-\\r?\\n([a-z])', "
         "'\\1\\2', 'g')"
     )
+
+
+#: compatibility-character classes counted by nfkc_stats (shared
+#: Java-regex ∩ RE2 syntax; fullwidth/halfwidth forms block + the
+#: Latin ligature block — the two classes web text actually carries)
+FULLWIDTH_RE = "[\\x{FF01}-\\x{FF60}\\x{FFE0}-\\x{FFE6}]"
+LIGATURE_RE = "[\\x{FB00}-\\x{FB06}]"
+
+
+def nfkc_stats(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """NFKC compatibility audit — ``(doc_id, n_chars, nfkc_len,
+    is_changed, n_fullwidth, n_ligature)``.
+
+    Tokenizer pipelines must DECIDE on compatibility folding (NFKC
+    turns fullwidth ｆｏｏ into foo and ﬁ into fi — changing both
+    byte length and token boundaries); this op measures how much of
+    a corpus the choice affects. ``nfkc_len`` is the code-point
+    length after ``unicodedata.normalize("NFKC", text)``,
+    ``is_changed`` = 1 iff the string changed, and the two class
+    counts localize the most common carriers. NULL text rows are
+    skipped (the mapInPandas-parser convention).
+
+    Scale shape: one mapInPandas pass (NFKC itself has no JVM
+    equivalent), shuffle-free; the class counts ride in the same
+    pass for one-scan semantics.
+    """
+    import re as _re
+    import unicodedata
+
+    import pandas as pd
+
+    fw = _re.compile("[\uff01-\uff60\uffe0-\uffe6]")
+    lg = _re.compile("[\ufb00-\ufb06]")
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, nc, nl, ch, nf, ng = [], [], [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                norm = unicodedata.normalize("NFKC", text)
+                ids.append(doc_id)
+                nc.append(len(text))
+                nl.append(len(norm))
+                ch.append(1 if norm != text else 0)
+                nf.append(len(fw.findall(text)))
+                ng.append(len(lg.findall(text)))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_chars": pd.Series(nc, dtype="int64"),
+                "nfkc_len": pd.Series(nl, dtype="int64"),
+                "is_changed": pd.Series(ch, dtype="int64"),
+                "n_fullwidth": pd.Series(nf, dtype="int64"),
+                "n_ligature": pd.Series(ng, dtype="int64"),
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(
+        gen,
+        "doc_id long, n_chars long, nfkc_len long, is_changed long,"
+        " n_fullwidth long, n_ligature long",
+    )
