@@ -6332,7 +6332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .when(v == 3, F.lit(_NFKC_SFX[3]))
             .otherwise(F.lit("")),
         )
-        return nfkc_stats(docs.select("doc_id", text.alias("text")))
+        return nfkc_stats(
+            docs.select("doc_id", text.alias("text")).repartition(32))
 
     def q_canary_scan(spark, sf):
         # canary GUID scan (ops/decontam.canary_hits) over the real

@@ -11,12 +11,15 @@ Pinned semantics:
 
 - Decode via the real PCM WAV codec (ops/multimodal.decode_audio);
   undecodable payloads fingerprint to NULL.
-- ``mono[i]`` = SUM across channels (int64 — no division, gain
-  handling makes normalization unnecessary).
+- ``mono[i]`` = sum across channels of ``|sample|`` (int64 — no
+  division; DELIBERATELY the magnitude sum, not ``|L+R|``:
+  out-of-phase stereo would cancel to silence under a downmix-first
+  rule, while the magnitude sum fingerprints it identically to the
+  mono track).
 - 65 frames over the n samples on the integer grid (frame f spans
   ``[f*n//65, (f+1)*n//65)``, the aHash cell arithmetic); n < 65
   → NULL (no meaningful framing).
-- ``E_f`` = sum of ``|mono|`` over frame f; bit i (LSB-first,
+- ``E_f`` = sum of ``mono`` over frame f; bit i (LSB-first,
   i = 0..63) is 1 iff ``E_{i+1} * len_i > E_i * len_{i+1}`` (strict
   exact-integer mean comparison — invariant under any positive gain,
   channel duplication, and 8→16-bit widening up to codec rounding).

@@ -47,9 +47,17 @@ __all__ = [
     "bitext_pairs_from_alts",
     "bitext_candidates",
     "duckdb_bitext_sql",
+    "DEFAULT_ALT_CAP",
 ]
 
 _NUM_RE = "[0-9]+"
+
+#: per-listing-page alternate cap — hreflang lists are legitimately
+#: large (one per locale) but a hostile page with 50k alternates
+#: would otherwise funnel ~k²/2 self-join rows through ONE url task
+#: (the tables/hosts/postings cap discipline). Alternates beyond the
+#: cap (by alt_pos) are ignored.
+DEFAULT_ALT_CAP = 128
 
 
 def _num_set(text_col) -> "F.Column":
@@ -58,13 +66,18 @@ def _num_set(text_col) -> "F.Column":
 
 
 def bitext_pairs_from_alts(alts: DataFrame,
-                           pages: DataFrame) -> DataFrame:
+                           pages: DataFrame,
+                           alt_cap: int | None = DEFAULT_ALT_CAP
+                           ) -> DataFrame:
     """Relational core: ``alts`` must expose
     ``(url, alt_pos, lang, target)`` (lang already lowercased, target
     already canonical), ``pages`` must expose ``(url, text)`` with
     urls in the same canonical form. Returns
     ``(url_a, lang_a, url_b, lang_b, len_a, len_b, len_ratio_milli,
-    num_jaccard_milli)``."""
+    num_jaccard_milli)``. ``alt_cap`` bounds the per-page self-join
+    (see DEFAULT_ALT_CAP); None disables the cap."""
+    if alt_cap is not None:
+        alts = alts.where(F.col("alt_pos") <= alt_cap)
     a = alts.select("url", F.col("alt_pos").alias("pa"),
                     F.col("lang").alias("la"),
                     F.col("target").alias("ta"))
@@ -113,7 +126,9 @@ def bitext_pairs_from_alts(alts: DataFrame,
     )
 
 
-def bitext_candidates(nodes: DataFrame, pages: DataFrame) -> DataFrame:
+def bitext_candidates(nodes: DataFrame, pages: DataFrame,
+                      alt_cap: int | None = DEFAULT_ALT_CAP
+                      ) -> DataFrame:
     """End-to-end: hreflang alternates from the node table
     (ops/metadata.extract_hreflang), endpoints + page urls
     canonicalized with ops/urls.normalize_url, then the relational
@@ -128,7 +143,7 @@ def bitext_candidates(nodes: DataFrame, pages: DataFrame) -> DataFrame:
     )
     canon_pages = pages.select(
         normalize_url(F.col("url")).alias("url"), "text")
-    return bitext_pairs_from_alts(alts, canon_pages)
+    return bitext_pairs_from_alts(alts, canon_pages, alt_cap=alt_cap)
 
 
 def duckdb_bitext_sql(alts_rel: str, pages_rel: str) -> str:

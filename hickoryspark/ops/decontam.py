@@ -231,8 +231,7 @@ def canary_hits(docs: DataFrame, canaries: list,
     one projected array of (idx, count) structs — no join, no
     shuffle, one scan; rows exist only for hits so the output is
     near-empty on a clean corpus."""
-    if not canaries:
-        raise ValueError("canaries must be a non-empty list")
+    _validate_canaries(canaries)
     t = F.col(text_col)
     entries = F.array(*[
         F.struct(
@@ -252,11 +251,22 @@ def canary_hits(docs: DataFrame, canaries: list,
     )
 
 
+def _validate_canaries(canaries: list) -> None:
+    """Non-empty list of non-empty strings — an empty canary would
+    divide by zero: NULL (a silently-vanished hit) on the Spark side,
+    an error in the DuckDB mirror. Reject it at entry on BOTH."""
+    if not canaries:
+        raise ValueError("canaries must be a non-empty list")
+    if any(not c for c in canaries):
+        raise ValueError("canary strings must be non-empty")
+
+
 def duckdb_canary_sql(docs_rel: str, canaries: list,
                       text_col: str = "text",
                       id_col: str = "doc_id") -> str:
     """Full DuckDB mirror of :func:`canary_hits` (canaries must not
     contain single quotes)."""
+    _validate_canaries(canaries)
     parts = []
     for i, c in enumerate(canaries):
         cnt = (f"(length({text_col}) - length(replace({text_col},"

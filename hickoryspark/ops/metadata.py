@@ -148,6 +148,16 @@ def page_metadata(nodes: DataFrame) -> DataFrame:
 _DIRECTIVE_TRIM = " \t\n\x0b\f\r"
 
 
+def robots_directive_tokens(content: Column) -> Column:
+    """The robots-meta directive token array — comma-split,
+    ASCII-ws-trimmed, lowercased, NULL → empty. SINGLE SOURCE for
+    :func:`meta_robots_flags` and ops/optout.py."""
+    return F.transform(
+        F.split(F.lower(F.coalesce(content, F.lit(""))), ","),
+        lambda t: F.btrim(t, F.lit(_DIRECTIVE_TRIM)),
+    )
+
+
 def meta_robots_flags(meta: DataFrame,
                       col: str = "meta_robots") -> DataFrame:
     """Adds boolean ``noindex`` / ``nofollow`` columns parsed from the
@@ -159,10 +169,7 @@ def meta_robots_flags(meta: DataFrame,
     directives are ignored. Pure column expressions; composes with
     ``page_metadata`` output (``df.where(~F.col("noindex"))`` is the
     corpus-admission filter every index pipeline runs)."""
-    toks = F.transform(
-        F.split(F.lower(F.coalesce(F.col(col), F.lit(""))), ","),
-        lambda t: F.btrim(t, F.lit(_DIRECTIVE_TRIM)),
-    )
+    toks = robots_directive_tokens(F.col(col))
 
     def has(d: str) -> Column:
         return F.array_contains(toks, d)

@@ -68,10 +68,9 @@ def _directive_cols(tokens: Column) -> list:
 
 
 def _tok(content: Column) -> Column:
-    return F.transform(
-        F.split(F.lower(F.coalesce(content, F.lit(""))), ","),
-        lambda t: F.btrim(t, F.lit(_DIRECTIVE_TRIM)),
-    )
+    from hickoryspark.ops.metadata import robots_directive_tokens
+
+    return robots_directive_tokens(content)
 
 
 def meta_ai_optout(nodes: DataFrame) -> DataFrame:
@@ -93,8 +92,11 @@ def meta_ai_optout(nodes: DataFrame) -> DataFrame:
     tdm_r = ((F.col("_name") == "tdm-reservation")
              & (F.btrim(F.coalesce(F.col("_content"), F.lit("")),
                         F.lit(_DIRECTIVE_TRIM)) == "1"))
+    # empty policy values are no policy (matches the header side —
+    # an empty meta must not shadow a real header URL in the merge)
     policy = F.when(
-        (F.col("_name") == "tdm-policy") & F.col("_content").isNotNull(),
+        (F.col("_name") == "tdm-policy")
+        & F.col("_content").isNotNull() & (F.col("_content") != ""),
         F.struct("_ord", F.col("_content").alias("v")),
     )
     agg = carriers.groupBy("url").agg(

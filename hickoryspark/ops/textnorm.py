@@ -186,11 +186,12 @@ def duckdb_dehyphenate_sql(expr: str) -> str:
     )
 
 
-#: compatibility-character classes counted by nfkc_stats (shared
-#: Java-regex ∩ RE2 syntax; fullwidth/halfwidth forms block + the
-#: Latin ligature block — the two classes web text actually carries)
-FULLWIDTH_RE = "[\\x{FF01}-\\x{FF60}\\x{FFE0}-\\x{FFE6}]"
-LIGATURE_RE = "[\\x{FB00}-\\x{FB06}]"
+#: compatibility-character classes counted by nfkc_stats (PYTHON
+#: regex syntax — the op is Python-side only, there is no SQL
+#: mirror; fullwidth/halfwidth forms block + the Latin ligature
+#: block, the two classes web text actually carries)
+FULLWIDTH_RE = "[\uff01-\uff60\uffe0-\uffe6]"
+LIGATURE_RE = "[\ufb00-\ufb06]"
 
 
 def nfkc_stats(docs: DataFrame, text_col: str = "text",
@@ -216,8 +217,8 @@ def nfkc_stats(docs: DataFrame, text_col: str = "text",
 
     import pandas as pd
 
-    fw = _re.compile("[\uff01-\uff60\uffe0-\uffe6]")
-    lg = _re.compile("[\ufb00-\ufb06]")
+    fw = _re.compile(FULLWIDTH_RE)
+    lg = _re.compile(LIGATURE_RE)
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:

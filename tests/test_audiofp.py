@@ -86,3 +86,22 @@ def test_spark_pairs_vs_bruteforce(spark_session=None):
                 if h <= 2:
                     exp.append((i, j, h))
     assert got == sorted(exp)
+
+
+def test_out_of_phase_stereo_matches_mono():
+    # pinned: mono = sum of |sample| across channels, NOT |L+R| —
+    # phase-inverted stereo must fingerprint like the mono track
+    import numpy as np
+
+    from hickoryspark.ops.audiofp import audio_fp_bits
+    from hickoryspark.ops.multimodal import encode_wav
+
+    rng = random.Random(17)
+    bits = rng.getrandbits(64)
+    levels = [2000]
+    for i in range(64):
+        levels.append(levels[-1] + (3 if (bits >> i) & 1 else -3))
+    mono = np.repeat(np.array(levels, dtype=np.int64), 16)
+    inv = np.stack([mono, -mono], axis=1)
+    assert audio_fp_bits(encode_wav(mono.astype(np.int16), 8000)) == bits
+    assert audio_fp_bits(encode_wav(inv.astype(np.int16), 8000)) == bits

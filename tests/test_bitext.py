@@ -146,3 +146,19 @@ def test_end_to_end_from_nodes(spark):
     # hreflang lowercased, :443 folded by normalize_url
     assert got == [("https://s.ex/de", "de", "https://s.ex/en", "en",
                     5, 5, 1000, 1000)]
+
+
+def test_alt_cap_bounds_hostile_listing(spark):
+    from hickoryspark.ops.bitext import bitext_pairs_from_alts
+
+    alts = [("L", i, "en" if i % 2 else "de", f"P{i}")
+            for i in range(1, 40)]
+    pages = [(f"P{i}", f"t {i}") for i in range(1, 40)]
+    a = spark.createDataFrame(
+        alts, "url string, alt_pos long, lang string, target string")
+    p = spark.createDataFrame(pages, "url string, text string")
+    capped = bitext_pairs_from_alts(a, p, alt_cap=4).collect()
+    full = bitext_pairs_from_alts(a, p, alt_cap=None).collect()
+    # cap=4 keeps alternates 1..4 -> 2x2 cross-lang pairs
+    assert len(capped) == 4
+    assert len(full) == 19 * 20  # 19 de x 20 en

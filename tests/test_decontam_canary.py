@@ -70,3 +70,13 @@ def test_fuzz_vs_mirror(spark):
                         for _ in range(rng.randint(0, 6))))
             for i in range(25)]
     assert _run(spark, rows) == _mirror(rows)
+
+
+def test_empty_canary_string_rejected(spark):
+    from hickoryspark.ops.decontam import canary_hits, duckdb_canary_sql
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        canary_hits(df, ["ok", ""])
+    with pytest.raises(ValueError):
+        duckdb_canary_sql("docs", [""])

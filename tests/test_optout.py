@@ -96,3 +96,18 @@ def test_combined_most_restrictive(spark):
     assert got["m"]["noai"] == 1 and got["m"]["ai_optout"] == 1
     assert got["h"]["tdm_reserved"] == 1 and got["h"]["ai_optout"] == 1
     assert set(got) == {"a", "m", "h"}  # full outer
+
+
+def test_empty_meta_policy_never_shadows_header(spark):
+    from hickoryspark.ops.optout import ai_optout
+    from hickoryspark.spark.nodes_table import explode_nodes
+
+    pages = spark.createDataFrame(
+        [("a", '<meta name=tdm-policy content="">')],
+        "url string, html string")
+    resp = spark.createDataFrame(
+        [("a", "HTTP/1.1 200 OK\r\n"
+               "TDM-Policy: https://p.ex/real\r\n\r\n")],
+        "url string, raw string")
+    got = ai_optout(explode_nodes(pages), resp).collect()
+    assert got[0]["tdm_policy"] == "https://p.ex/real"
