@@ -6315,6 +6315,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).repartition(32)
         return compression_signal(payload)
 
+    def q_events_asof(spark, sf):
+        # as-of join (ops/asof.py): every purchase event attached to
+        # the user's most recent prior-or-equal view. Oracle =
+        # DuckDB's NATIVE ASOF LEFT JOIN — an independent engine
+        # formulation. Timestamps render with the pinned 6-digit
+        # format (plain string casts trim trailing zeros
+        # differently across engines).
+        from hickoryspark.ops.asof import TS_FMT, asof_join
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        left = ev.where(F.col("event_type") == "purchase").select(
+            "event_id", "ts", "user_id", "value")
+        right = ev.where(F.col("event_type") == "view")
+        out = asof_join(left, right, keys=("user_id",),
+                        payload_cols=("event_id", "value"))
+        return out.select(
+            "event_id", "user_id",
+            F.date_format("ts", TS_FMT).alias("ts"),
+            "matched_event_id",
+            F.date_format("matched_ts", TS_FMT).alias("matched_ts"),
+            F.round(F.col("matched_value"), 6).alias("matched_value"),
+        )
+
+    def q_events_rollup(spark, sf):
+        # two-level continuous aggregate (ops/events.rollup_two_level
+        # — hour FROM minute, exact DECIMAL partials). Oracle derives
+        # the hour level directly plus an independent
+        # distinct-minute-bucket count.
+        from hickoryspark.ops.events import rollup_two_level
+
+        return rollup_two_level(
+            spark.read.parquet(f"{sf}/events.parquet"))
+
     def q_nfkc_audit(spark, sf):
         # NFKC compatibility audit (ops/textnorm.nfkc_stats) over
         # the real ASCII text + per-variant compatibility suffixes
@@ -6590,6 +6623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         form_profiles=q_form_profiles,
         canary_scan=q_canary_scan,
         nfkc_audit=q_nfkc_audit,
+        events_asof=q_events_asof,
+        events_rollup=q_events_rollup,
     )
     # The driver's correctness gate records only the FIRST 50 entries in
     # dict order (round-2 verdict: 27 queries had never been driver-
@@ -10583,4 +10618,35 @@ def oracle_sql() -> dict[str, str]:
                CAST({_nfkc_case(_fw)} AS BIGINT) AS n_fullwidth,
                CAST({_nfkc_case(_lg)} AS BIGINT) AS n_ligature
         FROM documents"""
+    # events_asof: DuckDB's native ASOF LEFT JOIN (independent
+    # formulation); right side deduped per (user, ts) by the pinned
+    # greatest-(event_id, value) rule before the join
+    oracles["events_asof"] = """
+        WITH rd AS (
+          SELECT user_id, ts, event_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                     ORDER BY event_id DESC, value DESC) AS rn
+          FROM events WHERE event_type = 'view')
+        SELECT l.event_id, l.user_id,
+               strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+               r.event_id AS matched_event_id,
+               strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS matched_ts,
+               ROUND(r.value, 6) AS matched_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        ASOF LEFT JOIN (SELECT * FROM rd WHERE rn = 1) r
+          ON l.user_id = r.user_id AND l.ts >= r.ts"""
+    # events_rollup: the hour level derived DIRECTLY from the base
+    # table, with the fine-bucket count as an independent
+    # distinct-truncation count (the Spark side must re-aggregate
+    # its minute partials to the same numbers)
+    oracles["events_rollup"] = """
+        SELECT strftime(date_trunc('hour', ts),
+                        '%Y-%m-%d %H:%M:%S') AS hour_start,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                          AS DOUBLE), 6) AS value_sum,
+               CAST(COUNT(DISTINCT date_trunc('minute', ts))
+                    AS BIGINT) AS n_fine_buckets
+        FROM events GROUP BY 1, 2"""
     return oracles

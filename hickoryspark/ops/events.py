@@ -91,3 +91,45 @@ def props_stats(events: DataFrame) -> DataFrame:
             F.count("k").alias("n_with_k"),
         )
     )
+
+
+def rollup_two_level(events: DataFrame,
+                     fine: str = "1 minute") -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: the HOUR
+    rollup is computed FROM the fine (minute) rollup, never
+    re-scanning the base table — the re-aggregability contract a
+    multi-resolution dashboard store relies on, valid here because
+    the partial sums are exact DECIMAL(18,6) (a double partial-agg
+    would make the two levels drift by reduction order).
+
+    Output (hash-stable primitives, the windowed_counts rules):
+    ``(hour_start, event_type, n_events, value_sum, n_fine_buckets)``
+    where ``n_fine_buckets`` counts the non-empty fine windows inside
+    the hour — a statistic ONLY the two-level formulation can see,
+    and the gate oracle derives it independently with a
+    distinct-truncation count."""
+    fine_agg = (
+        events.groupBy(F.window("ts", fine).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("_vs"),
+        )
+    )
+    return (
+        fine_agg.groupBy(
+            F.date_trunc("hour", F.col("w.start")).alias("_h"),
+            "event_type",
+        )
+        .agg(
+            F.sum("_n").cast("long").alias("n_events"),
+            F.sum("_vs").alias("_hvs"),
+            F.count("*").cast("long").alias("n_fine_buckets"),
+        )
+        .select(
+            F.col("_h").cast("string").alias("hour_start"),
+            "event_type",
+            "n_events",
+            F.round(F.col("_hvs").cast("double"), 6).alias("value_sum"),
+            "n_fine_buckets",
+        )
+    )
