@@ -1093,3 +1093,79 @@ def test_doc_keywords_jvm_only_scalars_broadcast(spark):
     # the df branch must REUSE the tf branch's (doc_id, term)
     # exchange — one corpus scan + explode, not two
     assert "ReusedExchange" in plan, plan
+
+
+def test_asof_join_single_key_shuffle_no_range_join(spark):
+    """The union-window formulation: ONE window over the user key,
+    never a BroadcastNestedLoop/Cartesian range join, no Python."""
+    from pyspark.sql import functions as F
+
+    from hickoryspark.ops.asof import asof_join
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = asof_join(
+        ev.where(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "user_id", "value"),
+        ev.where(F.col("event_type") == "view"),
+        keys=("user_id",), payload_cols=("event_id",))
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert plan.count("Window") >= 1
+    # no join operator at all — the match rides the union + window
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_interval_join_is_equi_bucket_join_never_nested_loop(spark):
+    """The bucketized decomposition must plan as an EQUI join on
+    (keys, bucket) with the range predicate as residual — a lost
+    bucket column degenerates to BroadcastNestedLoop, the 100-TB
+    killer this op exists to avoid."""
+    from pyspark.sql import functions as F
+
+    from hickoryspark.ops.intervals import interval_join
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    points = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("pid"), "ts", "user_id")
+    iv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("iid"),
+        F.col("ts").alias("start_ts"),
+        F.expr("ts + INTERVAL 12 HOURS").alias("end_ts"),
+        "user_id")
+    out = interval_join(points, iv, keys=("user_id",),
+                        bucket_seconds=3600)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_bitext_pairs_no_cartesian_and_jvm_only(spark):
+    """Pair build is a url-equi self-join plus two url equi-joins —
+    never a cartesian, no Python in the path."""
+    from pyspark.sql import functions as F
+
+    from hickoryspark.ops.bitext import bitext_pairs_from_alts
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    alts = docs.select(
+        F.concat(F.lit("L"), (F.col("doc_id") % 50).cast("string"))
+        .alias("url"),
+        (F.col("doc_id") % 7 + 1).alias("alt_pos"),
+        F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de")
+        .alias("lang"),
+        F.concat(F.lit("P"), F.col("doc_id").cast("string"))
+        .alias("target"))
+    pages = docs.select(
+        F.concat(F.lit("P"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.col("text"))
+    out = bitext_pairs_from_alts(alts, pages)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
