@@ -165,3 +165,83 @@ def host_throughput_stream(
         )
         .select("w.start", "w.end", "host", "pages", "bytes")
     )
+
+
+def sessionize_stream(
+    events_stream: DataFrame,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Streaming gap sessionization — the stateful twin of
+    ops/events.sessionize: per-user sessions close when ``gap_minutes``
+    pass with no event, via applyInPandasWithState keyed state.
+
+    Emission contract (what makes the batch oracle exact): only
+    CLOSED sessions are emitted — a session closes when a LATER event
+    of the same user arrives more than the gap after it. Each user's
+    final (still-open) session lives in the state store and is never
+    emitted; the batch equivalent is therefore "sessionize, then drop
+    each user's last session", which the gate oracle computes in
+    closed form. Output: ``(user_id, session_start, session_end,
+    n_events)`` with the pinned 6-digit timestamp render.
+
+    Ordered-arrival assumption (documented, the file-source rule):
+    state walks events in (ts, event_id) order WITHIN each
+    micro-batch and assumes batches arrive in non-decreasing event
+    time per user — run availableNow single-batch (the gate mode), or
+    feed time-ordered files with maxFilesPerTrigger. A production
+    out-of-order stream wants the watermark + session_window builtin
+    instead; THIS op is the custom-stateful-operator surface.
+
+    State: (start, last, n) epoch-micros of the open session —
+    O(users) entries, each O(1).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = int(gap_minutes) * 60_000_000
+
+    def close_sessions(key, pdfs, state):
+        import pandas as pd
+
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        rows = pd.concat(frames, ignore_index=True).sort_values(
+            ["ts", "event_id"])
+        micros = (rows["ts"].astype("datetime64[ns]").astype("int64")
+                  // 1000).tolist()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        closed = []
+        for t in micros:
+            if last is None:
+                start, last, n = t, t, 1
+            elif t - last <= gap_us:
+                last, n = t, n + 1
+            else:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+        state.update((start, last, n))
+        if closed:
+            def fmt(us):
+                return pd.Timestamp(us * 1000).strftime(
+                    "%Y-%m-%d %H:%M:%S.%f")
+
+            yield pd.DataFrame({
+                "user_id": [key[0]] * len(closed),
+                "session_start": [fmt(s) for s, _, _ in closed],
+                "session_end": [fmt(e) for _, e, _ in closed],
+                "n_events": [n for _, _, n in closed],
+            })
+
+    return events_stream.select(
+        "user_id", "ts", "event_id"
+    ).groupBy("user_id").applyInPandasWithState(
+        close_sessions,
+        outputStructType=("user_id long, session_start string,"
+                          " session_end string, n_events long"),
+        stateStructType="start long, last long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

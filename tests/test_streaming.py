@@ -213,3 +213,54 @@ def test_host_throughput_window(spark):
     rows = agg.collect()
     assert sum(r["pages"] for r in rows) == pages.count()
     assert all(r["host"] == "ex.test" for r in rows)
+
+
+def test_stateful_sessionize_closed_sessions(spark, tmp_path):
+    """Single-batch: emitted sessions = batch sessionization minus
+    each user's final (still-open) session; cross-batch: the open
+    session is restored from the checkpoint and closed by a later
+    batch's distant event."""
+    import datetime as dt
+
+    from hickoryspark.spark.streaming import sessionize_stream
+
+    def _t(m):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+    schema = "event_id long, ts timestamp_ntz, user_id long"
+    src = str(tmp_path / "events")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            sessionize_stream(stream, gap_minutes=30)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+        return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+    got = run([
+        # user 1: two closed sessions + one open
+        (1, _t(0), 1), (2, _t(10), 1),          # s1: 0-10
+        (3, _t(60), 1),                          # s2: 60
+        (4, _t(120), 1), (5, _t(125), 1),        # open
+        # user 2: one open session only -> nothing emitted
+        (6, _t(0), 2), (7, _t(20), 2),
+    ])
+    assert got == [
+        (1, "2024-01-01 00:00:00.000000", "2024-01-01 00:10:00.000000", 2),
+        (1, "2024-01-01 01:00:00.000000", "2024-01-01 01:00:00.000000", 1),
+    ]
+
+    # a later batch: user 1's distant event closes the open session
+    # (state restored from the checkpoint); user 2 stays open
+    got2 = run([(8, _t(500), 1)])
+    assert (1, "2024-01-01 02:00:00.000000",
+            "2024-01-01 02:05:00.000000", 2) in got2
+    assert not [r for r in got2 if r[0] == 2]
