@@ -43,7 +43,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["url_host", "host_suffixes", "filter_blocklist",
-           "host_stats", "frontier_batches", "duckdb_url_host_sql"]
+           "host_stats", "frontier_batches", "duckdb_url_host_sql",
+           "host_dup_stats", "duckdb_host_dup_sql",
+           "coverage_audit", "duckdb_coverage_sql"]
 
 #: max labels considered from the right when expanding suffix chains —
 #: a hostile 10k-dot host must not explode into 10k rows per url
@@ -168,3 +170,109 @@ def duckdb_url_host_sql(u: str) -> str:
         f"'\\.\\z', '')"
     )
     return f"(CASE WHEN {hraw} != '' THEN {hraw} END)"
+
+
+def host_dup_stats(pages: DataFrame, url_col: str = "url",
+                   text_col: str = "text") -> DataFrame:
+    """Within-host duplication rollup — the template/infrastructure
+    duplication signal (cross-host reuse is ops/syndication.py's
+    job): ``(host, n_pages, n_distinct, n_dup_pages, dup_ppm)``
+    where ``n_dup_pages`` counts pages whose md5(text) appears >= 2
+    times ON THE SAME HOST and ``dup_ppm`` = 1e6 * n_dup_pages div
+    n_pages. A host near 1e6 is a parked/mirror/session-id domain —
+    quota and frontier inputs read this.
+
+    Scale shape: digests shuffle, bodies don't (the crawl_delta
+    rule); two map-side-combinable groupBys, (host, digest) then
+    host."""
+    per = (
+        pages.select(
+            url_host(F.col(url_col)).alias("host"),
+            F.md5(F.col(text_col)).alias("digest"),
+        )
+        .groupBy("host", "digest")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    agg = per.groupBy("host").agg(
+        F.sum("_n").cast("long").alias("n_pages"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(F.when(F.col("_n") >= 2, F.col("_n")).otherwise(0))
+        .cast("long").alias("n_dup_pages"),
+    )
+    return agg.select(
+        "host", "n_pages", "n_distinct", "n_dup_pages",
+        F.expr("1000000 * n_dup_pages div n_pages").alias("dup_ppm"),
+    )
+
+
+def duckdb_host_dup_sql(pages_rel: str, url_col: str = "url",
+                        text_col: str = "text") -> str:
+    """Full DuckDB mirror of :func:`host_dup_stats`."""
+    host = duckdb_url_host_sql(url_col)
+    return f"""
+        WITH per AS (
+          SELECT {host} AS host, md5({text_col}) AS digest,
+                 COUNT(*) AS n
+          FROM {pages_rel} GROUP BY 1, 2)
+        SELECT host,
+               CAST(SUM(n) AS BIGINT) AS n_pages,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END)
+                    AS BIGINT) AS n_dup_pages,
+               1000000 * CAST(SUM(CASE WHEN n >= 2 THEN n ELSE 0 END)
+                              AS BIGINT) // CAST(SUM(n) AS BIGINT)
+                 AS dup_ppm
+        FROM per GROUP BY host"""
+
+
+def coverage_audit(listed: DataFrame, crawled: DataFrame,
+                   url_col: str = "url") -> DataFrame:
+    """Sitemap-vs-crawl coverage per host: ``(host, n_listed,
+    n_crawled, n_both, n_missing, n_stray)`` — the crawl-ops
+    dashboard row (``n_missing`` = listed but never fetched drives
+    frontier seeding; ``n_stray`` = fetched but unlisted flags
+    crawler traps and orphan content).
+
+    Pinned: both inputs are DISTINCT url sets (duplicates collapse);
+    the host is the url_host fold of each url; a full-outer url
+    equi-join marries the sets, then ONE host groupBy."""
+    li = listed.select(F.col(url_col).alias("u")).distinct() \
+        .withColumn("_l", F.lit(1))
+    cr = crawled.select(F.col(url_col).alias("u")).distinct() \
+        .withColumn("_c", F.lit(1))
+    j = li.join(cr, "u", "full_outer").select(
+        url_host(F.col("u")).alias("host"),
+        F.coalesce("_l", F.lit(0)).alias("_l"),
+        F.coalesce("_c", F.lit(0)).alias("_c"),
+    )
+    return j.groupBy("host").agg(
+        F.sum("_l").cast("long").alias("n_listed"),
+        F.sum("_c").cast("long").alias("n_crawled"),
+        F.sum(F.expr("_l * _c")).cast("long").alias("n_both"),
+        F.sum(F.expr("_l * (1 - _c)")).cast("long").alias("n_missing"),
+        F.sum(F.expr("_c * (1 - _l)")).cast("long").alias("n_stray"),
+    )
+
+
+def duckdb_coverage_sql(listed_rel: str, crawled_rel: str,
+                        url_col: str = "url") -> str:
+    """Full DuckDB mirror of :func:`coverage_audit`."""
+    host = duckdb_url_host_sql("u")
+    return f"""
+        WITH _cov_li AS (
+          SELECT DISTINCT {url_col} AS u FROM {listed_rel}),
+        _cov_cr AS (
+          SELECT DISTINCT {url_col} AS u FROM {crawled_rel}),
+        _cov_m AS (
+          SELECT COALESCE(_cov_li.u, _cov_cr.u) AS u,
+                 CASE WHEN _cov_li.u IS NULL THEN 0 ELSE 1 END AS l,
+                 CASE WHEN _cov_cr.u IS NULL THEN 0 ELSE 1 END AS c
+          FROM _cov_li FULL OUTER JOIN _cov_cr
+            ON _cov_li.u = _cov_cr.u),
+        j AS (SELECT {host} AS host, l, c FROM _cov_m)
+        SELECT host, CAST(SUM(l) AS BIGINT) AS n_listed,
+               CAST(SUM(c) AS BIGINT) AS n_crawled,
+               CAST(SUM(l * c) AS BIGINT) AS n_both,
+               CAST(SUM(l * (1 - c)) AS BIGINT) AS n_missing,
+               CAST(SUM(c * (1 - l)) AS BIGINT) AS n_stray
+        FROM j GROUP BY host"""
