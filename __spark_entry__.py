@@ -6383,6 +6383,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return funnel_stages(
             spark.read.parquet(f"{sf}/events.parquet"))
 
+    def q_bpe_fertility(spark, sf):
+        # tokenizer fertility per doc (ops/bpe.bpe_fertility): the 8
+        # merges learned on the real text, applied back as
+        # pieces-per-word. Oracle = the shared unrolled chain + a
+        # second doc-token pass.
+        from hickoryspark.ops.bpe import bpe_fertility, bpe_merges
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "text")
+        return bpe_fertility(docs, bpe_merges(docs, n_merges=8))
+
     def q_host_dup_rate(spark, sf):
         # within-host duplication rollup (ops/hosts.host_dup_stats):
         # 5 hosts x 4 text classes (heavy dups) + doc_id%7 uniques.
@@ -6738,6 +6749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         streaming_sessionize=q_streaming_sessionize,
         host_dup_rate=q_host_dup_rate,
         sitemap_coverage=q_sitemap_coverage,
+        bpe_fertility=q_bpe_fertility,
     )
     # The driver's correctness gate records only the FIRST 50 entries in
     # dict order (round-2 verdict: 27 queries had never been driver-
@@ -10842,4 +10854,8 @@ def oracle_sql() -> dict[str, str]:
                    " WHERE doc_id % 5 = 0)")
     oracles["sitemap_coverage"] = duckdb_coverage_sql(
         _cv_listed, _cv_crawled)
+    # bpe_fertility: the shared unrolled chain + doc-token rollup
+    from hickoryspark.ops.bpe import duckdb_bpe_fertility_sql
+    oracles["bpe_fertility"] = duckdb_bpe_fertility_sql(
+        "(SELECT doc_id, text FROM documents)", 8)
     return oracles

@@ -46,7 +46,8 @@ from pyspark.sql import functions as F
 from hickoryspark.ops.chunking import ASCII_WS_SPLIT_RE
 
 __all__ = ["bpe_merges", "bpe_encode", "duckdb_bpe_sql",
-           "duckdb_bpe_encode_sql", "SEP"]
+           "duckdb_bpe_encode_sql", "SEP",
+           "bpe_fertility", "duckdb_bpe_fertility_sql"]
 
 #: symbol separator inside the packed word string
 SEP = "\x1f"
@@ -255,3 +256,71 @@ def duckdb_bpe_encode_sql(docs_rel: str, n_merges: int = 8) -> str:
                                            s -> s != ''), ' ')
                    AS subwords
         FROM w{n_merges}""")
+
+
+def bpe_fertility(docs: DataFrame, merges: DataFrame,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Tokenizer fertility per document — pieces-per-word under a
+    learned merge table, THE signal for vocabulary-fit audits (high
+    fertility = the vocab fragments this document's language/domain;
+    CCNet-style corpora track it per language).
+
+    ``(doc_id, n_words, n_pieces, fertility_milli)`` where words
+    follow the bpe token rule (ASCII-ws split, ''/separator-bearing
+    tokens skipped), ``n_pieces`` sums each word's subword count
+    under ``merges``, and ``fertility_milli`` = 1000 * n_pieces div
+    n_words. Documents with zero tokens emit nothing.
+
+    Scale shape: the encode runs once over the DISTINCT-word table,
+    joins back to per-(doc, word) counts (AQE broadcasts the encoded
+    vocab when small), then ONE doc groupBy."""
+    enc = bpe_encode(docs, merges, text_col).select(
+        "word", "n_subwords")
+    toks = F.filter(
+        F.split(F.col(text_col), ASCII_WS_SPLIT_RE),
+        lambda t: (t != "") & ~F.contains(t, F.lit(SEP)),
+    )
+    per = (
+        docs.select(id_col, F.explode(toks).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+    )
+    agg = per.join(enc, "word").groupBy(id_col).agg(
+        F.sum("_cnt").cast("long").alias("n_words"),
+        F.sum(F.col("_cnt") * F.col("n_subwords")).cast("long")
+        .alias("n_pieces"),
+    )
+    return agg.select(
+        F.col(id_col).alias("doc_id"), "n_words", "n_pieces",
+        F.expr("1000 * n_pieces div n_words").alias("fertility_milli"),
+    )
+
+
+def duckdb_bpe_fertility_sql(docs_rel: str, n_merges: int = 8) -> str:
+    """Mirror of learn-then-fertility: the SHARED CTE chain encodes
+    the distinct words, a second pass over ``docs_rel`` counts
+    per-(doc, word) tokens, one join + doc rollup."""
+    sep = "chr(31)"
+    return ("WITH " + _bpe_cte_chain(docs_rel, n_merges, True) + f""",
+        enc AS (
+          SELECT word,
+                 CAST(len(list_filter(string_split(w, {sep}),
+                                      s -> s != '')) AS BIGINT)
+                   AS n_subwords
+          FROM w{n_merges}),
+        tok AS (
+          SELECT doc_id, t.word, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM {docs_rel},
+               unnest(list_filter(regexp_split_to_array(
+                 text, '{ASCII_WS_SPLIT_RE}'),
+                 s -> s != '' AND NOT contains(s, {sep})))
+               AS t(word)
+          GROUP BY 1, 2)
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_words,
+               CAST(SUM(cnt * n_subwords) AS BIGINT) AS n_pieces,
+               1000 * CAST(SUM(cnt * n_subwords) AS BIGINT)
+                 // CAST(SUM(cnt) AS BIGINT) AS fertility_milli
+        FROM tok JOIN enc USING (word)
+        GROUP BY doc_id""")

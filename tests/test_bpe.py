@@ -199,3 +199,31 @@ def test_encode_mirror_survives_merge_exhaustion(spark):
     want = {w: (f, n, s) for w, f, n, s in con.execute(
         duckdb_bpe_encode_sql("documents", 4)).fetchall()}
     assert got == want and len(got) == 3
+
+
+def test_fertility_vs_mirror_and_hand(spark):
+    import duckdb
+
+    from hickoryspark.ops.bpe import (bpe_fertility, bpe_merges,
+                                      duckdb_bpe_fertility_sql)
+
+    rows = [(1, "low low lower lowest"), (2, "low newer newer"),
+            (3, ""), (4, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs = docs.where(docs.text.isNotNull())
+    merges = bpe_merges(docs, n_merges=4)
+    got = sorted(tuple(r) for r in
+                 bpe_fertility(docs, merges).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?,?)",
+                    [r for r in rows if r[1] is not None])
+    exp = sorted(tuple(r) for r in con.execute(
+        duckdb_bpe_fertility_sql("d", 4)).fetchall())
+    con.close()
+    assert got == exp
+    by = {r[0]: r for r in got}
+    assert set(by) == {1, 2}  # empty doc emits nothing
+    for d, (_, n_words, n_pieces, fm) in by.items():
+        assert fm == 1000 * n_pieces // n_words
+        assert n_pieces >= n_words
