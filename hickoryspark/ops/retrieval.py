@@ -44,7 +44,9 @@ from pyspark.sql import functions as F
 from hickoryspark.ops.chunking import ASCII_WS_SPLIT_RE
 
 __all__ = ["bm25_scores", "duckdb_bm25_sql", "phrase_match",
-           "duckdb_phrase_sql"]
+           "duckdb_phrase_sql",
+           "rrf_fuse", "duckdb_rrf_sql",
+           "retrieval_metrics", "duckdb_retrieval_metrics_sql"]
 
 
 def _query_terms(queries: DataFrame) -> DataFrame:
@@ -322,3 +324,116 @@ def duckdb_snippets_sql(docs_rel: str, phrases_values: str,
                  ' '), '') AS snippet
         FROM pm JOIN plen USING (phrase_id)
         JOIN dtoks USING (doc_id)"""
+
+
+def rrf_fuse(rankings: DataFrame, k: int = 60,
+             query_col: str = "query_id", doc_col: str = "doc_id",
+             rank_col: str = "rank") -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09) of several
+    per-query rankings — the standard way to merge BM25 with a
+    dense/ANN retriever without score calibration.
+
+    Pinned exact-integer dialect: each input row contributes
+    ``1_000_000 div (k + rank)`` micro-points (rank 1-based);
+    contributions sum per (query, doc) across all sources (BIGINT —
+    order-independent), and ``fused_rank`` orders by (score DESC,
+    doc ASC) — the deterministic tie rule.
+
+    Output: ``(query_id, doc_id, rrf_score_micro, fused_rank)``.
+    Scale shape: one (query, doc) groupBy + one per-QUERY window —
+    bounded by that query's candidate union, never corpus-wide."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    from pyspark.sql import Window
+
+    contrib = rankings.select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_id"),
+        F.expr(f"1000000 div ({int(k)} + {rank_col})").alias("_c"),
+    )
+    agg = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("_c").cast("long").alias("rrf_score_micro"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score_micro").desc(), F.col("doc_id").asc())
+    return agg.withColumn(
+        "fused_rank", F.row_number().over(w).cast("long"))
+
+
+def duckdb_rrf_sql(rankings_rel: str, k: int = 60) -> str:
+    """Full DuckDB mirror of :func:`rrf_fuse`; ``rankings_rel``
+    exposes (query_id, doc_id, rank)."""
+    return f"""
+        WITH agg AS (
+          SELECT query_id, doc_id,
+                 CAST(SUM(1000000 // ({int(k)} + rank)) AS BIGINT)
+                   AS rrf_score_micro
+          FROM {rankings_rel} GROUP BY 1, 2)
+        SELECT query_id, doc_id, rrf_score_micro,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY rrf_score_micro DESC, doc_id ASC)
+                   AS BIGINT) AS fused_rank
+        FROM agg"""
+
+
+def retrieval_metrics(rankings: DataFrame, qrels: DataFrame,
+                      k: int = 10,
+                      query_col: str = "query_id",
+                      doc_col: str = "doc_id",
+                      rank_col: str = "rank") -> DataFrame:
+    """Per-query ranking quality against labeled qrels — exact
+    integer milli-points: ``(query_id, n_rel, n_rel_at_k,
+    p_at_k_milli, rr_milli)`` where ``rr_milli`` = 1000 div (rank of
+    the FIRST relevant doc within the top k; 0 when none) and
+    ``p_at_k_milli`` = 1000 * n_rel_at_k div k. Queries appear iff
+    they have >= 1 qrel row; ``qrels`` is (query_id, doc_id) —
+    presence means relevant.
+
+    Scale shape: qrels equi-join (broadcast when small) + one query
+    groupBy; the full corpus never shuffles."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    top = rankings.where(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_id"),
+        F.col(rank_col).alias("_rank"),
+    )
+    q = qrels.select(
+        F.col(query_col).alias("query_id"),
+        F.col(doc_col).alias("doc_id"),
+    ).distinct()
+    hits = q.join(top, ["query_id", "doc_id"], "left")
+    agg = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel"),
+        F.count("_rank").cast("long").alias("n_rel_at_k"),
+        F.min("_rank").alias("_first"),
+    )
+    return agg.select(
+        "query_id", "n_rel", "n_rel_at_k",
+        F.expr(f"1000 * n_rel_at_k div {int(k)}")
+        .alias("p_at_k_milli"),
+        F.coalesce(F.expr("1000 div _first"), F.lit(0))
+        .cast("long").alias("rr_milli"),
+    )
+
+
+def duckdb_retrieval_metrics_sql(rankings_rel: str, qrels_rel: str,
+                                 k: int = 10) -> str:
+    """Full DuckDB mirror of :func:`retrieval_metrics`."""
+    return f"""
+        WITH q AS (SELECT DISTINCT query_id, doc_id FROM {qrels_rel}),
+        top AS (SELECT query_id, doc_id, rank FROM {rankings_rel}
+                WHERE rank <= {int(k)}),
+        hits AS (
+          SELECT q.query_id, q.doc_id, top.rank
+          FROM q LEFT JOIN top
+            ON q.query_id = top.query_id AND q.doc_id = top.doc_id),
+        agg AS (
+          SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel,
+                 CAST(COUNT(rank) AS BIGINT) AS n_rel_at_k,
+                 MIN(rank) AS first_rank
+          FROM hits GROUP BY 1)
+        SELECT query_id, n_rel, n_rel_at_k,
+               1000 * n_rel_at_k // {int(k)} AS p_at_k_milli,
+               CAST(COALESCE(1000 // first_rank, 0) AS BIGINT)
+                 AS rr_milli
+        FROM agg"""
