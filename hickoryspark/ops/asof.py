@@ -93,12 +93,15 @@ def asof_join(
     if tolerance_seconds is not None:
         # NTZ won't cast to long directly; via TIMESTAMP both sides
         # shift by the same session offset, so the DIFFERENCE is
-        # timezone-free (the events hash-stability discipline)
-        age = (F.col(ts_col).cast("timestamp").cast("long")
-               - F.col("_m._mts").cast("timestamp").cast("long"))
+        # timezone-free (the events hash-stability discipline).
+        # unix_micros, not a seconds cast: a second-truncated age
+        # would keep sub-second-stale matches past the tolerance
+        age = (F.unix_micros(F.col(ts_col).cast("timestamp"))
+               - F.unix_micros(F.col("_m._mts").cast("timestamp")))
         matched = matched.withColumn(
             "_m",
-            F.when(age <= tolerance_seconds, F.col("_m")),
+            F.when(age <= int(tolerance_seconds) * 1_000_000,
+                   F.col("_m")),
         )
     return matched.select(
         *[F.col("_left")[c].alias(c) for c in left.columns],

@@ -132,7 +132,8 @@ def bpe_merges(docs: DataFrame, n_merges: int = 8,
 
 
 def _bpe_cte_chain(docs_rel: str, n_merges: int,
-                   carry_word: bool) -> str:
+                   carry_word: bool,
+                   words_rel: str | None = None) -> str:
     """The ONE generator of the unrolled merge-program CTE chain —
     both mirrors (duckdb_bpe_sql, duckdb_bpe_encode_sql) derive from
     it so the separator scheme, tie rule, and token filter cannot
@@ -144,11 +145,21 @@ def _bpe_cte_chain(docs_rel: str, n_merges: int,
     early-stop behavior."""
     sep = "chr(31)"
     word_col = "word, " if carry_word else ""
-    ctes = [f"""
+    pack = (f"{sep} || array_to_string(list_filter("
+            f"string_split(word, ''), c -> c != ''), "
+            f"{sep} || {sep}) || {sep}")
+    if words_rel is not None:
+        # (word, freq) already tokenized by the caller — one corpus
+        # pass shared with the caller's own CTEs (fertility mirror)
+        ctes = [f"""
         w0 AS (
-          SELECT {word_col}{sep} || array_to_string(
-                   list_filter(string_split(word, ''), c -> c != ''),
-                   {sep} || {sep}) || {sep} AS w,
+          SELECT {word_col}{pack} AS w,
+                 CAST(freq AS BIGINT) AS freq
+          FROM {words_rel})"""]
+    else:
+        ctes = [f"""
+        w0 AS (
+          SELECT {word_col}{pack} AS w,
                  CAST(COUNT(*) AS BIGINT) AS freq
           FROM (
             SELECT t.word
@@ -213,10 +224,6 @@ def bpe_encode(docs: DataFrame, merges: DataFrame,
     Scale shape: one corpus pass for word frequencies, then pure
     column expressions over the distinct-word table; no shuffle after
     the frequency groupBy."""
-    rows = sorted(
-        ((r["merge_rank"], r["lsym"], r["rsym"])
-         for r in merges.select("merge_rank", "lsym", "rsym").collect()),
-    )  # bounded: the learned merge table
     toks = F.filter(
         F.split(F.col(text_col), ASCII_WS_SPLIT_RE),
         lambda t: (t != "") & ~F.contains(t, F.lit(SEP)),
@@ -226,6 +233,16 @@ def bpe_encode(docs: DataFrame, merges: DataFrame,
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
     )
+    return _encode_words(words, merges)
+
+
+def _encode_words(words: DataFrame, merges: DataFrame) -> DataFrame:
+    """The encode core over a (word, freq) table — shared by
+    bpe_encode and bpe_fertility so the corpus is tokenized once."""
+    rows = sorted(
+        ((r["merge_rank"], r["lsym"], r["rsym"])
+         for r in merges.select("merge_rank", "lsym", "rsym").collect()),
+    )  # bounded: the learned merge table
     chars = F.filter(F.split("word", ""), lambda c: c != "")
     w = F.concat(F.lit(SEP), F.array_join(chars, SEP + SEP),
                  F.lit(SEP))
@@ -272,11 +289,10 @@ def bpe_fertility(docs: DataFrame, merges: DataFrame,
     under ``merges``, and ``fertility_milli`` = 1000 * n_pieces div
     n_words. Documents with zero tokens emit nothing.
 
-    Scale shape: the encode runs once over the DISTINCT-word table,
-    joins back to per-(doc, word) counts (AQE broadcasts the encoded
-    vocab when small), then ONE doc groupBy."""
-    enc = bpe_encode(docs, merges, text_col).select(
-        "word", "n_subwords")
+    Scale shape: ONE corpus tokenization pass — the per-(doc, word)
+    counts feed both the distinct-word table (a second small rollup,
+    not a second scan) and the join back; the encode's chained
+    replaces run over the distinct words only; one doc groupBy."""
     toks = F.filter(
         F.split(F.col(text_col), ASCII_WS_SPLIT_RE),
         lambda t: (t != "") & ~F.contains(t, F.lit(SEP)),
@@ -286,6 +302,9 @@ def bpe_fertility(docs: DataFrame, merges: DataFrame,
         .groupBy(id_col, "word")
         .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
     )
+    words = per.groupBy("word").agg(
+        F.sum("_cnt").cast("long").alias("freq"))
+    enc = _encode_words(words, merges).select("word", "n_subwords")
     agg = per.join(enc, "word").groupBy(id_col).agg(
         F.sum("_cnt").cast("long").alias("n_words"),
         F.sum(F.col("_cnt") * F.col("n_subwords")).cast("long")
@@ -298,17 +317,12 @@ def bpe_fertility(docs: DataFrame, merges: DataFrame,
 
 
 def duckdb_bpe_fertility_sql(docs_rel: str, n_merges: int = 8) -> str:
-    """Mirror of learn-then-fertility: the SHARED CTE chain encodes
-    the distinct words, a second pass over ``docs_rel`` counts
-    per-(doc, word) tokens, one join + doc rollup."""
+    """Mirror of learn-then-fertility: ONE tokenization pass (the
+    tok CTE), the distinct-word table derived from it feeding the
+    SHARED CTE chain, one join + doc rollup — the engine's scan
+    shape, mirrored."""
     sep = "chr(31)"
-    return ("WITH " + _bpe_cte_chain(docs_rel, n_merges, True) + f""",
-        enc AS (
-          SELECT word,
-                 CAST(len(list_filter(string_split(w, {sep}),
-                                      s -> s != '')) AS BIGINT)
-                   AS n_subwords
-          FROM w{n_merges}),
+    tok = f"""
         tok AS (
           SELECT doc_id, t.word, CAST(COUNT(*) AS BIGINT) AS cnt
           FROM {docs_rel},
@@ -316,7 +330,19 @@ def duckdb_bpe_fertility_sql(docs_rel: str, n_merges: int = 8) -> str:
                  text, '{ASCII_WS_SPLIT_RE}'),
                  s -> s != '' AND NOT contains(s, {sep})))
                AS t(word)
-          GROUP BY 1, 2)
+          GROUP BY 1, 2),
+        wrds AS (
+          SELECT word, CAST(SUM(cnt) AS BIGINT) AS freq
+          FROM tok GROUP BY 1),"""
+    return ("WITH" + tok
+            + _bpe_cte_chain(docs_rel, n_merges, True,
+                             words_rel="wrds") + f""",
+        enc AS (
+          SELECT word,
+                 CAST(len(list_filter(string_split(w, {sep}),
+                                      s -> s != '')) AS BIGINT)
+                   AS n_subwords
+          FROM w{n_merges})
         SELECT doc_id,
                CAST(SUM(cnt) AS BIGINT) AS n_words,
                CAST(SUM(cnt * n_subwords) AS BIGINT) AS n_pieces,

@@ -346,7 +346,10 @@ def rrf_fuse(rankings: DataFrame, k: int = 60,
         raise ValueError("k must be >= 0")
     from pyspark.sql import Window
 
-    contrib = rankings.select(
+    # ranks are 1-based by contract; NULL / < 1 rows are invalid and
+    # DROPPED on both engines (Spark's div would silently NULL the
+    # contribution while DuckDB's // would raise at k + rank = 0)
+    contrib = rankings.where(F.col(rank_col) >= 1).select(
         F.col(query_col).alias("query_id"),
         F.col(doc_col).alias("doc_id"),
         F.expr(f"1000000 div ({int(k)} + {rank_col})").alias("_c"),
@@ -367,7 +370,7 @@ def duckdb_rrf_sql(rankings_rel: str, k: int = 60) -> str:
           SELECT query_id, doc_id,
                  CAST(SUM(1000000 // ({int(k)} + rank)) AS BIGINT)
                    AS rrf_score_micro
-          FROM {rankings_rel} GROUP BY 1, 2)
+          FROM {rankings_rel} WHERE rank >= 1 GROUP BY 1, 2)
         SELECT query_id, doc_id, rrf_score_micro,
                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                    ORDER BY rrf_score_micro DESC, doc_id ASC)
@@ -392,10 +395,14 @@ def retrieval_metrics(rankings: DataFrame, qrels: DataFrame,
     groupBy; the full corpus never shuffles."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    top = rankings.where(F.col(rank_col) <= k).select(
-        F.col(query_col).alias("query_id"),
-        F.col(doc_col).alias("doc_id"),
-        F.col(rank_col).alias("_rank"),
+    # dedupe to the BEST rank per (query, doc): a doc ranked twice
+    # within k (multi-source rankings) must count once, or the qrels
+    # left-join fans out and inflates n_rel / p@k
+    top = (
+        rankings.where(F.col(rank_col) <= k)
+        .groupBy(F.col(query_col).alias("query_id"),
+                 F.col(doc_col).alias("doc_id"))
+        .agg(F.min(rank_col).alias("_rank"))
     )
     q = qrels.select(
         F.col(query_col).alias("query_id"),
@@ -421,8 +428,9 @@ def duckdb_retrieval_metrics_sql(rankings_rel: str, qrels_rel: str,
     """Full DuckDB mirror of :func:`retrieval_metrics`."""
     return f"""
         WITH q AS (SELECT DISTINCT query_id, doc_id FROM {qrels_rel}),
-        top AS (SELECT query_id, doc_id, rank FROM {rankings_rel}
-                WHERE rank <= {int(k)}),
+        top AS (SELECT query_id, doc_id, MIN(rank) AS rank
+                FROM {rankings_rel}
+                WHERE rank <= {int(k)} GROUP BY 1, 2),
         hits AS (
           SELECT q.query_id, q.doc_id, top.rank
           FROM q LEFT JOIN top

@@ -225,8 +225,9 @@ def sessionize_stream(
         state.update((start, last, n))
         if closed:
             def fmt(us):
-                return pd.Timestamp(us * 1000).strftime(
-                    "%Y-%m-%d %H:%M:%S.%f")
+                from hickoryspark.ops.asof import DUCKDB_TS_FMT
+
+                return pd.Timestamp(us * 1000).strftime(DUCKDB_TS_FMT)
 
             yield pd.DataFrame({
                 "user_id": [key[0]] * len(closed),

@@ -132,3 +132,35 @@ def test_rollup_two_level_exact(spark):
         ("2024-01-01 00:00:00", "click", 3, 0.6, 2),
         ("2024-01-01 01:00:00", "click", 1, 0.4, 1),
     ]
+
+
+def test_ts_format_single_source_lockstep(spark):
+    """The pinned 6-digit render: ops/asof.TS_FMT (Spark) and
+    DUCKDB_TS_FMT (DuckDB/Python strftime) must render identically,
+    and every entry oracle that renders raw event timestamps must
+    use the shared literal — drift desyncs gate hashes."""
+    import duckdb
+
+    from hickoryspark.ops.asof import DUCKDB_TS_FMT, TS_FMT
+    from pyspark.sql import functions as F
+
+    t = dt.datetime(2024, 3, 1, 7, 8, 9, 73809)  # trailing zero case
+    s_spark = (spark.createDataFrame([(t,)], "ts timestamp_ntz")
+               .select(F.date_format("ts", TS_FMT)).collect()[0][0])
+    s_duck = duckdb.sql(
+        f"SELECT strftime(TIMESTAMP '2024-03-01 07:08:09.073809',"
+        f" '{DUCKDB_TS_FMT}')").fetchone()[0]
+    assert s_spark == s_duck == t.strftime(DUCKDB_TS_FMT)
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_fmt_check",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "__spark_entry__.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    oracles = m.oracle_sql()
+    for q in ("events_asof", "events_range_join", "events_funnel",
+              "streaming_sessionize"):
+        assert DUCKDB_TS_FMT in oracles[q], q
