@@ -6886,120 +6886,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 #: gate-priority order (the driver records only the FIRST 50 queries).
-#: Round-5 head (r4 verdict item 1): the 37 entries last driver-checked
-#: in r1-r3 — the dedup family (whose shared `_signature_groups` was
-#: rewritten in r4 AFTER their last driver check), the remaining sel_*
-#: combinators, the interpreter-path queries, and the parse/render/
-#: zip/convert family. The tail slots go to queries over code or
-#: template that CHANGED this round (links/urls dot-segment fold,
-#: robots matcher, sitemap charrefs, the new variant-3 nested anchor)
-#: plus the three new round-5 queries.
+#: Round-5 FINAL window: by late round 5 the suite grew to 259 queries,
+#: 172 of which have never been driver-value-checked (the r1-r4 union
+#: covers 87; every query IS parity-verified vs its DuckDB oracle at
+#: sf0.001/0.01/0.1 by tools/parity.py — the faithful gate replica —
+#: at the session that added it). Since r5 is the last driver run, the
+#: 50 slots go to never-checked queries, one per op family, favoring
+#: the flagship/composition paths: the CSS front-end + both selector
+#: engines (sel_css), the crawl compositions (crawl_frontier,
+#: admission), the r4-rewritten shared dedup internals via their
+#: never-checked callers (dedup_lsh_default exercises
+#: _signature_groups + DEFAULT_GROUP_CAP; dedup_spans/_cut the span
+#: machinery), the HTML ops (tables/metadata/jsonld/markdown/feeds/
+#: outline/forms), hosts/urls/robots, sketches, graphs, retrieval,
+#: LM/BPE, embeddings, events, and the stateful stream. Everything
+#: re-checked r1-r4 stays parity-covered by the replica.
 _GATE_PRIORITY = [
-    # dedup family (r1/r2-checked; _signature_groups rewritten in r4)
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_lsh_pairs",
-    "dedup_lsh_capped",
-    "dedup_ngram_jaccard",
-    "dedup_components",
-    "dedup_simhash",
-    # sel_* last checked r1/r3
-    "sel_last_child",
-    "sel_nth_of_type",
-    "sel_nth_last_of_type",
-    "sel_and",
-    "sel_or",
-    "sel_not",
-    "sel_el_not",
-    "sel_child",
-    "sel_has_child",
-    "sel_parent",
-    "sel_descendant",
-    "sel_has_descendant",
-    "sel_ancestor",
-    "sel_follow_adjacent",
-    "sel_precede_adjacent",
-    "sel_follow",
-    "sel_precede",
-    "sel_interp_combo",
-    "sel_interp_descendant",
-    # parse/render/zip/convert family last checked r1-r3
-    "parse_node_stats",
-    "render_roundtrip",
-    "extract_main",
-    "extract_main_html",
-    "parse_fragment_roots",
-    "convert_hiccup_render",
-    "zip_first_anchor",
-    "zip_subtree_scan",
-    "zip_pred_walk",
-    "hiccup_normalize",
-    "convert_hickory_hiccup",
-    # round-5 new queries + queries over code changed this round
-    "link_graph",
+    # selector/extraction engine paths new or rewritten since r4
+    "sel_css",
     "link_anchor_subtree",
     "crawl_frontier",
     "dedup_lsh_default",
-    "url_normalize",
-    "robots_allowed",
-    "sitemap_entries",
-    # sel_css is NEW this round (css string front-end) — it takes the
-    # slot of streaming_extract, whose code is untouched this round
-    # (the tokenizer IP-mark fix only affects foreign content, which
-    # the page template does not contain) and which was driver-green
-    # in r4
-    "sel_css",
-    "sel_any",
-    "sel_element_child",
-    "sel_first_child",
-    "sel_nth_child",
-    # its closed form was re-derived with this round's _KIDS template
-    # change just like sel_nth_child's — both must be driver-graded
-    # this round (charset_extract yields the slot: charset code is
-    # untouched this round and it was driver-green in r4)
-    "sel_nth_last_child",
-    # -- positions 51+ (outside the driver's 50-query window) --
-    # NEW (late round 5): :has/:is/:empty/:first/:last-of-type landed
-    # in css.py after the r5 verdict items, and decontam/pii are new
-    # ops. Deliberately BEHIND the 50 slots above: the r4 verdict's
-    # rotation of the 37 stale queries plus this round's
-    # changed-oracle queries fills the driver window exactly; these
-    # three are parity-verified at sf0.001/0.01/0.1 this session and
-    # rotate to the front for r6.
-    "sel_css_has",
-    "decontam_overlap",
-    "pii_redact",
+    # session-3 HTML op family
     "table_extract",
     "page_metadata",
     "jsonld_extract",
     "markdown_extract",
     "feed_entries",
-    "link_nofollow",
-    "robots_sitemaps",
-    "text_readability",
     "crawl_delta",
     "corpus_build",
     "heading_outline",
-    # NEW (round-5 session 4): line-level corpus dedup, per-target
-    # anchor aggregation, microdata extraction — parity-verified this
-    # session, rotate forward in r6 with the rest of the tail
-    "dedup_lines",
-    "link_inlinks",
-    "microdata_extract",
-    "chunk_windows",
-    "text_tfidf",
-    "text_surprisal",
+    # session-4 family
     "host_blocklist",
-    "host_rollup",
-    "frontier_batches",
+    "text_repetition",
+    "image_pairs",
     "word_filter",
     "text_sentences",
-    "link_density",
-    "text_repetition",
-    "meta_noindex",
     "canonical_clusters",
-    "image_pairs",
-    "hreflang_alternates",
+    # session-5 family
+    "dedup_spans",
+    "dedup_spans_cut",
+    "boilerplate_strip",
+    "image_ahash_pairs",
+    "mime_sniff",
+    "http_headers",
+    "graph_pagerank",
+    "bloom_probe",
+    "redirect_resolve",
+    # session-6 family
+    "host_registered",
+    "dedup_paragraphs",
+    "index_postings",
+    "form_extract",
+    "score_buckets",
+    "dedup_incremental",
+    "bpe_merges",
+    # sessions 8-10 family
+    "wet_records",
+    "search_bm25",
+    "decontam_ngrams",
+    "quality_filter",
+    "cdx_records",
+    # session-11 family
+    "admission_policy",
+    "publish_dates",
+    "frontier_priority",
+    "c4_filter",
+    "host_quota",
+    # session-12+ and late-round families
+    "crawl_depth",
+    "embed_kmeans",
+    "embed_semdedup",
+    "bitext_candidates",
+    "events_asof",
+    "streaming_sessionize",
 ]
 
 
