@@ -428,3 +428,176 @@ def x_robots_values(df: DataFrame, raw_col: str = "raw",
     return headers.groupBy(*id_cols, "status").agg(
         F.concat_ws(",", F.collect_list(contrib)).alias("xr")
     )
+
+
+#: Referrer-Policy tokens the W3C referrer-policy spec §4.1 defines;
+#: anything else in the list is skipped (the spec's "unknown policy
+#: values are ignored" parse rule).
+REFERRER_POLICIES = (
+    "no-referrer", "no-referrer-when-downgrade", "origin",
+    "origin-when-cross-origin", "same-origin", "strict-origin",
+    "strict-origin-when-cross-origin", "unsafe-url",
+)
+
+#: the STS directive names RFC 6797 §6.1 defines (+ the de-facto
+#: ``preload`` submission token); the repeat rule below applies to
+#: these — unknown directives are ignored entirely (§6.1 p4).
+_STS_KNOWN = ("max-age", "includesubdomains", "preload")
+
+
+def security_headers(
+    headers: DataFrame, id_cols: tuple = ("url",)
+) -> DataFrame:
+    """Response-security-header audit — one row per response:
+    ``(*id_cols, status, hsts_max_age, hsts_subdomains, hsts_preload,
+    xfo, nosniff, referrer_policy, n_protections)``.
+
+    A crawler uses these for recrawl scheme pinning (a valid HSTS
+    host never needs the http:// variant refetched), frame-embedding
+    policy in archival replay, and as host-quality signals next to
+    ops/csp.py / the cookie audit / ops/amp.py's mixed-content check
+    (CSP itself stays in ops/csp.py).
+
+    Pinned semantics:
+
+    - HSTS (RFC 6797): only the FIRST Strict-Transport-Security field
+      is processed (§8.1 "only the first... is noted"). Directives
+      split on ``;``, OWS-trimmed; names case-insensitive; values may
+      be quoted (one surrounding quote pair stripped). The field is
+      VALID iff ``max-age`` appears exactly once with a value matching
+      ``[0-9]{1,18}`` after quote-strip, and no other KNOWN directive
+      (includeSubDomains, preload) repeats (§6.1's once-only rule;
+      unknown directives are ignored). Invalid ⇒ the three hsts_*
+      columns are NULL; valid ⇒ max-age seconds + 0/1 flags.
+    - X-Frame-Options (RFC 7034): FIRST field, trimmed + lowercased;
+      ``deny``/``sameorigin`` kept verbatim, anything else (including
+      the obsolete ALLOW-FROM form) ⇒ ``invalid``; NULL when absent.
+    - X-Content-Type-Options (fetch spec): ``nosniff`` = 1 iff the
+      FIRST field's value, token before the first ``;``, trims+lowers
+      to ``nosniff``; else 0 (0 when absent — flag semantics).
+    - Referrer-Policy (w3c referrer-policy §8.1): ALL fields join as
+      one comma-list; the LAST recognized token wins; NULL when no
+      token is recognized.
+    - ``n_protections`` = (hsts valid AND max-age > 0) + nosniff +
+      (xfo is deny/sameorigin) + (referrer_policy non-NULL).
+
+    Scale shape: ONE groupBy from header grain to response grain
+    (first-occurrence min-structs + one bounded collect_list), then a
+    narrow JVM column program — no Python, no second shuffle
+    (plan-guarded in tests/test_http.py)."""
+    name, value = F.col("name"), F.col("value")
+
+    def first_of(header: str) -> Column:
+        s = F.when(
+            name == header,
+            F.struct(F.col("field_pos").alias("p"), value.alias("v")),
+        )
+        return F.min(s)["v"]
+
+    # collect_list gives NO order guarantee after the shuffle, and
+    # "last recognized token wins" is order-sensitive — collect
+    # (field_pos, value) structs and sort_array before joining
+    rp = F.concat_ws(
+        ",",
+        F.transform(
+            F.sort_array(F.collect_list(F.when(
+                name == "referrer-policy",
+                F.struct(F.col("field_pos").alias("p"),
+                         value.alias("v")),
+            ))),
+            lambda s: s["v"],
+        ),
+    )
+    agg = headers.groupBy(*id_cols, "status").agg(
+        first_of("strict-transport-security").alias("_sts"),
+        first_of("x-frame-options").alias("_xfo"),
+        first_of("x-content-type-options").alias("_xcto"),
+        rp.alias("_rp"),
+    )
+
+    # --- HSTS --- (value extraction after the FIRST '=', one
+    # surrounding quote pair stripped)
+    dirs = F.transform(
+        F.split(F.col("_sts"), ";"),
+        lambda d: F.struct(
+            F.lower(F.trim(F.substring_index(d, "=", 1))).alias("n"),
+            F.regexp_replace(
+                F.trim(
+                    F.when(
+                        F.instr(d, "=") > 0,
+                        F.substring(
+                            d, F.instr(d, "=") + 1, F.length(d)
+                        ),
+                    ).otherwise(F.lit(""))
+                ),
+                r'\A"([\s\S]*)"\z', "$1",
+            ).alias("v"),
+        ),
+    )
+
+    def n_dir(dname: str) -> Column:
+        return F.size(F.filter(dirs, lambda s: s["n"] == dname))
+
+    # try_element_at: ANSI mode makes element_at throw on an empty
+    # array (no max-age directive / no recognized policy token)
+    max_age_v = F.try_element_at(
+        F.filter(dirs, lambda s: s["n"] == "max-age"), F.lit(1)
+    )["v"]
+    hsts_valid = (
+        F.col("_sts").isNotNull()
+        & (n_dir("max-age") == 1)
+        & max_age_v.rlike(r"\A[0-9]{1,18}\z")
+        & (n_dir("includesubdomains") <= 1)
+        & (n_dir("preload") <= 1)
+    )
+    hsts_max_age = F.when(hsts_valid, max_age_v.cast("long"))
+    hsts_sub = F.when(
+        hsts_valid, (n_dir("includesubdomains") == 1).cast("long")
+    )
+    hsts_pre = F.when(hsts_valid, (n_dir("preload") == 1).cast("long"))
+
+    # --- XFO ---
+    xfo_tok = F.lower(F.trim(F.col("_xfo")))
+    xfo = F.when(
+        F.col("_xfo").isNotNull(),
+        F.when(xfo_tok.isin("deny", "sameorigin"), xfo_tok).otherwise(
+            F.lit("invalid")
+        ),
+    )
+
+    # --- nosniff ---
+    nosniff = (
+        F.lower(F.trim(F.substring_index(F.col("_xcto"), ";", 1)))
+        == "nosniff"
+    ).cast("long")
+    nosniff = F.coalesce(nosniff, F.lit(0))
+
+    # --- Referrer-Policy: last recognized token ---
+    rp_toks = F.filter(
+        F.transform(
+            F.split(F.col("_rp"), ","), lambda t: F.lower(F.trim(t))
+        ),
+        lambda t: t.isin(*REFERRER_POLICIES),
+    )
+    referrer_policy = F.try_element_at(rp_toks, F.lit(-1))
+
+    out = agg.select(
+        *id_cols,
+        "status",
+        hsts_max_age.alias("hsts_max_age"),
+        hsts_sub.alias("hsts_subdomains"),
+        hsts_pre.alias("hsts_preload"),
+        xfo.alias("xfo"),
+        nosniff.alias("nosniff"),
+        referrer_policy.alias("referrer_policy"),
+    )
+    n_prot = (
+        F.coalesce((F.col("hsts_max_age") > 0).cast("long"), F.lit(0))
+        + F.col("nosniff")
+        + F.coalesce(
+            F.col("xfo").isin("deny", "sameorigin").cast("long"),
+            F.lit(0),
+        )
+        + F.col("referrer_policy").isNotNull().cast("long")
+    )
+    return out.withColumn("n_protections", n_prot)

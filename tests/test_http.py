@@ -317,3 +317,110 @@ def test_cache_policy_single_exchange(spark):
     # the final section only: exactly the one groupBy shuffle
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------------- #
+# security_headers                                                  #
+# ---------------------------------------------------------------- #
+
+def _sec(spark, raw):
+    from hickoryspark.ops.http import parse_headers_df, security_headers
+
+    df = spark.createDataFrame([("u", raw)], "url string, raw string")
+    r = security_headers(parse_headers_df(df)).collect()[0]
+    return (r["hsts_max_age"], r["hsts_subdomains"], r["hsts_preload"],
+            r["xfo"], r["nosniff"], r["referrer_policy"],
+            r["n_protections"])
+
+
+def test_security_headers_full_set(spark):
+    raw = ("HTTP/1.1 200 OK\r\n"
+           "Strict-Transport-Security: max-age=31536000; "
+           "includeSubDomains; preload\r\n"
+           "X-Frame-Options: DENY\r\n"
+           "X-Content-Type-Options: nosniff\r\n"
+           "Referrer-Policy: no-referrer\r\n\r\n")
+    assert _sec(spark, raw) == (
+        31536000, 1, 1, "deny", 1, "no-referrer", 4)
+
+
+def test_security_headers_absent(spark):
+    raw = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    assert _sec(spark, raw) == (None, None, None, None, 0, None, 0)
+
+
+def test_hsts_quoted_and_case(spark):
+    # quoted max-age value is valid (RFC 6797 directive grammar);
+    # names case-insensitive; unknown directives ignored
+    raw = ('HTTP/1.1 200 OK\r\n'
+           'Strict-Transport-Security: Max-Age="600"; PRELOAD; x=y\r\n'
+           '\r\n')
+    assert _sec(spark, raw)[:3] == (600, 0, 1)
+
+
+def test_hsts_repeated_known_directive_invalid(spark):
+    raw = ("HTTP/1.1 200 OK\r\n"
+           "Strict-Transport-Security: max-age=600; "
+           "includeSubDomains; includeSubDomains\r\n\r\n")
+    assert _sec(spark, raw)[:3] == (None, None, None)
+
+
+def test_hsts_missing_or_bad_max_age_invalid(spark):
+    for sts in ("includeSubDomains",
+                "max-age=1x",
+                "max-age=600; max-age=700",
+                'max-age="12'):
+        raw = f"HTTP/1.1 200 OK\r\nStrict-Transport-Security: {sts}\r\n\r\n"
+        assert _sec(spark, raw)[:3] == (None, None, None), sts
+
+
+def test_hsts_first_field_only(spark):
+    # RFC 6797 §8.1: only the first STS field is noted — a later
+    # valid field cannot rescue an invalid first one
+    raw = ("HTTP/1.1 200 OK\r\n"
+           "Strict-Transport-Security: includeSubDomains\r\n"
+           "Strict-Transport-Security: max-age=600\r\n\r\n")
+    assert _sec(spark, raw)[:3] == (None, None, None)
+
+
+def test_hsts_max_age_zero_not_a_protection(spark):
+    raw = ("HTTP/1.1 200 OK\r\n"
+           "Strict-Transport-Security: max-age=0\r\n\r\n")
+    got = _sec(spark, raw)
+    assert got[:3] == (0, 0, 0) and got[6] == 0
+
+
+def test_xfo_forms(spark):
+    base = "HTTP/1.1 200 OK\r\nX-Frame-Options: %s\r\n\r\n"
+    assert _sec(spark, base % " SAMEORIGIN ")[3] == "sameorigin"
+    assert _sec(spark, base % "ALLOW-FROM https://x")[3] == "invalid"
+    assert _sec(spark, base % "deny;")[3] == "invalid"
+
+
+def test_nosniff_with_parameters(spark):
+    raw = ("HTTP/1.1 200 OK\r\n"
+           "X-Content-Type-Options: NoSniff; charset=utf-8\r\n\r\n")
+    assert _sec(spark, raw)[4] == 1
+
+
+def test_referrer_policy_last_recognized_across_fields(spark):
+    raw = ("HTTP/1.1 200 OK\r\n"
+           "Referrer-Policy: origin\r\n"
+           "Referrer-Policy: bogus, unsafe-url,\r\n\r\n")
+    assert _sec(spark, raw)[5] == "unsafe-url"
+
+
+def test_referrer_policy_none_recognized(spark):
+    raw = "HTTP/1.1 200 OK\r\nReferrer-Policy: bogus\r\n\r\n"
+    assert _sec(spark, raw)[5] is None
+
+
+def test_security_headers_single_exchange(spark):
+    from hickoryspark.ops.http import parse_headers_df, security_headers
+
+    df = security_headers(parse_headers_df(spark.createDataFrame(
+        [("u", "HTTP/1.1 200 OK\r\nX-Frame-Options: DENY\r\n\r\n")],
+        "url string, raw string")))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # one hash agg pair, AQE-coalesced
