@@ -43,7 +43,8 @@ from pyspark.sql import functions as F
 
 from .embstats import Q_CLAMP
 
-__all__ = ["kmeans_assign", "quantize_vectors", "duckdb_quantize_expr"]
+__all__ = ["kmeans_assign", "kmeans_outliers", "quantize_vectors",
+           "duckdb_quantize_expr"]
 
 #: rows per squared-distance chunk inside the assignment pass — bounds
 #: the rows x k x dim float-free intermediate (the _seq_dots lesson)
@@ -90,23 +91,58 @@ def duckdb_quantize_expr(x: str) -> str:
     )
 
 
-def kmeans_assign(
-    emb: DataFrame,
-    k: int = 8,
-    n_iter: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(id, cluster) — final assignment after ``n_iter`` full Lloyd
-    iterations (assign + centroid update) and one closing assignment
-    against the final centroids. cluster is BIGINT, NULL for vectors
-    that cannot be scored (NULL/empty/dimension mismatch)."""
+def _assign_df(quant: DataFrame, C, with_dist: bool = False) -> DataFrame:
+    """One assignment pass of ``quant`` against centroid matrix ``C``
+    (np int64 k×d): (id, cluster[, dist2]) — argmin BIGINT squared
+    distance, ties to the lowest cluster id (np.argmin returns the
+    FIRST minimum, matching the oracle's ORDER BY dist, cluster).
+    Unscoreable vectors (NULL/empty/dim-mismatch) get NULLs."""
     import numpy as np
     import pandas as pd
 
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
-    quant = quantize_vectors(emb, id_col, vec_col).persist()
+    dim = C.shape[1]
+
+    def gen(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            ids = b["id"].to_numpy()
+            qs = list(b["q"])
+            ok = np.array(
+                [q is not None and len(q) == dim for q in qs], dtype=bool
+            )
+            cl = np.full(len(qs), -1, dtype=np.int64)
+            dist = np.zeros(len(qs), dtype=np.int64)
+            idx = np.nonzero(ok)[0]
+            for s in range(0, len(idx), ROW_CHUNK):
+                sel = idx[s : s + ROW_CHUNK]
+                Q = np.array([qs[i] for i in sel], dtype=np.int64)
+                d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                cl[sel] = np.argmin(d2, axis=1)
+                if with_dist:
+                    dist[sel] = d2[np.arange(len(sel)), cl[sel]]
+            cols = {
+                "id": ids,
+                "cluster": [int(c) if c >= 0 else None for c in cl],
+            }
+            if with_dist:
+                cols["dist2"] = [
+                    int(dist[i]) if cl[i] >= 0 else None
+                    for i in range(len(qs))
+                ]
+            yield pd.DataFrame(cols)
+
+    schema = "id long, cluster long" + (
+        ", dist2 long" if with_dist else ""
+    )
+    return quant.mapInPandas(gen, schema)
+
+
+def _lloyd_fit(quant: DataFrame, k: int, n_iter: int):
+    """Final centroid matrix (np int64 k×d) after ``n_iter`` Lloyd
+    iterations, or None when no vector is scoreable. ``quant`` should
+    be persisted by the caller (each iteration re-reads it)."""
+    import numpy as np
 
     seed_rows = (
         quant.where(F.col("q").isNotNull())
@@ -115,45 +151,11 @@ def kmeans_assign(
         .collect()
     )
     if not seed_rows:
-        return quant.select(
-            F.col("id"), F.lit(None).cast("long").alias("cluster")
-        )
+        return None
     cent = np.array([list(r["q"]) for r in seed_rows], dtype=np.int64)
     dim = cent.shape[1]
-
-    def assign_with(C: "np.ndarray"):
-        def gen(batches):
-            for b in batches:
-                if not len(b):
-                    continue
-                ids = b["id"].to_numpy()
-                qs = list(b["q"])
-                ok = np.array(
-                    [q is not None and len(q) == dim for q in qs], dtype=bool
-                )
-                cl = np.full(len(qs), -1, dtype=np.int64)
-                idx = np.nonzero(ok)[0]
-                for s in range(0, len(idx), ROW_CHUNK):
-                    sel = idx[s : s + ROW_CHUNK]
-                    Q = np.array([qs[i] for i in sel], dtype=np.int64)
-                    d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                    # argmin returns the FIRST minimum -> lowest
-                    # cluster id tiebreak, matching the oracle's
-                    # ORDER BY dist, cluster
-                    cl[sel] = np.argmin(d2, axis=1)
-                yield pd.DataFrame(
-                    {
-                        "id": ids,
-                        "cluster": [
-                            int(c) if c >= 0 else None for c in cl
-                        ],
-                    }
-                )
-
-        return quant.mapInPandas(gen, "id long, cluster long")
-
     for _ in range(n_iter):
-        assigned = assign_with(cent)
+        assigned = _assign_df(quant, cent)
         upd_rows = (
             assigned.join(quant, "id")
             .where(F.col("cluster").isNotNull())
@@ -167,7 +169,88 @@ def kmeans_assign(
             if r["pos"] < dim:
                 nxt[r["cluster"], r["pos"]] = r["m"]
         cent = nxt
+    return cent
 
-    return assign_with(cent).select(
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) — final assignment after ``n_iter`` full Lloyd
+    iterations (assign + centroid update) and one closing assignment
+    against the final centroids. cluster is BIGINT, NULL for vectors
+    that cannot be scored (NULL/empty/dimension mismatch)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    quant = quantize_vectors(emb, id_col, vec_col).persist()
+    cent = _lloyd_fit(quant, k, n_iter)
+    if cent is None:
+        return quant.select(
+            F.col("id"), F.lit(None).cast("long").alias("cluster")
+        )
+    return _assign_df(quant, cent).select(
         F.col("id"), F.col("cluster").cast("long").alias("cluster")
+    )
+
+
+def kmeans_outliers(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    ratio_milli: int = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Centroid-distance outlier scoring — the embedding-quality
+    filter that drops mis-embedded / off-distribution vectors before
+    they poison dedup blocking or ANN recall (the SemDeDup paper's
+    cluster-distance pruning cousin): ``(id, cluster, dist2, mean_d,
+    is_outlier)`` where dist2 is the BIGINT squared quantized
+    distance to the vector's FINAL assigned centroid, mean_d the
+    per-cluster truncating-div mean of dist2, and is_outlier = 1 iff
+    ``dist2 * 1000 > greatest(mean_d, 1) * ratio_milli`` (exact
+    integers on both sides; default flags vectors past 2× their
+    cluster's mean; the floor of 1 keeps clusters whose truncated
+    mean is 0 — vectors that ARE their centroid up to quantization
+    dust — from flagging every nonzero speck).
+    Unscoreable vectors keep NULL cluster/dist2/is_outlier.
+
+    Overflow bound: dist2 ≤ d·(2·Q_CLAMP)² = d·3.6e13, so the
+    comparison stays inside BIGINT for d·max(1000, ratio_milli) <
+    2.5e5 — comfortable for any real embedding width at the default
+    ratio; raise ratio_milli past ~3900 at d=64 only with narrower
+    clamps.
+
+    Scale shape: the Lloyd fit (bounded k·d driver traffic per
+    iteration), ONE distance-emitting assignment pass, a k-row
+    cluster-mean aggregate joined back unhinted (AQE broadcasts at
+    runtime — the r4 convention)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    quant = quantize_vectors(emb, id_col, vec_col).persist()
+    cent = _lloyd_fit(quant, k, n_iter)
+    if cent is None:
+        n = F.lit(None)
+        return quant.select(
+            "id", n.cast("long").alias("cluster"),
+            n.cast("long").alias("dist2"),
+            n.cast("long").alias("mean_d"),
+            n.cast("long").alias("is_outlier"),
+        )
+    scored = _assign_df(quant, cent, with_dist=True)
+    means = scored.where(F.col("cluster").isNotNull()).groupBy(
+        "cluster"
+    ).agg(F.expr("sum(dist2) div count(1)").alias("mean_d"))
+    out = scored.join(means, "cluster", "left")
+    flag = F.when(
+        F.col("cluster").isNotNull(),
+        (F.col("dist2") * 1000
+         > F.greatest(F.col("mean_d"), F.lit(1)) * ratio_milli)
+        .cast("long"),
+    )
+    return out.select(
+        "id", "cluster", "dist2", "mean_d", flag.alias("is_outlier")
     )

@@ -138,3 +138,53 @@ def test_empty_cluster_keeps_centroid_and_validation(spark):
     assert [r["cluster"] for r in kmeans_assign(none, k=2).collect()] == [
         None
     ]
+
+
+def test_outliers_planted(spark):
+    from hickoryspark.ops.kmeans import kmeans_outliers
+
+    # two tight clusters around 0.0 and 10.0 plus one far point that
+    # still assigns to the 10.0 cluster and must flag as the outlier
+    rows = [(0, [0.0]), (1, [0.001]), (2, [0.002]),
+            (3, [10.0]), (4, [10.001]), (5, [14.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["id"]: r for r in kmeans_outliers(
+        emb, k=2, n_iter=2, ratio_milli=2000).collect()}
+    assert got[5]["is_outlier"] == 1
+    assert all(got[i]["is_outlier"] == 0 for i in (0, 1, 2, 3, 4))
+    # dist2 is the exact squared quantized distance to the FINAL
+    # centroid: cluster 1 centroid = mean(10000, 10001, 14000) div 3
+    cent1 = (10000 + 10001 + 14000) // 3
+    assert got[5]["dist2"] == (14000 - cent1) ** 2
+    assert got[5]["mean_d"] == (
+        (10000 - cent1) ** 2 + (10001 - cent1) ** 2
+        + (14000 - cent1) ** 2) // 3
+
+
+def test_outliers_null_vector_and_empty(spark):
+    from hickoryspark.ops.kmeans import kmeans_outliers
+
+    emb = spark.createDataFrame(
+        [(0, [1.0]), (1, None), (2, [2.0])],
+        "vec_id long, embedding array<float>")
+    got = {r["id"]: r for r in kmeans_outliers(emb, k=2).collect()}
+    assert got[1]["cluster"] is None and got[1]["dist2"] is None \
+        and got[1]["is_outlier"] is None
+    none = spark.createDataFrame(
+        [(0, None)], "vec_id long, embedding array<float>")
+    r = kmeans_outliers(none, k=2).collect()[0]
+    assert (r["cluster"], r["dist2"], r["mean_d"], r["is_outlier"]) \
+        == (None, None, None, None)
+
+
+def test_outliers_partition_invariant(spark):
+    from hickoryspark.ops.kmeans import kmeans_outliers
+
+    big = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    a = sorted(map(tuple, kmeans_outliers(big, k=4, n_iter=2).collect()))
+    b = sorted(map(tuple, kmeans_outliers(
+        big.repartition(7), k=4, n_iter=2).collect()))
+    assert a == b
