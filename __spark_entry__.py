@@ -1161,6 +1161,21 @@ _CR_BLOCKS = [
     "q8Zk1vXPw9 rT3mY6uHbN2 eD5sLgC0jF4 xW7aQoIpK8 zV1nM9cRtE6 ",
 ]
 
+#: stem_terms gate — 20 pinned (word, stem) pairs spanning every
+#: Porter step (hand-derived from the published 1980 cascade; the
+#: full 60-vector set lives in tests/test_stem.py). Single source
+#: for the Spark input words and the oracle's expected stems.
+_STEM_GATE = [
+    ("caresses", "caress"), ("ponies", "poni"), ("agreed", "agre"),
+    ("motoring", "motor"), ("hopping", "hop"), ("filing", "file"),
+    ("happy", "happi"), ("sky", "sky"), ("relational", "relat"),
+    ("rational", "ration"), ("generalization", "gener"),
+    ("oscillators", "oscil"), ("triplicate", "triplic"),
+    ("electricity", "electr"), ("hopefulness", "hope"),
+    ("replacement", "replac"), ("adoption", "adopt"),
+    ("controlling", "control"), ("cease", "ceas"), ("ab", "ab"),
+]
+
 #: idn_audit gate — 6 host variants (doc_id % 6), ALL columns pinned
 #: as literals here (single source for the Spark input hosts and the
 #: oracle's expected rows). ASCII forms derived from CPython's
@@ -6489,6 +6504,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return extract_microformats(explode_nodes(pages))
 
+    def q_stem_terms(spark, sf):
+        # Porter stemming (ops/stem.py): words built distributed from
+        # the pinned _STEM_GATE pairs (doc_id % 20 — every cascade
+        # step exercised); oracle = the SAME pinned stems.
+        from hickoryspark.ops.stem import stem_words
+
+        docs = load_documents(spark, sf)
+        word = F.col("doc_id") % 20
+        for k, (w, _) in enumerate(_STEM_GATE):
+            word = F.when(F.col("doc_id") % 20 == k, F.lit(w)) \
+                if k == 0 else word.when(F.col("doc_id") % 20 == k,
+                                         F.lit(w))
+        inp = docs.select("doc_id", word.alias("word")).repartition(32)
+        return stem_words(inp)
+
     def q_events_asof(spark, sf):
         # as-of join (ops/asof.py): every purchase event attached to
         # the user's most recent prior-or-equal view. Oracle =
@@ -7166,6 +7196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         graph_triangles=q_graph_triangles,
         sanitize_pages=q_sanitize_pages,
         microformats_extract=q_microformats_extract,
+        stem_terms=q_stem_terms,
     )
     # The driver's correctness gate records only the FIRST 50 entries in
     # dict order (round-2 verdict: 27 queries had never been driver-
@@ -11013,6 +11044,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'h' || (doc_id % 53), 'h' || (doc_id % 53)
         FROM documents WHERE doc_id % 11 = 0) tri_src"""
     oracles["graph_triangles"] = duckdb_triangles_sql(_tri_edges)
+    # stem_terms: word + stem CASE-pinned from the _STEM_GATE table
+    _st_w = " ".join(f"WHEN {k} THEN '{w}'"
+                     for k, (w, _) in enumerate(_STEM_GATE))
+    _st_s = " ".join(f"WHEN {k} THEN '{s}'"
+                     for k, (_, s) in enumerate(_STEM_GATE))
+    oracles["stem_terms"] = f"""
+        SELECT doc_id,
+               CAST(CASE doc_id % 20 {_st_w} END AS VARCHAR) AS word,
+               CAST(CASE doc_id % 20 {_st_s} END AS VARCHAR) AS stem
+        FROM documents"""
     # microformats_extract: per-variant literal rows (url, md5 text,
     # doc_id-derived hrefs/srcs are the only doc-varying parts)
     _mf_url = "'https://mf.ex/p' || doc_id AS url"
