@@ -6531,6 +6531,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.lower(F.col("text")).alias("text"))
         return truecase(inp, model)
 
+    def q_embed_randproj(spark, sf):
+        # JL random projection (ops/randproj.py): k=8 exact-integer
+        # signed projections over the REAL embeddings table; oracle =
+        # the full DuckDB mirror (same md5 sign rule + quantization).
+        from hickoryspark.ops.randproj import random_projection
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet") \
+            .repartition(32)
+        return random_projection(emb, k=8)
+
     def q_events_asof(spark, sf):
         # as-of join (ops/asof.py): every purchase event attached to
         # the user's most recent prior-or-equal view. Oracle =
@@ -7210,6 +7220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         microformats_extract=q_microformats_extract,
         stem_terms=q_stem_terms,
         truecase_restore=q_truecase_restore,
+        embed_randproj=q_embed_randproj,
     )
     # The driver's correctness gate records only the FIRST 50 entries in
     # dict order (round-2 verdict: 27 queries had never been driver-
@@ -11057,6 +11068,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'h' || (doc_id % 53), 'h' || (doc_id % 53)
         FROM documents WHERE doc_id % 11 = 0) tri_src"""
     oracles["graph_triangles"] = duckdb_triangles_sql(_tri_edges)
+    # embed_randproj: full mirror from the op module
+    from hickoryspark.ops.randproj import duckdb_randproj_sql
+    oracles["embed_randproj"] = duckdb_randproj_sql("embeddings", k=8)
     # truecase_restore: full mirror — model argmax via window (count
     # DESC, form DESC = the max-struct tie rule), apply over the
     # lowercased text with ordinality from range()
