@@ -368,3 +368,53 @@ def char_entropy(docs: DataFrame) -> DataFrame:
             "n_distinct"),
         F.when(F.col("n_chars") > 0, ent).alias("entropy"),
     )
+
+
+def lexical_diversity(docs: DataFrame) -> DataFrame:
+    """Per-doc lexical-diversity profile — ``(doc_id, n_tokens,
+    n_types, n_hapax, ttr_milli, hapax_milli)``.
+
+    Type-token ratio and hapax-legomenon rate are the classic
+    vocabulary-richness signals (template/spam text repeats a tiny
+    vocabulary → low TTR; keyword-stuffed pages sit at the other
+    extreme): ``ttr_milli`` = 1000·types div tokens, ``hapax_milli``
+    = 1000·hapax div types — truncating integer milli-points (the
+    readability rule), 0 on empty docs.
+
+    Tokenization: ASCII-whitespace split, empty tokens dropped (the
+    shared gate notion; NOT the single-space `_toks` used by
+    token_stats, which counts empty fields).
+
+    Scale shape: explode → (doc, token) count groupBy (map-side
+    combinable) → doc rollup reusing the SAME hash partitioning (key
+    prefix) — two exchanges total, no windows, pure JVM.
+    """
+    from hickoryspark.ops.metadata import ASCII_WS_RE
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), ASCII_WS_RE),
+                     lambda t: t != "")
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).cast("long")
+        .alias("n_hapax"),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("n_types", F.lit(0)).cast("long").alias("n_types"),
+        F.coalesce("n_hapax", F.lit(0)).cast("long").alias("n_hapax"),
+        F.coalesce(
+            F.expr("1000 * n_types div n_tokens"), F.lit(0)
+        ).cast("long").alias("ttr_milli"),
+        F.coalesce(
+            F.expr("1000 * n_hapax div n_types"), F.lit(0)
+        ).cast("long").alias("hapax_milli"),
+    )
