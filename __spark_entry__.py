@@ -6630,6 +6630,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             build, "host string, payload binary")
         return parse_opml_df(inp)
 
+    def q_scholarly_ids(spark, sf):
+        # DOI/arXiv/ISBN extraction (ops/identifiers.py) over real
+        # text + planted per-variant suffixes (doc-varying DOI,
+        # arXiv version tag, valid+invalid ISBN checksums). Oracle =
+        # the full mirror over the SAME input CTE, so any accidental
+        # match in the corpus text is replicated, not guessed.
+        from hickoryspark.ops.identifiers import extract_identifiers
+
+        docs = load_documents(spark, sf)
+        d = F.col("doc_id").cast("string")
+        sfx = (
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" doi:10.1234/ex."), d, F.lit(".")))
+            .when(F.col("doc_id") % 3 == 1,
+                  F.lit(" see arXiv:2107.03374v2 there"))
+            .otherwise(F.lit(" ISBN 978-0-306-40615-7 and "
+                             "978-0-306-40615-8 end"))
+        )
+        inp = docs.select(
+            "doc_id", F.concat(F.col("text"), sfx).alias("text"))
+        return extract_identifiers(inp)
+
     def q_events_asof(spark, sf):
         # as-of join (ops/asof.py): every purchase event attached to
         # the user's most recent prior-or-equal view. Oracle =
@@ -7313,6 +7335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         graph_kcore=q_graph_kcore,
         text_diversity=q_text_diversity,
         opml_outlines=q_opml_outlines,
+        scholarly_ids=q_scholarly_ids,
     )
     # The driver's correctness gate records only the FIRST 50 entries in
     # dict order (round-2 verdict: 27 queries had never been driver-
@@ -11160,6 +11183,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'h' || (doc_id % 53), 'h' || (doc_id % 53)
         FROM documents WHERE doc_id % 11 = 0) tri_src"""
     oracles["graph_triangles"] = duckdb_triangles_sql(_tri_edges)
+    # scholarly_ids: full mirror over the same planted-suffix input
+    from hickoryspark.ops.identifiers import duckdb_identifiers_sql
+    _ids_inp = (
+        "(SELECT doc_id, text || CASE doc_id % 3"
+        " WHEN 0 THEN ' doi:10.1234/ex.' || doc_id || '.'"
+        " WHEN 1 THEN ' see arXiv:2107.03374v2 there'"
+        " ELSE ' ISBN 978-0-306-40615-7 and 978-0-306-40615-8 end'"
+        " END AS text FROM documents) ids_src")
+    oracles["scholarly_ids"] = duckdb_identifiers_sql(_ids_inp)
     # opml_outlines: closed-form literal rows per variant (corrupt-
     # gzip v3 contributes none); NULLs typed, pos/depth BIGINT
     _op_rows = []
