@@ -6652,6 +6652,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.concat(F.col("text"), sfx).alias("text"))
         return extract_identifiers(inp)
 
+    def q_data_profile(spark, sf):
+        # generic column profiling (ops/profile.py) over the full
+        # documents table; oracle = the generated per-column mirror.
+        from hickoryspark.ops.profile import profile_columns
+
+        return profile_columns(
+            load_documents(spark, sf),
+            ["doc_id", "text", "lang", "source", "n_chars"])
+
     def q_events_asof(spark, sf):
         # as-of join (ops/asof.py): every purchase event attached to
         # the user's most recent prior-or-equal view. Oracle =
@@ -7336,6 +7345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text_diversity=q_text_diversity,
         opml_outlines=q_opml_outlines,
         scholarly_ids=q_scholarly_ids,
+        data_profile=q_data_profile,
     )
     # The driver's correctness gate records only the FIRST 50 entries in
     # dict order (round-2 verdict: 27 queries had never been driver-
@@ -11183,6 +11193,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'h' || (doc_id % 53), 'h' || (doc_id % 53)
         FROM documents WHERE doc_id % 11 = 0) tri_src"""
     oracles["graph_triangles"] = duckdb_triangles_sql(_tri_edges)
+    # data_profile: generated per-column mirror
+    from hickoryspark.ops.profile import duckdb_profile_sql
+    oracles["data_profile"] = duckdb_profile_sql(
+        "documents", ["doc_id", "text", "lang", "source", "n_chars"])
     # scholarly_ids: full mirror over the same planted-suffix input
     from hickoryspark.ops.identifiers import duckdb_identifiers_sql
     _ids_inp = (
