@@ -6702,6 +6702,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         inp = docs.select("doc_id", title.alias("title"))
         return levenshtein_pairs(inp)
 
+    def q_events_botdetect(spark, sf):
+        # inter-arrival regularity (ops/botdetect.py) over the REAL
+        # events table (timestampdiff MICROSECOND — NTZ-pure, never
+        # unix_timestamp); oracle = the full window-chain mirror.
+        from hickoryspark.ops.botdetect import bot_signals
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return bot_signals(ev)
+
     def q_events_asof(spark, sf):
         # as-of join (ops/asof.py): every purchase event attached to
         # the user's most recent prior-or-equal view. Oracle =
@@ -7389,6 +7398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         data_profile=q_data_profile,
         text_measures=q_text_measures,
         title_neardup=q_title_neardup,
+        events_botdetect=q_events_botdetect,
     )
     # The driver's correctness gate records only the FIRST 50 entries in
     # dict order (round-2 verdict: 27 queries had never been driver-
@@ -11236,6 +11246,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'h' || (doc_id % 53), 'h' || (doc_id % 53)
         FROM documents WHERE doc_id % 11 = 0) tri_src"""
     oracles["graph_triangles"] = duckdb_triangles_sql(_tri_edges)
+    # events_botdetect: full mirror from the op module
+    from hickoryspark.ops.botdetect import duckdb_bot_signals_sql
+    oracles["events_botdetect"] = duckdb_bot_signals_sql("events")
     # title_neardup: full mirror over the same constructed titles
     from hickoryspark.ops.editdist import duckdb_levenshtein_pairs_sql
     _lv_inp = (
