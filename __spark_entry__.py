@@ -7457,6 +7457,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: outline/forms), hosts/urls/robots, sketches, graphs, retrieval,
 #: LM/BPE, embeddings, events, and the stateful stream. Everything
 #: re-checked r1-r4 stays parity-covered by the replica.
+#: Session-19 swap: two same-family duplicates ceded their slots to
+#: the session's new flagship families — dedup_spans_cut →
+#: graph_triangles (span machinery still windowed via dedup_spans)
+#: and embed_semdedup → sanitize_pages (embeddings keep embed_kmeans;
+#: the sanitizer drives the full parse→transform→render path
+#: distributed). Both ceding queries stay parity-verified at 3 sfs.
 _GATE_PRIORITY = [
     # selector/extraction engine paths new or rewritten since r4
     "sel_css",
@@ -7481,7 +7487,7 @@ _GATE_PRIORITY = [
     "canonical_clusters",
     # session-5 family
     "dedup_spans",
-    "dedup_spans_cut",
+    "graph_triangles",
     "boilerplate_strip",
     "image_ahash_pairs",
     "mime_sniff",
@@ -7512,7 +7518,7 @@ _GATE_PRIORITY = [
     # session-12+ and late-round families
     "crawl_depth",
     "embed_kmeans",
-    "embed_semdedup",
+    "sanitize_pages",
     "bitext_candidates",
     "events_asof",
     "streaming_sessionize",
