@@ -6415,11 +6415,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from hickoryspark.ops.idn import idn_hosts
 
         docs = load_documents(spark, sf)
-        host = F.col("doc_id") % 6
+        host = None
         for k, row in enumerate(_IDN_GATE):
-            host = F.when(F.col("doc_id") % 6 == k, F.lit(row[0])) \
-                if k == 0 else host.when(
-                    F.col("doc_id") % 6 == k, F.lit(row[0]))
+            cond = F.col("doc_id") % 6 == k
+            host = F.when(cond, F.lit(row[0])) if host is None \
+                else host.when(cond, F.lit(row[0]))
         inp = docs.select("doc_id", host.alias("host")).repartition(32)
         out = idn_hosts(inp)
         return out.select(
@@ -6524,11 +6524,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from hickoryspark.ops.stem import stem_words
 
         docs = load_documents(spark, sf)
-        word = F.col("doc_id") % 20
+        word = None
         for k, (w, _) in enumerate(_STEM_GATE):
-            word = F.when(F.col("doc_id") % 20 == k, F.lit(w)) \
-                if k == 0 else word.when(F.col("doc_id") % 20 == k,
-                                         F.lit(w))
+            cond = F.col("doc_id") % 20 == k
+            word = F.when(cond, F.lit(w)) if word is None \
+                else word.when(cond, F.lit(w))
         inp = docs.select("doc_id", word.alias("word")).repartition(32)
         return stem_words(inp)
 
@@ -6556,10 +6556,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_graph_kcore(spark, sf):
         # k-core peeling (ops/kcore.py, k=3) over a K6 clique + a
-        # 10-node path tail + a bridge, all synthesized from
-        # documents (clique edges from doc_id % 15, tail edges from
-        # doc_id % 9, bridge every 7th doc). The tail peels over ~6
-        # rounds; the 3-core is exactly the clique — closed-form
+        # SQUARED 10-node tail ((i,i+1) from doc_id % 9 and (i,i+2)
+        # from doc_id % 8) + a bridge every 7th doc. The squared tail
+        # erodes one node per round under k=3 (9 rounds, simulated —
+        # a plain path would peel in ONE round at k=3, review
+        # finding), so the per-round localCheckpoint path is truly
+        # exercised; the 3-core is exactly the clique — closed-form
         # 6-row oracle (bridge edge gone with the tail).
         from itertools import combinations
 
@@ -6584,9 +6586,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tail = docs.select(pick(
             9, [(f"p{i}", f"p{i+1}") for i in range(9)]).alias("e")) \
             .select("e.src", "e.dst")
+        tail2 = docs.select(pick(
+            8, [(f"p{i}", f"p{i+2}") for i in range(8)]).alias("e")) \
+            .select("e.src", "e.dst")
         bridge = docs.where(F.col("doc_id") % 7 == 0).select(
             F.lit("c0").alias("src"), F.lit("p0").alias("dst"))
-        return k_core(clique.unionAll(tail).unionAll(bridge), k=3)
+        return k_core(
+            clique.unionAll(tail).unionAll(tail2).unionAll(bridge),
+            k=3)
 
     def q_text_diversity(spark, sf):
         # lexical diversity (textstats.lexical_diversity) over the

@@ -12,7 +12,10 @@ The punycode decoder is implemented from scratch per RFC 3492 §6.2
 is hypothesis-fuzzed against CPython's ``punycode`` codec — an
 INDEPENDENT oracle (tests/test_idn.py): every round-trip
 ``codec-encode → this-decode`` must reproduce the input, and on raw
-ASCII inputs accept/reject must agree with the codec.
+ASCII inputs accept/reject must agree with the codec EXCEPT for the
+one pinned divergence: inputs the codec decodes to lone surrogates
+are REJECTED here (Arrow cannot serialize them — the sitemaps
+lesson; the fuzz pins this branch explicitly).
 
 Pinned semantics:
 

@@ -16,8 +16,10 @@ Pinned semantics:
   node's degree WITHIN the core;
 - peeling runs to a FIXPOINT (the k-core is unique and independent of
   deletion order — Seidman), bounded by ``max_rounds`` as a hostile-
-  input backstop (a path graph peels one node per round); hitting the
-  bound raises rather than silently returning a non-core.
+  input backstop (a k=2 path peels one node per END per round — depth
+  n/2; a "squared" path under k=3 peels one node per round — depth
+  n); hitting the bound raises rather than silently returning a
+  non-core.
 
 Scale shape: each round is one degree groupBy + two anti-join edge
 filters — all key-partitioned; the loop is driver-side with the
@@ -33,18 +35,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hickoryspark.ops.trianglecount import canonical_edges
+
 __all__ = ["k_core"]
-
-
-def _canonical(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
-    return (
-        edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
-        .where(F.col("x").isNotNull() & F.col("y").isNotNull()
-               & (F.col("x") != F.col("y")))
-        .select(F.least("x", "y").alias("a"),
-                F.greatest("x", "y").alias("b"))
-        .distinct()
-    )
 
 
 def k_core(edges: DataFrame, k: int, src_col: str = "src",
@@ -52,7 +45,8 @@ def k_core(edges: DataFrame, k: int, src_col: str = "src",
     """Edge list → ``(node, degree)`` of the k-core (possibly empty)."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    e = _canonical(edges, src_col, dst_col).localCheckpoint(eager=True)
+    e = canonical_edges(edges, src_col, dst_col) \
+        .localCheckpoint(eager=True)
     for _ in range(max_rounds):
         deg = (
             e.select(F.col("a").alias("node"))

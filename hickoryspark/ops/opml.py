@@ -42,8 +42,13 @@ OPML_SCHEMA = (
     "html_url string"
 )
 
+#: start-tag attrs scan respects quoted values — XML allows a raw
+#: '>' inside "..."/'...' (only '<' and '&' are forbidden there), so
+#: a naive [^>]* would truncate the tag at it (review finding,
+#: regression-tested)
 _OUTLINE_RE = re.compile(
-    r"<outline\b([^>]*?)(/?)>|</outline\s*>", re.S | re.I)
+    r"""<outline\b((?:[^>"']|"[^"]*"|'[^']*')*?)(/?)>"""
+    r"|</outline\s*>", re.S | re.I)
 _HEAD_TITLE_RE = re.compile(
     r"<title\b[^>]*>\s*(.*?)\s*</title>", re.S | re.I)
 _ATTR_RE = re.compile(

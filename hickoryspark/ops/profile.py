@@ -40,6 +40,8 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None
     """→ one row per column: ``(col_pos, column, n_rows, n_null,
     n_distinct, n_empty)``."""
     cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("profile_columns needs at least one column")
     aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
     for c in cols:
         col = F.col(c)
@@ -72,6 +74,8 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None
 
 def duckdb_profile_sql(input_rel: str, cols: list[str]) -> str:
     """DuckDB mirror of :func:`profile_columns` over ``input_rel``."""
+    if not cols:
+        raise ValueError("duckdb_profile_sql needs at least one column")
     parts = []
     for pos, c in enumerate(cols):
         parts.append(f"""

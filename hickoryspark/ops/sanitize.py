@@ -134,12 +134,9 @@ def sanitize_tree(root) -> tuple[object, tuple[int, int, int, int]]:
     counts = [0, 0, 0, 0]
     # frames: [children, idx, acc, finish] — finish closes the frame's
     # node into the parent frame's acc ('root' returns instead)
-    if root.get("type") == "document":
-        kids = root.get("content") or []
-        root_kind = "document"
-    else:
-        kids = root.get("content") or []
-        root_kind = "element"
+    kids = root.get("content") or []
+    root_kind = ("document" if root.get("type") == "document"
+                 else "element")
     stack = [[kids, 0, [], ("root", root)]]
     result = None
     while stack:

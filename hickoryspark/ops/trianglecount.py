@@ -41,19 +41,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["triangle_counts", "duckdb_triangles_sql"]
+__all__ = ["canonical_edges", "triangle_counts", "duckdb_triangles_sql"]
+
+
+def canonical_edges(edges: DataFrame, src_col: str = "src",
+                    dst_col: str = "dst") -> DataFrame:
+    """The pinned "undirected + simple" normalization shared by every
+    graph-structure op (triangles, k-core): NULL endpoints and
+    self-loops drop, parallel/reversed edges collapse to one
+    ``(a, b) = (least, greatest)`` row."""
+    return (
+        edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull()
+               & (F.col("x") != F.col("y")))
+        .select(F.least("x", "y").alias("a"),
+                F.greatest("x", "y").alias("b"))
+        .distinct()
+    )
 
 
 def triangle_counts(edges: DataFrame, src_col: str = "src",
                     dst_col: str = "dst") -> DataFrame:
     """Edge list → ``(node, degree, n_triangles, cc_milli)``."""
-    e = (
-        edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
-        .where(F.col("x").isNotNull() & F.col("y").isNotNull()
-               & (F.col("x") != F.col("y")))
-        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
-        .distinct()
-    )
+    e = canonical_edges(edges, src_col, dst_col)
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))

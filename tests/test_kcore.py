@@ -69,13 +69,17 @@ def test_cycle_is_2core(spark):
     assert _run(spark, edges, 2) == {f"c{i}": 2 for i in range(6)}
 
 
-def test_clique_with_tail_multi_round(spark):
+def test_clique_with_squared_tail_multi_round(spark):
     import itertools
 
     clique = list(itertools.combinations([f"c{i}" for i in range(6)], 2))
-    tail = [(f"p{i}", f"p{i+1}") for i in range(9)]
+    # SQUARED path: (i,i+1) + (i,i+2) — under k=3 the erosion
+    # cascades one node per round from the free end (9 rounds,
+    # simulated), exercising the per-round localCheckpoint path;
+    # a plain path would peel entirely in round 1 at k=3
+    tail = [(f"p{i}", f"p{i+1}") for i in range(9)] + \
+           [(f"p{i}", f"p{i+2}") for i in range(8)]
     edges = clique + tail + [("c0", "p0")]
-    # the 10-node tail peels one end per round — exercises >5 rounds
     assert _run(spark, edges, 3) == {f"c{i}": 5 for i in range(6)}
 
 

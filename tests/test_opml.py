@@ -45,6 +45,18 @@ def test_gzip_and_degrade():
     assert parse_opml(b"no outlines here") == []
 
 
+def test_quoted_gt_in_attribute():
+    # raw '>' inside a quoted attr value is legal XML — the tag must
+    # not truncate there (attrs survive, self-closing stays leaf)
+    rows = parse_opml(
+        b'<body><outline text="a > b" type="rss" '
+        b'xmlUrl="https://x.ex/f"/>'
+        b"<outline text='c'/></body>")
+    assert [(r["text"], r["depth"], r["xml_url"]) for r in rows] == [
+        ("a > b", 0, "https://x.ex/f"), ("c", 0, None)]
+    assert rows[0]["type"] == "rss"
+
+
 def test_stray_close_floors_depth():
     rows = parse_opml(
         b"<body></outline><outline text='a'/>"

@@ -49,6 +49,17 @@ def test_subset_and_empty_input(spark):
              r["n_empty"]) for r in out] == [("s", 0, 0, 0, 0)]
 
 
+def test_empty_column_list_raises(spark):
+    from hickoryspark.ops.profile import (duckdb_profile_sql,
+                                          profile_columns)
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        profile_columns(df, [])
+    with pytest.raises(ValueError):
+        duckdb_profile_sql("t", [])
+
+
 def test_mirror_agreement(spark):
     from hickoryspark.ops.profile import profile_columns
 
