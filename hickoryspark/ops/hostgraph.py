@@ -36,7 +36,8 @@ from pyspark.sql import functions as F
 from hickoryspark.ops.hosts import duckdb_url_host_sql, url_host
 
 __all__ = ["host_edges", "host_link_stats", "duckdb_host_edges_sql",
-           "category_mix", "host_link_quality"]
+           "category_mix", "host_link_quality", "host_reciprocity",
+           "duckdb_reciprocity_sql"]
 
 
 def host_edges(links: DataFrame, src_col: str = "url",
@@ -158,3 +159,94 @@ def host_link_quality(links: DataFrame, src_col: str = "url",
         F.expr("(1000 * _ext) div n_edges").cast("long")
         .alias("external_milli"),
     )
+
+
+def host_reciprocity(edges: DataFrame) -> DataFrame:
+    """Host-pair table (:func:`host_edges` output) → per-host
+    reciprocal-linking profile ``(host, n_out_pairs, n_reciprocal,
+    recip_milli, top_mutual)`` — the classic nepotistic-link /
+    link-exchange signal (organic sites have low reciprocity; link
+    farms and "link partners" pages have very high).
+
+    Pinned semantics:
+
+    - only EXTERNAL pairs count (self-loops are navigation, not
+      exchange); a host whose every edge is a self-loop is absent;
+    - a pair (a, b) is reciprocal iff the reverse pair (b, a) exists
+      in the same table;
+    - ``recip_milli`` = 1000 * n_reciprocal div n_out_pairs (exact
+      integer — n_out_pairs > 0 by construction);
+    - ``top_mutual`` = the reciprocal partner with the largest mutual
+      weight ``least(fwd, rev)``, host-ascending tie rule; NULL when
+      nothing is reciprocated.
+
+    Scale shape: the pair table is already host-grain (collapsed by
+    host_edges' groupBy — orders of magnitude below the page edge
+    list), so the reversal self-join is an equi-join on (src, dst)
+    host pairs; the rollup is one groupBy with a min-struct pick,
+    never a window."""
+    ext = edges.where(F.col("src_host") != F.col("dst_host"))
+    rev = ext.select(
+        F.col("dst_host").alias("r_src"),
+        F.col("src_host").alias("r_dst"),
+        F.col("n_links").alias("r_n"),
+    )
+    j = ext.join(
+        rev,
+        (ext["src_host"] == rev["r_src"])
+        & (ext["dst_host"] == rev["r_dst"]),
+        "left",
+    )
+    mutual = F.least(F.col("n_links"), F.col("r_n"))
+    pick = F.when(
+        F.col("r_n").isNotNull(),
+        F.struct((-mutual).alias("neg"),
+                 F.col("dst_host").alias("h")),
+    )
+    agg = j.groupBy(F.col("src_host").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_out_pairs"),
+        F.sum(F.col("r_n").isNotNull().cast("long")).cast("long")
+        .alias("n_reciprocal"),
+        F.min(pick)["h"].alias("top_mutual"),
+    )
+    return agg.select(
+        "host", "n_out_pairs", "n_reciprocal",
+        F.expr("(1000 * n_reciprocal) div n_out_pairs").cast("long")
+        .alias("recip_milli"),
+        "top_mutual",
+    )
+
+
+def duckdb_reciprocity_sql(links_rel: str, src: str = "url",
+                           dst: str = "resolved") -> str:
+    """DuckDB mirror of ``host_reciprocity(host_edges(...))`` over
+    URL-grain ``links_rel`` — pair fold through the IMPORTED
+    url_host mirror; the min-struct tie rule mirrors as a window."""
+    pairs = duckdb_host_edges_sql(links_rel, src, dst)
+    return f"""
+        WITH rc_pairs AS ({pairs}
+        ), rc_ext AS (
+          SELECT * FROM rc_pairs WHERE src_host <> dst_host
+        ), rc_j AS (
+          SELECT e.src_host, e.dst_host, e.n_links, r.n_links AS r_n
+          FROM rc_ext e LEFT JOIN rc_ext r
+            ON e.src_host = r.dst_host AND e.dst_host = r.src_host
+        ), rc_top AS (
+          SELECT src_host, dst_host,
+                 ROW_NUMBER() OVER (PARTITION BY src_host
+                   ORDER BY LEAST(n_links, r_n) DESC, dst_host ASC)
+                   AS rn
+          FROM rc_j WHERE r_n IS NOT NULL
+        ), rc_stats AS (
+          SELECT src_host AS host,
+                 CAST(COUNT(*) AS BIGINT) AS n_out_pairs,
+                 CAST(SUM(CASE WHEN r_n IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_reciprocal
+          FROM rc_j GROUP BY src_host)
+        SELECT s.host, s.n_out_pairs, s.n_reciprocal,
+               CAST((1000 * s.n_reciprocal) // s.n_out_pairs
+                    AS BIGINT) AS recip_milli,
+               t.dst_host AS top_mutual
+        FROM rc_stats s
+        LEFT JOIN (SELECT src_host, dst_host FROM rc_top
+                   WHERE rn = 1) t ON s.host = t.src_host"""

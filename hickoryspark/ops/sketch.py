@@ -254,3 +254,132 @@ def hll_estimate(registers: list[tuple[int, int]], p: int = 6) -> float:
     if raw <= 2.5 * m and zeros:
         return m * math.log(m / zeros)
     return raw
+
+
+# ---------------------------------------------------------------------------
+# KMV — K-Minimum-Values distinct sketch (Bar-Yossef et al. 2002;
+# the "bottom-k" / theta-sketch family): keep the k smallest distinct
+# hash values per group. Unlike HLL it supports set operations
+# (intersection via the union sketch's theta) and its state is
+# directly mergeable by "union then re-take bottom-k". All state is
+# BIGINT (60-bit md5 prefix), so shards and engines agree bit-exactly;
+# only the final estimate is one float division.
+# ---------------------------------------------------------------------------
+
+#: hash space size: 15 hex digits = 60 bits (exactly representable as
+#: a double, far from the BIGINT sign bit)
+KMV_SPACE = 1 << 60
+
+#: pre-prune salt fan-out for the two-level bottom-k (level-1 window
+#: partitions are (group, salt) — a mega-group's distinct hashes split
+#: across KMV_SALTS partitions before the final per-group rank)
+KMV_SALTS = 256
+
+
+def _kmv_hash(key: Column) -> Column:
+    """60-bit hash: conv(substr(md5(key),1,15),16,10). Mirrored as
+    ('0x' || substr(md5(...),1,15))::BIGINT."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def kmv_state(df: DataFrame, key_col: str = "key",
+              group_col: str = "grp", k: int = 64) -> DataFrame:
+    """keys → per-group KMV state ``(grp, rank, h)``: the k smallest
+    DISTINCT 60-bit key hashes, rank 1-based ascending. NULL keys
+    drop (no countable identity). Groups with fewer than k distinct
+    keys keep them all (the exact regime).
+
+    Scale shape: one distinct on (group, hash), then TWO-LEVEL
+    bottom-k — a (group, h mod KMV_SALTS) window prunes each salt
+    slice to k rows before the per-group rank window, so no window
+    partition ever holds a mega-group's full distinct-hash set
+    (level-2 sees at most k * KMV_SALTS rows per group)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    hashes = (
+        df.where(F.col(key_col).isNotNull())
+        .select(F.col(group_col).alias("grp"),
+                _kmv_hash(F.col(key_col)).alias("h"))
+        .distinct()
+    )
+    w1 = Window.partitionBy("grp", F.pmod(F.col("h"), F.lit(KMV_SALTS))
+                            ).orderBy("h")
+    pruned = (
+        hashes.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= k).drop("_r1")
+    )
+    w2 = Window.partitionBy("grp").orderBy("h")
+    return (
+        pruned.withColumn("rank",
+                          F.row_number().over(w2).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("grp", "rank", "h")
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Union two KMV states and re-take the bottom-k per group —
+    the shard/stream merge. Output shape = :func:`kmv_state`."""
+    from pyspark.sql import Window
+
+    u = a.select("grp", "h").unionAll(b.select("grp", "h")).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        u.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("grp", "rank", "h")
+    )
+
+
+def kmv_estimate(state: DataFrame, k: int = 64) -> DataFrame:
+    """KMV state → ``(grp, n_state, est_distinct)``. Exact count when
+    the group never filled (n_state < k); otherwise the unbiased KMV
+    estimator (k-1) * SPACE / h_k. One float division per group —
+    (k-1)*SPACE is a power-of-two multiple of a small int, exactly
+    representable, so both engines produce the identical double."""
+    agg = state.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_state"),
+        F.max("h").alias("_hk"),
+    )
+    est = (
+        F.when(F.col("n_state") < k, F.col("n_state").cast("double"))
+        .otherwise(F.lit(float(k - 1) * float(KMV_SPACE))
+                   / F.col("_hk").cast("double"))
+    )
+    return agg.select("grp", "n_state", est.alias("est_distinct"))
+
+
+def duckdb_kmv_sql(rel: str, key: str = "key", group: str = "grp",
+                   k: int = 64) -> str:
+    """DuckDB mirror of :func:`kmv_state` over ``rel``."""
+    return f"""
+        WITH kmv_h AS (
+          SELECT DISTINCT {group} AS grp,
+                 CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)),
+                                      1, 15)) AS BIGINT) AS h
+          FROM {rel} WHERE {key} IS NOT NULL
+        ), kmv_r AS (
+          SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp
+                                            ORDER BY h) AS rank
+          FROM kmv_h)
+        SELECT grp, CAST(rank AS BIGINT) AS rank, h
+        FROM kmv_r WHERE rank <= {int(k)}"""
+
+
+def duckdb_kmv_estimate_sql(rel: str, key: str = "key",
+                            group: str = "grp", k: int = 64) -> str:
+    """DuckDB mirror of ``kmv_estimate(kmv_state(...))``."""
+    state = duckdb_kmv_sql(rel, key, group, k)
+    big = float(k - 1) * float(KMV_SPACE)
+    return f"""
+        WITH kmv_s AS ({state})
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_state,
+               CASE WHEN COUNT(*) < {int(k)}
+                    THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE {big!r} / CAST(MAX(h) AS DOUBLE)
+               END AS est_distinct
+        FROM kmv_s GROUP BY grp"""
