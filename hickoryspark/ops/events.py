@@ -133,3 +133,80 @@ def rollup_two_level(events: DataFrame,
             "n_fine_buckets",
         )
     )
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      epoch: str = "2024-01-01") -> DataFrame:
+    """Weekly retention-cohort table — the product-analytics staple:
+    ``(cohort_week, week_offset, n_users, cohort_size,
+    retained_milli)``.
+
+    Pinned exact-integer dialect: a user's week is
+    ``datediff(CAST(ts AS DATE), epoch) div 7`` — the DATE cast is
+    timezone-independent on TIMESTAMP_NTZ (the events_windowed
+    lesson: unix_timestamp on NTZ is tz-dependent, calendar fields
+    are not). Cohort = the user's first active week; a user counts
+    in (cohort, offset) iff active in cohort+offset; offset 0 always
+    holds the full cohort, so ``retained_milli`` =
+    ``1000 * n_users div cohort_size`` is exact.
+
+    Scale shape: one (user, week) distinct, one per-user min
+    aggregation, one equi-join back, one (cohort, offset) groupBy —
+    all map-side combinable, no windows. NULL users/timestamps drop
+    (no cohort identity)."""
+    wk = F.expr(
+        f"datediff(cast({ts_col} as date), date'{epoch}') div 7"
+    ).cast("long")
+    ew = (
+        events.where(F.col(user_col).isNotNull()
+                     & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("_u"), wk.alias("_wk"))
+        .distinct()
+    )
+    coh = ew.groupBy("_u").agg(F.min("_wk").alias("_cwk"))
+    r = (
+        ew.join(coh, "_u")
+        .groupBy(F.col("_cwk").alias("cohort_week"),
+                 (F.col("_wk") - F.col("_cwk")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+    sz = (r.where(F.col("week_offset") == 0)
+          .select(F.col("cohort_week").alias("_szc"),
+                  F.col("n_users").alias("cohort_size")))
+    return (
+        r.join(sz, r["cohort_week"] == sz["_szc"])
+        .select(
+            "cohort_week", "week_offset", "n_users", "cohort_size",
+            F.expr("(1000 * n_users) div cohort_size").cast("long")
+            .alias("retained_milli"),
+        )
+    )
+
+
+def duckdb_retention_sql(events_rel: str, user: str = "user_id",
+                         ts: str = "ts",
+                         epoch: str = "2024-01-01") -> str:
+    """DuckDB mirror of :func:`retention_cohorts`."""
+    return f"""
+        WITH rt_ew AS (
+          SELECT DISTINCT {user} AS u,
+                 CAST((CAST({ts} AS DATE) - DATE '{epoch}') // 7
+                      AS BIGINT) AS wk
+          FROM {events_rel}
+          WHERE {user} IS NOT NULL AND {ts} IS NOT NULL
+        ), rt_coh AS (
+          SELECT u, MIN(wk) AS cwk FROM rt_ew GROUP BY u
+        ), rt_r AS (
+          SELECT c.cwk AS cohort_week, e.wk - c.cwk AS week_offset,
+                 CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM rt_ew e JOIN rt_coh c ON e.u = c.u
+          GROUP BY 1, 2
+        ), rt_sz AS (
+          SELECT cohort_week, n_users AS cohort_size FROM rt_r
+          WHERE week_offset = 0)
+        SELECT r.cohort_week, r.week_offset, r.n_users,
+               s.cohort_size,
+               CAST((1000 * r.n_users) // s.cohort_size AS BIGINT)
+                 AS retained_milli
+        FROM rt_r r JOIN rt_sz s ON r.cohort_week = s.cohort_week"""

@@ -91,3 +91,89 @@ def term_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.count("*").cast("long").alias("cf"),
         )
     )
+
+
+#: varint (LEB128-style, 7 payload bits per byte) size thresholds
+_VARINT_STEPS = [(1 << 7, 1), (1 << 14, 2), (1 << 21, 3),
+                 (1 << 28, 4), (1 << 35, 5)]
+
+
+def _varint_bytes(gap):
+    expr = F.lit(6).cast("long")
+    for bound, nbytes in reversed(_VARINT_STEPS):
+        expr = F.when(gap < bound, F.lit(nbytes).cast("long")) \
+                .otherwise(expr)
+    return expr
+
+
+def postings_gap_cost(docs: DataFrame,
+                      text_col: str = "text") -> DataFrame:
+    """Index-compression planning: per-term delta-gap varint cost
+    ``(term, df, gap_bytes, bits_per_doc_milli)``.
+
+    Pinned coding model: the doc-id posting list sorts ascending,
+    each entry stores the gap to its predecessor (the first stores
+    ``doc_id + 1`` so id 0 stays encodable) as a 7-bit-per-byte
+    varint; ``bits_per_doc_milli = (8000 * gap_bytes) div df`` — the
+    classic inverted-index budget figure (dense stopword lists cost
+    ~8-9 bits/doc, rare terms the full 5 bytes).
+
+    Scale shape: one distinct on (term, doc_id), then ONE window per
+    term ordered by doc_id — the posting list itself, the inherent
+    unit of this computation — and one per-term aggregation. Gaps of
+    any magnitude are covered (ids beyond 2^35-1 take the 6-byte
+    ceiling row rather than overflowing the CASE chain)."""
+    from pyspark.sql.window import Window
+
+    pd_ = (
+        token_positions(docs, text_col)
+        .select("term", "doc_id").distinct()
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gaps = pd_.withColumn(
+        "_gap",
+        F.coalesce(F.col("doc_id") - F.lag("doc_id").over(w),
+                   F.col("doc_id") + 1).cast("long"))
+    return (
+        gaps.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum(_varint_bytes(F.col("_gap"))).cast("long")
+            .alias("gap_bytes"),
+        )
+        .select(
+            "term", "df", "gap_bytes",
+            F.expr("(8000 * gap_bytes) div df").cast("long")
+            .alias("bits_per_doc_milli"),
+        )
+    )
+
+
+def duckdb_gap_cost_sql(docs_rel: str, text_col: str = "text") -> str:
+    """DuckDB mirror of :func:`postings_gap_cost` (lag and sum split
+    across CTEs — window calls cannot nest)."""
+    ws = ("'[ ' || chr(9) || chr(10) || chr(11) || chr(12) || "
+          "chr(13) || ']+'")
+    case = "CASE " + " ".join(
+        f"WHEN gap < {bound} THEN {nbytes}"
+        for bound, nbytes in _VARINT_STEPS) + " ELSE 6 END"
+    return f"""
+        WITH gc_tok AS (
+          SELECT DISTINCT doc_id, unnest(list_filter(
+            regexp_split_to_array({text_col}, {ws}), x -> x <> ''))
+            AS term
+          FROM {docs_rel}
+        ), gc_gap AS (
+          SELECT term,
+                 COALESCE(doc_id - lag(doc_id) OVER (
+                   PARTITION BY term ORDER BY doc_id), doc_id + 1)
+                   AS gap
+          FROM gc_tok
+        ), gc_agg AS (
+          SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                 CAST(SUM({case}) AS BIGINT) AS gap_bytes
+          FROM gc_gap GROUP BY term)
+        SELECT term, df, gap_bytes,
+               CAST((8000 * gap_bytes) // df AS BIGINT)
+                 AS bits_per_doc_milli
+        FROM gc_agg"""

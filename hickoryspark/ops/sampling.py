@@ -108,13 +108,21 @@ def pack_sequences(
     Output is byte-identical to the global per-stratum cumsum (range
     boundaries only affect intermediate slicing, never the prefix
     values), so the same oracle checks both shapes.
+
+    The ranged frame is localCheckpoint-ed (eager) before it forks
+    into the running-sum and totals branches: range boundaries are
+    SAMPLED with an rdd-id-dependent seed at each materialization, so
+    without the pin the two branches of the offsets join can execute
+    under DIFFERENT boundaries (one partition's ids then mean
+    different slices on the two sides — the vocab_growth sf0.1
+    lesson; here the frame is 4 narrow columns, so pinning is cheap).
     """
     n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
     base = docs.select("doc_id", stratum, n_tokens.alias("n_tokens"))
     n_parts = num_partitions or base.sparkSession.sparkContext.defaultParallelism
     part = base.repartitionByRange(
         n_parts, F.col(stratum), F.col("doc_id")
-    ).withColumn("_pid", F.spark_partition_id())
+    ).withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
     w_loc = (
         Window.partitionBy("_pid", stratum)
         .orderBy("doc_id")
