@@ -232,3 +232,85 @@ def _linf_norm(nodes, raw, key, out, scale):
             .alias(out),
         )
     )
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Seed-biased exact-integer PageRank — TrustRank (Gyöngyi,
+    Garcia-Molina & Pedersen, VLDB 2004): teleportation mass goes
+    ONLY to a hand-vetted trusted seed set, so trust flows outward
+    from the seeds and link-farm clusters that earn generic PageRank
+    earn ~none of it. The standard web-spam demotion signal
+    (spam mass = pagerank - trustrank, both in the same fixed-point
+    units here).
+
+        rank_0(v)    = scale // n_seeds  if v in seeds else 0
+        tele(v)      = (scale*(100-damping_pct)//100) // n_seeds
+                       if v in seeds else 0
+        rank_{i+1}(v) = tele(v) + Σ (rank_i(u)*damping_pct)
+                                    // (100*outdeg(u))
+
+    Same documented simplifications as :func:`pagerank` (dangling
+    mass dropped, floor remainders not re-normalized) and the same
+    one-shuffle-per-iteration scale shape; ``seeds`` is a single
+    ``id`` column (deduplicated here). Node universe = edge
+    endpoints ∪ seeds unless ``nodes`` is given."""
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be 0..100, got {damping_pct}")
+    sd = seeds.select("id").distinct()
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .unionByName(sd)
+            .distinct()
+        )
+    # flagged node frame feeds every iteration's relabel (and the
+    # seed count action) — persist like pagerank's node frame
+    nodes = nodes.join(
+        sd.withColumn("_s", F.lit(1)), "id", "left"
+    ).select("id", F.coalesce(F.col("_s"), F.lit(0)).alias("_seed"))
+    nodes = nodes.persist()
+    n_s = nodes.where(F.col("_seed") == 1).count()
+    if n_s == 0:
+        raise ValueError("trustrank needs at least one seed present")
+    base = scale // n_s
+    tele = (scale * (100 - damping_pct) // 100) // n_s
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("_deg")
+    ).persist()
+    ranks = nodes.select(
+        "id",
+        F.when(F.col("_seed") == 1, F.lit(base)).otherwise(F.lit(0))
+        .cast("long").alias("rank_e12"))
+    for i in range(n_iter):
+        contrib = (
+            edges.join(outdeg, "src")
+            .join(ranks, F.col("src") == F.col("id"))
+            .select(
+                "dst",
+                F.expr(
+                    f"(rank_e12 * {damping_pct}) div (100 * _deg)"
+                ).alias("_c"),
+            )
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("_c").alias("_in"))
+        ranks = (
+            nodes.join(sums, nodes["id"] == sums["dst"], "left")
+            .select(
+                "id",
+                (F.when(F.col("_seed") == 1, F.lit(tele))
+                 .otherwise(F.lit(0))
+                 + F.coalesce(F.col("_in"), F.lit(0)))
+                .cast("long").alias("rank_e12"),
+            )
+        )
+        if (i + 1) % 10 == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint()
+    return ranks
