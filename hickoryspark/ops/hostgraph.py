@@ -37,7 +37,8 @@ from hickoryspark.ops.hosts import duckdb_url_host_sql, url_host
 
 __all__ = ["host_edges", "host_link_stats", "duckdb_host_edges_sql",
            "category_mix", "host_link_quality", "host_reciprocity",
-           "duckdb_reciprocity_sql"]
+           "duckdb_reciprocity_sql", "related_hosts",
+           "duckdb_related_sql", "DEFAULT_TARGET_CAP"]
 
 
 def host_edges(links: DataFrame, src_col: str = "url",
@@ -250,3 +251,110 @@ def duckdb_reciprocity_sql(links_rel: str, src: str = "url",
         FROM rc_stats s
         LEFT JOIN (SELECT src_host, dst_host FROM rc_top
                    WHERE rn = 1) t ON s.host = t.src_host"""
+
+
+#: targets linked by more than this many distinct hosts are excluded
+#: from pair generation — ubiquitous targets (CDNs, social widgets)
+#: carry no similarity signal and would blow the pair stage up
+#: quadratically (a target with in-degree d yields d*(d-1)/2 pairs)
+DEFAULT_TARGET_CAP = 256
+
+
+def related_hosts(links: DataFrame, src_col: str = "url",
+                  dst_col: str = "resolved", min_shared: int = 2,
+                  target_cap: int = DEFAULT_TARGET_CAP) -> DataFrame:
+    """Bibliographic coupling over the host graph: hosts that link
+    to the same targets are related (Kessler 1963 applied to sites —
+    the "related sites" / competitor-discovery signal).
+
+    ``(host_a, host_b, shared, dice_milli)`` for unordered external
+    host pairs with at least ``min_shared`` common distinct target
+    hosts; ``dice_milli = (2000 * shared) div (|out_a| + |out_b|)``
+    over DISTINCT external out-sets.
+
+    Scale shape: pair generation blocks on the shared target (one
+    self-join keyed by target host), with targets above
+    ``target_cap`` distinct linkers EXCLUDED first (the idf cut —
+    pinned, both engines): a ubiquitous target would contribute
+    in-degree² pairs. One groupBy per aggregation, no windows."""
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    out = (
+        links.select(
+            url_host(F.col(src_col)).alias("src_host"),
+            url_host(F.col(dst_col)).alias("dst_host"),
+        )
+        .where(F.col("src_host").isNotNull()
+               & F.col("dst_host").isNotNull()
+               & (F.col("src_host") != F.col("dst_host")))
+        .distinct()
+    )
+    sizes = out.groupBy("src_host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_out"))
+    kept = (
+        out.groupBy("dst_host")
+        .agg(F.count(F.lit(1)).alias("_in"))
+        .where(F.col("_in") <= target_cap)
+        .select("dst_host")
+    )
+    blocked = out.join(kept, "dst_host")
+    l = blocked.select(F.col("dst_host").alias("t"),
+                       F.col("src_host").alias("host_a"))
+    r = blocked.select(F.col("dst_host").alias("t2"),
+                       F.col("src_host").alias("host_b"))
+    shared = (
+        l.join(r, (l["t"] == r["t2"]) & (l["host_a"] < r["host_b"]))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("src_host").alias("host_a"),
+                      F.col("n_out").alias("_na"))
+    sb = sizes.select(F.col("src_host").alias("host_b"),
+                      F.col("n_out").alias("_nb"))
+    return (
+        shared.join(sa, "host_a").join(sb, "host_b")
+        .select(
+            "host_a", "host_b", "shared",
+            F.expr("(2000 * shared) div (_na + _nb)").cast("long")
+            .alias("dice_milli"),
+        )
+    )
+
+
+def duckdb_related_sql(links_rel: str, src: str = "url",
+                       dst: str = "resolved", min_shared: int = 2,
+                       target_cap: int = DEFAULT_TARGET_CAP) -> str:
+    """DuckDB mirror of :func:`related_hosts` over url-grain
+    ``links_rel``."""
+    hs = duckdb_url_host_sql(src)
+    hd = duckdb_url_host_sql(dst)
+    return f"""
+        WITH rh_out AS (
+          SELECT DISTINCT src_host, dst_host FROM (
+            SELECT {hs} AS src_host, {hd} AS dst_host
+            FROM {links_rel})
+          WHERE src_host IS NOT NULL AND dst_host IS NOT NULL
+            AND src_host <> dst_host
+        ), rh_sizes AS (
+          SELECT src_host, CAST(COUNT(*) AS BIGINT) AS n_out
+          FROM rh_out GROUP BY src_host
+        ), rh_kept AS (
+          SELECT dst_host FROM rh_out GROUP BY dst_host
+          HAVING COUNT(*) <= {int(target_cap)}
+        ), rh_blocked AS (
+          SELECT o.* FROM rh_out o JOIN rh_kept USING (dst_host)
+        ), rh_shared AS (
+          SELECT a.src_host AS host_a, b.src_host AS host_b,
+                 CAST(COUNT(*) AS BIGINT) AS shared
+          FROM rh_blocked a JOIN rh_blocked b
+            ON a.dst_host = b.dst_host
+               AND a.src_host < b.src_host
+          GROUP BY 1, 2 HAVING COUNT(*) >= {int(min_shared)}
+        )
+        SELECT s.host_a, s.host_b, s.shared,
+               CAST((2000 * s.shared) // (x.n_out + y.n_out)
+                    AS BIGINT) AS dice_milli
+        FROM rh_shared s
+        JOIN rh_sizes x ON x.src_host = s.host_a
+        JOIN rh_sizes y ON y.src_host = s.host_b"""

@@ -369,3 +369,63 @@ def duckdb_url_features_sql(u: str) -> str:
         f"({path} IN ('', '/')) AS is_root",
         f"CAST(length({u}) AS BIGINT) AS url_len",
     ])
+
+
+# ---------------------------------------------------------------------------
+# Session-identifier stripping — the crawler-side canonicalization
+# step beyond normalize_url's tracking params: servlet ;jsessionid=
+# path segments and the classic session query params (PHPSESSID,
+# ASPSESSIONIDxxxx, sessionid, sid) explode one page into thousands
+# of frontier keys. Kept SEPARATE from normalize_url (whose fold is
+# pinned by many oracles); compose as
+# strip_session_params(normalize_url(u)) or either alone.
+# ---------------------------------------------------------------------------
+
+#: session parameter names, matched case-insensitively via GENERATED
+#: explicit case classes (never (?i) — the Java/RE2 fold divergence);
+#: longest-first so 'sid' cannot pre-empt 'sessionid'
+SESSION_PARAM_NAMES = ["aspsessionid", "phpsessid", "jsessionid",
+                       "sessionid", "sid"]
+
+
+def _ci_pat(name: str) -> str:
+    return "".join(f"[{c.upper()}{c.lower()}]" if c.isalpha() else c
+                   for c in name)
+
+
+_SESS_ALT = "|".join(
+    _ci_pat(n) + ("[A-Za-z]*" if n == "aspsessionid" else "")
+    for n in SESSION_PARAM_NAMES)
+
+#: applied in order; the ()+ repetition eats consecutive session
+#: params in one match (the normalize_url tracking-strip rule), the
+#: two tail passes clean dangling separators. All patterns in the
+#: Java ∩ RE2 subset (\z tails, explicit classes).
+_SESS_STEPS = [
+    (rf";{_ci_pat('jsessionid')}=[^/?#]*", ""),
+    (rf"([?&])((?:{_SESS_ALT})=[^&#]*&?)+", "$1"),
+    (r"[?&]\z", ""),
+    (r"\?&", "?"),
+]
+
+
+def strip_session_params(col: str | Column) -> Column:
+    """Remove session identifiers from a url column: the servlet
+    ``;jsessionid=...`` path suffix (up to the next ``/``, ``?`` or
+    ``#``) and the session query params in
+    :data:`SESSION_PARAM_NAMES` (name anchored at ``?``/``&`` — a
+    ``userid=`` never matches ``sid``). Pure column expressions,
+    shuffle-free."""
+    u = F.col(col) if isinstance(col, str) else col
+    for pat, rep in _SESS_STEPS:
+        u = F.regexp_replace(u, pat, rep)
+    return u
+
+
+def duckdb_strip_session_sql(u: str) -> str:
+    """DuckDB expression mirroring :func:`strip_session_params` on
+    url expression ``u`` (same generated patterns, same order)."""
+    for pat, rep in _SESS_STEPS:
+        rep_sql = rep.replace("$1", "\\1")
+        u = f"regexp_replace({u}, '{pat}', '{rep_sql}', 'g')"
+    return u
