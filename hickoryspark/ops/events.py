@@ -146,9 +146,13 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
     ``datediff(CAST(ts AS DATE), epoch) div 7`` — the DATE cast is
     timezone-independent on TIMESTAMP_NTZ (the events_windowed
     lesson: unix_timestamp on NTZ is tz-dependent, calendar fields
-    are not). Cohort = the user's first active week; a user counts
-    in (cohort, offset) iff active in cohort+offset; offset 0 always
-    holds the full cohort, so ``retained_milli`` =
+    are not). Events BEFORE the epoch are dropped — a negative week
+    index would hit the Spark-truncate vs DuckDB-floor divergence on
+    integer division (pinned lesson), so the week domain is kept
+    non-negative by construction; pick an epoch at or before the
+    data's start. Cohort = the user's first active week; a user
+    counts in (cohort, offset) iff active in cohort+offset; offset 0
+    always holds the full cohort, so ``retained_milli`` =
     ``1000 * n_users div cohort_size`` is exact.
 
     Scale shape: one (user, week) distinct, one per-user min
@@ -160,7 +164,9 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
     ).cast("long")
     ew = (
         events.where(F.col(user_col).isNotNull()
-                     & F.col(ts_col).isNotNull())
+                     & F.col(ts_col).isNotNull()
+                     & (F.col(ts_col).cast("date")
+                        >= F.lit(epoch).cast("date")))
         .select(F.col(user_col).alias("_u"), wk.alias("_wk"))
         .distinct()
     )
@@ -195,6 +201,7 @@ def duckdb_retention_sql(events_rel: str, user: str = "user_id",
                       AS BIGINT) AS wk
           FROM {events_rel}
           WHERE {user} IS NOT NULL AND {ts} IS NOT NULL
+            AND CAST({ts} AS DATE) >= DATE '{epoch}'
         ), rt_coh AS (
           SELECT u, MIN(wk) AS cwk FROM rt_ew GROUP BY u
         ), rt_r AS (

@@ -1169,3 +1169,61 @@ def test_bitext_pairs_no_cartesian_and_jvm_only(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_harvest_urls_prunes_scan_and_stays_jvm(spark):
+    """texturls.harvest_urls needs only (doc_id, text): the parquet
+    ReadSchema must prune the rest, no Exchange (per-row program),
+    no Python."""
+    from hickoryspark.ops.texturls import harvest_urls
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(harvest_urls(docs))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    assert "lang" not in scan[0] and "n_chars" not in scan[0]
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_gap_cost_jvm_bounded_exchanges(spark):
+    """postings_gap_cost: JVM-only; the distinct + per-term window +
+    final agg cost at most three exchanges (a fourth means the window
+    re-shuffles something it shouldn't)."""
+    from hickoryspark.ops.postings import postings_gap_cost
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(postings_gap_cost(docs))
+    assert "Python" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_reciprocity_and_related_hosts_equi_joins_only(spark):
+    """host_reciprocity and related_hosts must stay equi-join
+    programs — a BroadcastNestedLoop/CartesianProduct means the pair
+    blocking degenerated."""
+    from hickoryspark.ops.hostgraph import (host_edges,
+                                            host_reciprocity,
+                                            related_hosts)
+
+    links = spark.createDataFrame(
+        [("https://a.ex/p", "https://b.ex/x"),
+         ("https://b.ex/p", "https://a.ex/x")],
+        "url string, resolved string")
+    for df in (host_reciprocity(host_edges(links)),
+               related_hosts(links, min_shared=1)):
+        plan = _plan(df)
+        assert "BroadcastNestedLoop" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "Python" not in plan
+
+
+def test_retention_no_windows_no_python(spark):
+    """retention_cohorts is pure groupBy/join — a Window in the plan
+    means the per-user aggregation regressed to a ranking pass."""
+    from hickoryspark.ops.events import retention_cohorts
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plan = _plan(retention_cohorts(ev))
+    assert "Window" not in plan, plan
+    assert "Python" not in plan

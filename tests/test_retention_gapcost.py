@@ -39,6 +39,9 @@ EVENTS = [
     (3, _ts(10)),
     # NULLs drop
     (None, _ts(0)), (4, None),
+    # pre-epoch events drop (negative week indices would diverge
+    # between Spark's truncating div and DuckDB's flooring //)
+    (5, _ts(-10)),
 ]
 
 
