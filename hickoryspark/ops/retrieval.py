@@ -46,7 +46,8 @@ from hickoryspark.ops.chunking import ASCII_WS_SPLIT_RE
 __all__ = ["bm25_scores", "duckdb_bm25_sql", "phrase_match",
            "duckdb_phrase_sql",
            "rrf_fuse", "duckdb_rrf_sql",
-           "retrieval_metrics", "duckdb_retrieval_metrics_sql"]
+           "retrieval_metrics", "duckdb_retrieval_metrics_sql",
+           "mine_hard_negatives", "duckdb_hard_negatives_sql"]
 
 
 def _query_terms(queries: DataFrame) -> DataFrame:
@@ -445,3 +446,62 @@ def duckdb_retrieval_metrics_sql(rankings_rel: str, qrels_rel: str,
                CAST(COALESCE(1000 // first_rank, 0) AS BIGINT)
                  AS rr_milli
         FROM agg"""
+
+
+def mine_hard_negatives(docs: DataFrame, queries: DataFrame,
+                        positives: DataFrame, k: int = 5,
+                        pool_extra: int = 3,
+                        text_col: str = "text") -> DataFrame:
+    """DPR-style hard-negative mining (Karpukhin et al. 2020): for
+    each training query, the top-BM25 documents that are NOT the
+    query's known positives — the negatives that actually teach a
+    dense retriever something.
+
+    ``positives`` is (query_id, doc_id). Pinned: the candidate pool
+    is the BM25 top ``k + pool_extra`` (a query with more than
+    ``pool_extra`` positives inside its pool may yield fewer than k
+    negatives — documented bound, never wrong rows); survivors keep
+    BM25 order, re-ranked 1..k as ``neg_rank``.
+
+    Scale shape: everything heavy is :func:`bm25_scores` (postings
+    pruned to query terms before aggregation); the positive
+    exclusion is one anti-join on (query_id, doc_id) and the re-rank
+    windows over per-query pools of ≤ k+pool_extra rows."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if pool_extra < 0:
+        raise ValueError("pool_extra must be >= 0")
+    from pyspark.sql.window import Window
+
+    pool = bm25_scores(docs, queries, text_col,
+                       top_k=k + pool_extra)
+    negs = pool.join(
+        positives.select("query_id", "doc_id"),
+        ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy("rank")
+    return (
+        negs.withColumn("neg_rank",
+                        F.row_number().over(w).cast("long"))
+        .where(F.col("neg_rank") <= k)
+        .select("query_id", "doc_id", "score_milli", "neg_rank")
+    )
+
+
+def duckdb_hard_negatives_sql(docs_rel: str, queries_values: str,
+                              positives_rel: str, k: int = 5,
+                              pool_extra: int = 3) -> str:
+    """DuckDB mirror of :func:`mine_hard_negatives`;
+    ``positives_rel`` must expose (query_id, doc_id)."""
+    pool = duckdb_bm25_sql(docs_rel, queries_values,
+                           top_k=k + pool_extra)
+    return f"""
+        SELECT query_id, doc_id, score_milli,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY rank) AS BIGINT)
+                 AS neg_rank
+        FROM ({pool}) hn_pool
+        WHERE NOT EXISTS (
+          SELECT 1 FROM {positives_rel} p
+          WHERE p.query_id = hn_pool.query_id
+            AND p.doc_id = hn_pool.doc_id)
+        QUALIFY neg_rank <= {int(k)}"""
