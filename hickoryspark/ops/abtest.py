@@ -7,10 +7,11 @@ Used here the way crawl/corpus pipelines actually use it — comparing
 a pipeline variant's effect on a downstream funnel — with the
 repo's exact-integer discipline:
 
-- arm = ``pmod(user_id, 2)`` → 'A' (0) / 'B' (1) — deterministic,
-  engine-identical (pmod of non-negative BIGINT; negative ids also
-  agree because both engines' ``%`` is applied via pmod semantics
-  here);
+- arm = ``pmod(user_id, 2)`` → 'A' (0) / 'B' (1) — deterministic and
+  engine-identical INCLUDING negative ids: Spark's ``pmod`` is
+  non-negative while DuckDB's ``%`` is a truncated remainder (-3 % 2
+  = -1), so the mirror spells pmod as ``((u % 2) + 2) % 2`` — a bare
+  ``%`` would drop negative-id users from BOTH arm sums;
 - a user converts iff they have >= 1 event of ``convert_type``;
 - rates in exact milli: ``cvr_milli = (1000 * n_converted) div
   n_users``;
@@ -72,7 +73,7 @@ def duckdb_ab_sql(events_rel: str, convert_type: str = "purchase",
     """DuckDB mirror of :func:`ab_conversion`."""
     return f"""
         WITH ab_u AS (
-          SELECT {user} % 2 AS arm,
+          SELECT (({user} % 2) + 2) % 2 AS arm,
                  MAX(CASE WHEN {type_col} = '{convert_type}'
                           THEN 1 ELSE 0 END) AS conv
           FROM {events_rel} WHERE {user} IS NOT NULL

@@ -20,6 +20,9 @@ EVENTS = [
     (1, "view"),                       # arm B no
     (3, "signup"),                     # arm B no
     (None, "purchase"),                # dropped
+    # negative id: pmod must land it in arm B on BOTH engines (a
+    # truncated % would drop it from both arm sums in the mirror)
+    (-3, "purchase"),
 ]
 
 
@@ -41,7 +44,8 @@ def _run(spark, events):
 
 
 def test_readout(spark):
-    assert _run(spark, EVENTS) == (3, 2, 666, 2, 0, 0, -666)
+    # arms: A = {0,2,4} conv 2; B = {1,3,-3} conv 1 (the negative id)
+    assert _run(spark, EVENTS) == (3, 2, 666, 3, 1, 333, -333)
 
 
 def test_empty_arm_guard(spark):
