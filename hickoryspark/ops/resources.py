@@ -54,11 +54,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hickoryspark.nodes import TYPE_ELEMENT
-from hickoryspark.ops.hosts import url_host
+from hickoryspark.ops.hosts import host_suffixes, url_host
 from hickoryspark.ops.links import resolve_href
 from hickoryspark.ops.metadata import ASCII_WS_RE
 
-__all__ = ["extract_resources", "SRC_TAGS", "LINK_KINDS"]
+__all__ = ["extract_resources", "SRC_TAGS", "LINK_KINDS",
+           "tracker_audit", "duckdb_tracker_sql"]
 
 #: tags whose resource carrier is the ``src`` attribute, -> kind
 SRC_TAGS = {
@@ -256,3 +257,103 @@ def sri_audit(nodes: DataFrame) -> DataFrame:
         F.sum("cs").cast("long").alias("n_sri_styles"),
         F.sum("bad").cast("long").alias("n_invalid_integrity"),
     )
+
+
+def tracker_audit(resources: DataFrame,
+                  trackers: DataFrame) -> DataFrame:
+    """Per-page third-party tracker exposure — the privacy-audit
+    rollup over :func:`extract_resources` rows (or any frame with
+    ``url``/``res_host``): ``(url, n_requests, n_tracker,
+    tracker_milli, has_tracker)``.
+
+    ``trackers`` is a one-column ``host`` list of known tracker
+    registrable domains (EasyPrivacy-style); a resource matches by
+    the SAME dot-suffix-chain rule as the UT1 host blocklist
+    (ops/hosts.host_suffixes — ``cdn.ads.ex`` matches ``ads.ex``),
+    entries lowercased with one trailing dot stripped. NULL-host
+    resources count in ``n_requests`` (they were requested) but can
+    never match.
+
+    Scale shape: resource rows collapse to (url, res_host) counts
+    FIRST (map-side combinable — no row identity anywhere, so
+    nothing partition-dependent exists to pin), the distinct host
+    grain suffix-explodes into a broadcast semi-join against the
+    tiny tracker list, and the matched groups' counts sum back.
+    Same cost class as host_blocklist."""
+    t = (
+        trackers.select(
+            F.regexp_replace(
+                F.lower(F.btrim(F.col("host"))), r"\.\z", ""
+            ).alias("t_host"))
+        .where(F.col("t_host") != "")
+        .distinct()
+    )
+    per = resources.groupBy("url", "res_host").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"))
+    exp = per.where(F.col("res_host").isNotNull()).select(
+        "url", "res_host",
+        F.explode(host_suffixes(F.col("res_host"))).alias("_s"))
+    matched = (
+        exp.join(F.broadcast(t), exp["_s"] == t["t_host"],
+                 "left_semi")
+        .select("url", "res_host").distinct()
+    )
+    totals = per.groupBy("url").agg(
+        F.sum("_n").cast("long").alias("n_requests"))
+    nt = (
+        per.join(matched, ["url", "res_host"])
+        .groupBy(F.col("url").alias("_hu"))
+        .agg(F.sum("_n").cast("long").alias("n_tracker"))
+    )
+    return (
+        totals.join(nt, totals["url"] == nt["_hu"], "left")
+        .select(
+            "url", "n_requests",
+            F.coalesce(F.col("n_tracker"), F.lit(0)).cast("long")
+            .alias("n_tracker"),
+            F.expr("(1000 * coalesce(n_tracker, 0)) div n_requests")
+            .cast("long").alias("tracker_milli"),
+            (F.coalesce(F.col("n_tracker"), F.lit(0)) > 0)
+            .cast("long").alias("has_tracker"),
+        )
+    )
+
+
+def duckdb_tracker_sql(resources_rel: str, tracker_hosts: list[str],
+                       label_cap: int = 16) -> str:
+    """DuckDB mirror of :func:`tracker_audit` over a resource
+    relation exposing (url, res_host); ``tracker_hosts`` is the
+    literal list."""
+    t = ", ".join(
+        f"('{h.strip().lower().rstrip('.')}')" for h in tracker_hosts)
+    return f"""
+        WITH tk_per AS (
+          SELECT url, res_host, CAST(COUNT(*) AS BIGINT) AS n
+          FROM {resources_rel} GROUP BY url, res_host
+        ), tk_t(t_host) AS (VALUES {t}),
+        tk_exp AS (
+          SELECT url, res_host, unnest(list_transform(
+            range(GREATEST(1, len(string_split(res_host, '.'))
+                              - {int(label_cap)} + 1),
+                  len(string_split(res_host, '.')) + 1),
+            i -> array_to_string(string_split(res_host, '.')[i:], '.')
+          )) AS s
+          FROM tk_per WHERE res_host IS NOT NULL
+        ), tk_hit AS (
+          SELECT DISTINCT url, res_host FROM tk_exp
+          WHERE s IN (SELECT t_host FROM tk_t)
+        ), tk_tot AS (
+          SELECT url, CAST(SUM(n) AS BIGINT) AS n_requests
+          FROM tk_per GROUP BY url
+        ), tk_n AS (
+          SELECT p.url, CAST(SUM(p.n) AS BIGINT) AS n_tracker
+          FROM tk_per p JOIN tk_hit h
+            ON p.url = h.url AND p.res_host = h.res_host
+          GROUP BY p.url)
+        SELECT t.url, t.n_requests,
+               CAST(COALESCE(n.n_tracker, 0) AS BIGINT) AS n_tracker,
+               CAST((1000 * COALESCE(n.n_tracker, 0)) // t.n_requests
+                    AS BIGINT) AS tracker_milli,
+               CAST(CASE WHEN COALESCE(n.n_tracker, 0) > 0
+                         THEN 1 ELSE 0 END AS BIGINT) AS has_tracker
+        FROM tk_tot t LEFT JOIN tk_n n ON t.url = n.url"""

@@ -47,7 +47,8 @@ __all__ = ["bm25_scores", "duckdb_bm25_sql", "phrase_match",
            "duckdb_phrase_sql",
            "rrf_fuse", "duckdb_rrf_sql",
            "retrieval_metrics", "duckdb_retrieval_metrics_sql",
-           "mine_hard_negatives", "duckdb_hard_negatives_sql"]
+           "mine_hard_negatives", "duckdb_hard_negatives_sql",
+           "mmr_rerank", "duckdb_mmr_sql", "DEFAULT_MMR_LAMBDA_MILLI"]
 
 
 def _query_terms(queries: DataFrame) -> DataFrame:
@@ -505,3 +506,150 @@ def duckdb_hard_negatives_sql(docs_rel: str, queries_values: str,
           WHERE p.query_id = hn_pool.query_id
             AND p.doc_id = hn_pool.doc_id)
         QUALIFY neg_rank <= {int(k)}"""
+
+
+#: MMR relevance weight lambda in milli (Carbonell & Goldstein 1998
+#: use 0.3-0.7; 0.7 favors relevance).
+DEFAULT_MMR_LAMBDA_MILLI = 700
+
+
+def mmr_rerank(candidates: DataFrame, sims: DataFrame, k: int = 5,
+               lambda_milli: int = DEFAULT_MMR_LAMBDA_MILLI) -> DataFrame:
+    """Maximal Marginal Relevance diversified reranking (Carbonell &
+    Goldstein, SIGIR 1998) over per-query candidate pools:
+    ``(query_id, rank, doc_id, mmr_milli)``, ``rank`` 1-based in pick
+    order.
+
+    ``candidates`` exposes (query_id, doc_id, rel_milli) — e.g. the
+    :func:`bm25_scores` top pool; ``sims`` exposes
+    (query_id, a, b, sim_milli) pairwise candidate similarities in
+    milli (either or both orientations — symmetrized internally; a
+    missing pair means similarity 0). Exact-integer dialect (the
+    readability/pagerank rule): round ``r`` picks, per query, the
+    remaining candidate maximizing
+
+        ``lambda_milli * rel_milli - (1000 - lambda_milli) * max_sim``
+
+    where ``max_sim`` is the max ``sim_milli`` against the docs picked
+    in rounds < r (0 in round 1 — pure relevance). Ties break on
+    smallest doc_id. Queries with fewer than ``k`` candidates emit
+    fewer rows.
+
+    Scale shape: candidate pools are top-N per query — tiny relative
+    to the corpus — so the picked set (≤ k rows/query) broadcasts into
+    each round's anti-join and similarity lookup at runtime via AQE.
+    The picked frame feeds TWO joins per round, so it is
+    localCheckpoint-ed every round (the kcore lesson: persist caches
+    data but not the logical plan, and analysis time grows
+    exponentially otherwise).
+    """
+    lam = int(lambda_milli)
+    com = 1000 - lam
+    cand = candidates.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rel_milli").cast("long").alias("rel_milli"))
+    s0 = sims.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("sim_milli").cast("long").alias("sim_milli"))
+    ms = s0.unionByName(s0.select(
+        "query_id", F.col("b").alias("a"), F.col("a").alias("b"),
+        "sim_milli"))
+    selected = None
+    for r in range(1, int(k) + 1):
+        if selected is None:
+            scored = cand.withColumn("mx", F.lit(0).cast("long"))
+        else:
+            rem = cand.join(selected.select("query_id", "doc_id"),
+                            ["query_id", "doc_id"], "left_anti")
+            selsim = (
+                ms.join(
+                    selected.select(F.col("query_id").alias("sq"),
+                                    F.col("doc_id").alias("sd")),
+                    (F.col("query_id") == F.col("sq"))
+                    & (F.col("a") == F.col("sd")))
+                .select("query_id", F.col("b").alias("doc_id"),
+                        "sim_milli"))
+            scored = (
+                rem.join(selsim, ["query_id", "doc_id"], "left")
+                .groupBy("query_id", "doc_id", "rel_milli")
+                .agg(F.coalesce(F.max("sim_milli"),
+                                F.lit(0)).cast("long").alias("mx")))
+        pick = (
+            scored
+            .withColumn("score",
+                        (F.lit(lam) * F.col("rel_milli")
+                         - F.lit(com) * F.col("mx")).cast("long"))
+            .groupBy("query_id")
+            .agg(F.max(F.struct(
+                F.col("score").alias("score"),
+                (-F.col("doc_id")).alias("nd"))).alias("m"))
+            .select(
+                "query_id",
+                F.lit(r).cast("long").alias("rank"),
+                (-F.col("m.nd")).cast("long").alias("doc_id"),
+                F.col("m.score").cast("long").alias("mmr_milli")))
+        selected = (pick if selected is None
+                    else selected.unionByName(pick))
+        selected = selected.localCheckpoint(eager=True)
+    return selected.select("query_id", "rank", "doc_id", "mmr_milli")
+
+
+def duckdb_mmr_sql(cand_rel: str, sims_rel: str, k: int = 5,
+                   lambda_milli: int = DEFAULT_MMR_LAMBDA_MILLI) -> str:
+    """DuckDB mirror of :func:`mmr_rerank` — the round recurrence
+    unrolled one CTE pair per pick (the bpe_merges pattern).
+    ``cand_rel`` exposes (query_id, doc_id, rel_milli); ``sims_rel``
+    exposes (query_id, a, b, sim_milli)."""
+    lam = int(lambda_milli)
+    com = 1000 - lam
+    ctes = [
+        f"mmr_c AS (SELECT CAST(query_id AS BIGINT) AS query_id,"
+        f" CAST(doc_id AS BIGINT) AS doc_id,"
+        f" CAST(rel_milli AS BIGINT) AS rel_milli FROM {cand_rel})",
+        f"mmr_s AS (SELECT CAST(query_id AS BIGINT) AS query_id,"
+        f" CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,"
+        f" CAST(sim_milli AS BIGINT) AS sim_milli FROM {sims_rel}"
+        f" UNION ALL SELECT CAST(query_id AS BIGINT),"
+        f" CAST(b AS BIGINT), CAST(a AS BIGINT),"
+        f" CAST(sim_milli AS BIGINT) FROM {sims_rel})",
+    ]
+    for r in range(1, int(k) + 1):
+        if r == 1:
+            scored = ("SELECT query_id, doc_id, rel_milli,"
+                      " CAST(0 AS BIGINT) AS mx FROM mmr_c")
+        else:
+            prev = f"mmr_sel{r - 1}"
+            scored = f"""
+              SELECT c.query_id, c.doc_id, c.rel_milli,
+                     COALESCE(MAX(mm.sim_milli), 0) AS mx
+              FROM (SELECT * FROM mmr_c c0
+                    WHERE NOT EXISTS (
+                      SELECT 1 FROM {prev} s
+                      WHERE s.query_id = c0.query_id
+                        AND s.doc_id = c0.doc_id)) c
+              LEFT JOIN (SELECT m.query_id, m.b, m.sim_milli
+                         FROM mmr_s m JOIN {prev} s
+                           ON s.query_id = m.query_id
+                          AND s.doc_id = m.a) mm
+                ON mm.query_id = c.query_id AND mm.b = c.doc_id
+              GROUP BY c.query_id, c.doc_id, c.rel_milli"""
+        ctes.append(f"""
+          mmr_pick{r} AS (
+            SELECT query_id, CAST({r} AS BIGINT) AS rank, doc_id,
+                   CAST({lam} * rel_milli - {com} * mx AS BIGINT)
+                     AS mmr_milli
+            FROM ({scored}) sc{r}
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY query_id
+              ORDER BY {lam} * rel_milli - {com} * mx DESC,
+                       doc_id) = 1)""")
+        body = (f"SELECT * FROM mmr_pick{r}" if r == 1 else
+                f"SELECT * FROM mmr_sel{r - 1}"
+                f" UNION ALL SELECT * FROM mmr_pick{r}")
+        ctes.append(f"mmr_sel{r} AS ({body})")
+    return ("WITH " + ", ".join(ctes)
+            + f" SELECT query_id, rank, doc_id, mmr_milli"
+              f" FROM mmr_sel{int(k)}")
