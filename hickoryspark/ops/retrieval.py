@@ -48,7 +48,8 @@ __all__ = ["bm25_scores", "duckdb_bm25_sql", "phrase_match",
            "rrf_fuse", "duckdb_rrf_sql",
            "retrieval_metrics", "duckdb_retrieval_metrics_sql",
            "mine_hard_negatives", "duckdb_hard_negatives_sql",
-           "mmr_rerank", "duckdb_mmr_sql", "DEFAULT_MMR_LAMBDA_MILLI"]
+           "mmr_rerank", "duckdb_mmr_sql", "DEFAULT_MMR_LAMBDA_MILLI",
+           "bm25f_scores", "duckdb_bm25f_sql", "DEFAULT_BM25F_FIELDS"]
 
 
 def _query_terms(queries: DataFrame) -> DataFrame:
@@ -653,3 +654,133 @@ def duckdb_mmr_sql(cand_rel: str, sims_rel: str, k: int = 5,
     return ("WITH " + ", ".join(ctes)
             + f" SELECT query_id, rank, doc_id, mmr_milli"
               f" FROM mmr_sel{int(k)}")
+
+
+#: BM25F default field weights (title boosted over body — Robertson,
+#: Zaragoza & Taylor CIKM 2004's simple weighted-field variant)
+DEFAULT_BM25F_FIELDS = (("title", 3), ("text", 1))
+
+
+def bm25f_scores(docs: DataFrame, queries: DataFrame,
+                 fields=DEFAULT_BM25F_FIELDS,
+                 top_k: int = 10) -> DataFrame:
+    """Fielded BM25 (BM25F, the weighted-field variant of Robertson
+    et al. CIKM 2004): per-term tf and doc length become WEIGHTED
+    sums across fields (``wtf = sum_f w_f * tf_f``, ``wdl = sum_f
+    w_f * len_f``), then the pinned integer-BM25 contribution formula
+    applies unchanged with (wtf, wdl, weighted avgdl). df counts docs
+    where ANY field contains the term. Integer weights keep every
+    quantity BIGINT-exact; same output shape and tie rule as
+    :func:`bm25_scores`.
+
+    Scale shape mirrors bm25_scores: query terms broadcast into the
+    per-field postings before any aggregation, so only matching rows
+    shuffle; per-field dl rollups are map-side combinable; corpus
+    scalars are one tiny agg crossed in; NULL fields count as empty.
+    """
+    from hickoryspark.ops.postings import token_positions
+
+    qt = _query_terms(queries)
+    terms = F.broadcast(qt.select("term").distinct())
+    wtf = None
+    wdl = None
+    for fname, w in fields:
+        fdocs = docs.select(
+            "doc_id", F.coalesce(F.col(fname), F.lit("")).alias("_f"))
+        occ = token_positions(fdocs, "_f")
+        ftf = (occ.join(terms, "term", "left_semi")
+               .groupBy("doc_id", "term")
+               .agg((F.lit(int(w)) * F.count(F.lit(1)))
+                    .cast("long").alias("wtf")))
+        fdl = occ.groupBy("doc_id").agg(
+            (F.lit(int(w)) * F.count(F.lit(1)))
+            .cast("long").alias("wdl"))
+        wtf = ftf if wtf is None else wtf.unionByName(ftf)
+        wdl = fdl if wdl is None else wdl.unionByName(fdl)
+    wtf = wtf.groupBy("doc_id", "term").agg(
+        F.sum("wtf").cast("long").alias("tf"))
+    wdl = wdl.groupBy("doc_id").agg(
+        F.sum("wdl").cast("long").alias("dl"))
+    scalars = (docs.join(wdl, "doc_id", "left")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                    F.sum(F.coalesce(F.col("dl"), F.lit(0)))
+                    .cast("long").alias("total_tokens"))
+               .withColumn("avgdl",
+                           F.expr("total_tokens div n_docs")))
+    qdf = (wtf.groupBy("term")
+           .agg(F.count_distinct("doc_id").cast("long").alias("df")))
+    matched = (qt.join(wtf, "term")
+               .join(qdf, "term")
+               .join(wdl, "doc_id")
+               .crossJoin(F.broadcast(scalars)))
+    contrib = F.expr(
+        "(1000 * 22 * avgdl * tf * (2 * n_docs - 2 * df + 1)) div "
+        "((2 * df + 1) * (10 * avgdl * tf + 3 * avgdl + 9 * dl))")
+    scored = (matched.select("query_id", "doc_id", contrib.alias("c"))
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum("c").cast("long").alias("score_milli")))
+    w_ = Window.partitionBy("query_id").orderBy(
+        F.col("score_milli").desc(), F.col("doc_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w_)
+                              .cast("long"))
+            .where(F.col("rank") <= top_k))
+
+
+def duckdb_bm25f_sql(docs_rel: str, queries_values: str,
+                     fields=DEFAULT_BM25F_FIELDS,
+                     top_k: int = 10) -> str:
+    """Full DuckDB mirror of :func:`bm25f_scores`; ``docs_rel`` must
+    expose (doc_id, <field columns>)."""
+    occ_arms = " UNION ALL ".join(
+        f"SELECT doc_id, t.term, CAST({int(w)} AS BIGINT) AS w"
+        f" FROM {docs_rel}, unnest(list_filter("
+        f" regexp_split_to_array(COALESCE({fname}, ''),"
+        f" '{ASCII_WS_SPLIT_RE}'), s -> s != '')) AS t(term)"
+        for fname, w in fields)
+    return f"""
+        WITH q(query_id, query) AS (VALUES {queries_values}),
+        qt AS (
+          SELECT DISTINCT query_id, t.term
+          FROM q, unnest(list_filter(
+            regexp_split_to_array(query, '{ASCII_WS_SPLIT_RE}'),
+            s -> s != '')) AS t(term)),
+        occf AS ({occ_arms}),
+        tf AS (
+          SELECT doc_id, term, CAST(SUM(w) AS BIGINT) AS tf
+          FROM occf GROUP BY doc_id, term),
+        dl AS (
+          SELECT doc_id, CAST(SUM(w) AS BIGINT) AS dl
+          FROM occf GROUP BY doc_id),
+        scalars AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(COALESCE(SUM(dl), 0) AS BIGINT) AS total_tokens,
+                 CAST(COALESCE(SUM(dl), 0) // COUNT(*) AS BIGINT)
+                     AS avgdl
+          FROM {docs_rel} d LEFT JOIN dl USING (doc_id)),
+        qdf AS (
+          SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+          FROM tf WHERE term IN (SELECT term FROM qt)
+          GROUP BY term),
+        scored AS (
+          SELECT qt.query_id, tf.doc_id,
+                 CAST(SUM(
+                   (1000 * 22 * s.avgdl * tf.tf
+                    * (2 * s.n_docs - 2 * qdf.df + 1))
+                   // ((2 * qdf.df + 1)
+                       * (10 * s.avgdl * tf.tf + 3 * s.avgdl
+                          + 9 * dl.dl))
+                 ) AS BIGINT) AS score_milli
+          FROM qt
+          JOIN tf USING (term) JOIN qdf USING (term)
+          JOIN dl ON dl.doc_id = tf.doc_id
+          CROSS JOIN scalars s
+          GROUP BY qt.query_id, tf.doc_id),
+        ranked AS (
+          SELECT query_id, doc_id, score_milli,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_milli DESC, doc_id ASC) AS BIGINT)
+                     AS rank
+          FROM scored)
+        SELECT query_id, doc_id, score_milli, rank
+        FROM ranked WHERE rank <= {int(top_k)}"""
