@@ -2519,6 +2519,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [("ads.ex",), ("metrics.ex",)], "host string")
         return tracker_audit(res, trackers)
 
+    def q_search_expand(spark, sf):
+        # PRF query expansion (ops/retrieval.expand_queries, Rocchio
+        # expansion-only delta with RM1-style milli feedback LM) over
+        # real documents text and the shared _BM25_QUERIES: the REAL
+        # BM25 scorer picks the feedback docs. Oracle = the full
+        # composed mirror (BM25 CTE + feedback LM + exclusion).
+        from hickoryspark.ops.retrieval import expand_queries
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "text")
+        qs = spark.createDataFrame(_BM25_QUERIES,
+                                   "query_id long, query string")
+        return expand_queries(docs, qs, fb_k=5, n_terms=8)
+
     def q_search_bm25f(spark, sf):
         # BM25F fielded retrieval (ops/retrieval.bm25f_scores,
         # title weight 3 / body 1): titles synthesized closed-form
@@ -8295,6 +8309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tech_stack=q_tech_stack,
         text_tiling=q_text_tiling,
         search_bm25f=q_search_bm25f,
+        search_expand=q_search_expand,
     )
     # The driver's correctness gate records only the FIRST 50 entries in
     # dict order (round-2 verdict: 27 queries had never been driver-
@@ -13098,6 +13113,9 @@ def oracle_sql() -> dict[str, str]:
         " FROM documents)")
     _bm25_qv = ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERIES)
     oracles["search_bm25f"] = duckdb_bm25f_sql(_bf_src, _bm25_qv)
+    from hickoryspark.ops.retrieval import duckdb_expand_sql
+    oracles["search_expand"] = duckdb_expand_sql(
+        "documents", _bm25_qv, fb_k=5, n_terms=8)
     oracles["robots_lint"] = " UNION ALL ".join(
         f"SELECT 'h' || doc_id AS host,"
         f" CAST({r[0]} AS BIGINT) AS n_lines,"

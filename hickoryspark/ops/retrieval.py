@@ -49,7 +49,8 @@ __all__ = ["bm25_scores", "duckdb_bm25_sql", "phrase_match",
            "retrieval_metrics", "duckdb_retrieval_metrics_sql",
            "mine_hard_negatives", "duckdb_hard_negatives_sql",
            "mmr_rerank", "duckdb_mmr_sql", "DEFAULT_MMR_LAMBDA_MILLI",
-           "bm25f_scores", "duckdb_bm25f_sql", "DEFAULT_BM25F_FIELDS"]
+           "bm25f_scores", "duckdb_bm25f_sql", "DEFAULT_BM25F_FIELDS",
+           "expand_queries", "duckdb_expand_sql"]
 
 
 def _query_terms(queries: DataFrame) -> DataFrame:
@@ -784,3 +785,101 @@ def duckdb_bm25f_sql(docs_rel: str, queries_values: str,
           FROM scored)
         SELECT query_id, doc_id, score_milli, rank
         FROM ranked WHERE rank <= {int(top_k)}"""
+
+
+def expand_queries(docs: DataFrame, queries: DataFrame,
+                   fb_k: int = 5, n_terms: int = 8) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio 1971 /
+    RM1-style): take each query's top ``fb_k`` BM25 docs as assumed-
+    relevant feedback, rank their vocabulary by feedback frequency,
+    and emit the top ``n_terms`` NEW terms per query:
+    ``(query_id, term, weight_milli, exp_rank)``.
+
+    Pinned exact-integer dialect: ``weight_milli = (1000 * sum_tf)
+    div fb_len`` where ``sum_tf`` sums the term's tf over the
+    feedback docs and ``fb_len`` is their total token count — the
+    feedback language model P(t|R) in milli (RM1 without the
+    query-likelihood doc weighting; a documented pinned choice).
+    Original query terms are EXCLUDED (Rocchio's expansion-only
+    delta); ties rank by term ascending.
+
+    Scale shape: the feedback set is ``fb_k`` docs per query — tiny —
+    so it broadcasts into the postings join and only feedback-doc
+    token rows ever aggregate; the per-query top-``n_terms`` window
+    runs on the pruned (query, term) grain."""
+    from hickoryspark.ops.postings import token_positions
+
+    fb = bm25_scores(docs, queries, top_k=fb_k).select(
+        "query_id", "doc_id")
+    occ = token_positions(docs, "text")
+    tf = (occ.groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    dl = occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl"))
+    fb_tf = (tf.join(F.broadcast(fb), "doc_id")
+             .groupBy("query_id", "term")
+             .agg(F.sum("tf").cast("long").alias("sum_tf")))
+    fb_len = (dl.join(F.broadcast(fb), "doc_id")
+              .groupBy("query_id")
+              .agg(F.sum("dl").cast("long").alias("fb_len")))
+    qt = _query_terms(queries)
+    fresh = fb_tf.join(qt, ["query_id", "term"], "left_anti")
+    scored = (fresh.join(fb_len, "query_id")
+              .select("query_id", "term",
+                      F.expr("(1000 * sum_tf) div fb_len")
+                      .cast("long").alias("weight_milli")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("weight_milli").desc(), F.col("term").asc())
+    return (scored.withColumn("exp_rank", F.row_number().over(w)
+                              .cast("long"))
+            .where(F.col("exp_rank") <= n_terms))
+
+
+def duckdb_expand_sql(docs_rel: str, queries_values: str,
+                      fb_k: int = 5, n_terms: int = 8) -> str:
+    """Full DuckDB mirror of :func:`expand_queries`."""
+    bm25 = duckdb_bm25_sql(docs_rel, queries_values, top_k=fb_k)
+    return f"""
+        WITH exp_fb AS (
+          SELECT query_id, doc_id FROM ({bm25}) exp_bm25),
+        exp_q(query_id, query) AS (VALUES {queries_values}),
+        exp_qt AS (
+          SELECT DISTINCT query_id, t.term
+          FROM exp_q, unnest(list_filter(
+            regexp_split_to_array(query, '{ASCII_WS_SPLIT_RE}'),
+            s -> s != '')) AS t(term)),
+        exp_occ AS (
+          SELECT doc_id, t.term
+          FROM {docs_rel}, unnest(list_filter(
+            regexp_split_to_array(text, '{ASCII_WS_SPLIT_RE}'),
+            s -> s != '')) AS t(term)),
+        exp_tf AS (
+          SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM exp_occ GROUP BY doc_id, term),
+        exp_dl AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+          FROM exp_occ GROUP BY doc_id),
+        exp_fbtf AS (
+          SELECT f.query_id, t.term,
+                 CAST(SUM(t.tf) AS BIGINT) AS sum_tf
+          FROM exp_tf t JOIN exp_fb f USING (doc_id)
+          GROUP BY f.query_id, t.term),
+        exp_fblen AS (
+          SELECT f.query_id, CAST(SUM(d.dl) AS BIGINT) AS fb_len
+          FROM exp_dl d JOIN exp_fb f USING (doc_id)
+          GROUP BY f.query_id),
+        exp_scored AS (
+          SELECT ft.query_id, ft.term,
+                 CAST((1000 * ft.sum_tf) // fl.fb_len AS BIGINT)
+                     AS weight_milli
+          FROM exp_fbtf ft JOIN exp_fblen fl USING (query_id)
+          WHERE NOT EXISTS (
+            SELECT 1 FROM exp_qt q
+            WHERE q.query_id = ft.query_id AND q.term = ft.term))
+        SELECT query_id, term, weight_milli,
+               CAST(ROW_NUMBER() OVER (
+                 PARTITION BY query_id
+                 ORDER BY weight_milli DESC, term ASC) AS BIGINT)
+                   AS exp_rank
+        FROM exp_scored
+        QUALIFY exp_rank <= {int(n_terms)}"""
