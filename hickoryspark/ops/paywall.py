@@ -1,0 +1,90 @@
+"""Paywall detection — the news-crawl admission signal (paywalled
+articles are licensing-restricted training data and near-useless
+truncated text). Three carriers, most-authoritative-first:
+
+1. ``isAccessibleForFree`` false in a JSON-LD block (the schema.org
+   mechanism Google requires for flexible-sampling paywalls) — read
+   through the REAL ld+json extractor (ops/structured.extract_jsonld)
+   with a custom field path;
+2. ``noarchive`` in ``meta[name=robots]`` (the classic paywall
+   cache-opt-out; tokenized by the shared
+   metadata.robots_directive_tokens rule);
+3. body-text teaser phrases ("subscribe to continue", "subscribers
+   only", "subscription required", "to continue reading") —
+   ASCII-ci per-letter classes, never ``(?i)`` (the soft404 lesson).
+
+Pinned verdict rule: ``is_paywalled = ld_paywall OR (phrase_hit AND
+noarchive)`` — JSON-LD is authoritative alone; a teaser phrase needs
+the cache opt-out to corroborate (phrases appear in nav chrome too).
+
+Scale shape: all three carriers are pruned column scans over the node
+table / text frame that map-side-reduce to one row per url before the
+final small joins; no carrier shuffles page bodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hickoryspark.nodes import TYPE_ELEMENT
+from hickoryspark.ops.metadata import robots_directive_tokens
+from hickoryspark.ops.soft404 import _ascii_ci
+
+__all__ = ["paywall_signals", "PAYWALL_PHRASES", "PAYWALL_PHRASE_RE"]
+
+PAYWALL_PHRASES = (
+    "subscribe to continue",
+    "subscribers only",
+    "subscription required",
+    "to continue reading",
+)
+
+#: generated, Java ∩ RE2 subset, no case flags
+PAYWALL_PHRASE_RE = (
+    "(" + "|".join(_ascii_ci(p) for p in PAYWALL_PHRASES) + ")")
+
+_NAME_ROBOTS_RE = "\\A[Rr][Oo][Bb][Oo][Tt][Ss]\\z"
+
+
+def paywall_signals(nodes: DataFrame, texts: DataFrame) -> DataFrame:
+    """(url, ld_paywall, noarchive, phrase_hit, is_paywalled) —
+    one row per url in ``texts`` (url, text; the page universe).
+    NULL text never phrase-matches."""
+    from hickoryspark.ops.structured import extract_jsonld
+
+    ld = (
+        extract_jsonld(nodes, {"free": "$.isAccessibleForFree"})
+        .where(F.lower(F.coalesce(F.col("free"), F.lit("")))
+               == "false")
+        .select("url").distinct()
+        .withColumn("ld_paywall", F.lit(1).cast("long")))
+    a = F.col("attrs")
+    noarch = (
+        nodes.where(
+            (F.col("type") == TYPE_ELEMENT) & (F.col("tag") == "meta")
+            & F.coalesce(a["name"], F.lit(""))
+            .rlike(_NAME_ROBOTS_RE)
+            & F.array_contains(
+                robots_directive_tokens(a["content"]),
+                "noarchive"))
+        .select("url").distinct()
+        .withColumn("noarchive", F.lit(1).cast("long")))
+    base = texts.select(
+        "url",
+        F.coalesce(F.col("text"), F.lit(""))
+        .rlike(PAYWALL_PHRASE_RE).cast("long").alias("phrase_hit"))
+    out = (base.join(ld, "url", "left").join(noarch, "url", "left")
+           .select(
+               "url",
+               F.coalesce(F.col("ld_paywall"), F.lit(0))
+               .cast("long").alias("ld_paywall"),
+               F.coalesce(F.col("noarchive"), F.lit(0))
+               .cast("long").alias("noarchive"),
+               "phrase_hit"))
+    return out.withColumn(
+        "is_paywalled",
+        F.greatest(
+            F.col("ld_paywall"),
+            F.least(F.col("phrase_hit"), F.col("noarchive")))
+        .cast("long"))
