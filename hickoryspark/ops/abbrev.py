@@ -45,6 +45,23 @@ __all__ = ["find_best_long_form", "extract_abbrev_pairs",
 _ASCII_WS = " \t\n\x0b\f\r"
 
 
+def _ascii_split(s: str) -> list[str]:
+    """ASCII-ws tokenization (Python's str.split() is Unicode-aware
+    and would diverge from the pinned dialect — the CLAUDE.md rule)."""
+    toks: list[str] = []
+    word: list[str] = []
+    for c in s:
+        if c in _ASCII_WS:
+            if word:
+                toks.append("".join(word))
+                word = []
+        else:
+            word.append(c)
+    if word:
+        toks.append("".join(word))
+    return toks
+
+
 def _is_alnum(c: str) -> bool:
     return ("a" <= c <= "z") or ("A" <= c <= "Z") or ("0" <= c <= "9")
 
@@ -86,7 +103,7 @@ def find_best_long_form(short: str, cand: str) -> str | None:
 def _valid_short(sf: str) -> bool:
     if not (2 <= len(sf) <= 10):
         return False
-    if len(sf.split()) > 2:
+    if len(_ascii_split(sf)) > 2:
         return False
     if not _is_alnum(sf[0]):
         return False
@@ -116,7 +133,7 @@ def extract_abbrev_pairs(text: str) -> list[tuple[str, str, int]]:
         if not sf or not _valid_short(sf):
             continue
         before = text[:pos].rstrip(_ASCII_WS)
-        toks = before.split()
+        toks = _ascii_split(before)
         if not toks:
             continue
         window = min(len(sf) + 5, len(sf) * 2)

@@ -16,9 +16,14 @@ Gaussians are neither portable nor hash-stable):
   ``(|s - t| * 100) div (s + t + 1)`` over the summed char lengths
   (monotone in the same signal; bounded 0..100 so it composes with
   the penalties on one integer scale);
-- bead cost = match cost + penalty; the DP minimizes the total, ties
-  broken by bead order 1-1, 1-0, 0-1, 2-1, 1-2, 2-2 (strict ``<``
-  replaces, so the earliest-listed bead wins equal-cost states).
+- bead cost = match cost + penalty; the DP minimizes the total.
+  Pinned tie rule (what strict ``<`` + forward row-major iteration
+  actually yields, empirically verified): an equal-cost state keeps
+  its FIRST writer, which is the predecessor earliest in row-major
+  (i, j) order — i.e. the LARGEST src-consuming bead wins a tie
+  (a 2-2 bead beats two 1-1 beads of the same total cost), and among
+  beads from the SAME predecessor the earliest-listed of
+  :data:`BEADS` (1-1, 1-0, 0-1, 2-1, 1-2, 2-2) wins.
 
 The DP is O(n*m) per pair with a 6-way transition — per-document
 Python over Arrow batches (mapInPandas); the op is shuffle-free.
@@ -119,8 +124,12 @@ def align_sentence_pairs(pairs: DataFrame,
             for pid, s, t in zip(pdf["pair_id"].tolist(),
                                  pdf["_s"].tolist(),
                                  pdf["_t"].tolist()):
-                sl = [len(x) for x in s] if s is not None else []
-                tl = [len(x) for x in t] if t is not None else []
+                # NULL array -> empty; NULL ELEMENT -> length-0
+                # sentence (kept: cardinality must cover every slot)
+                sl = ([0 if x is None else len(x) for x in s]
+                      if s is not None else [])
+                tl = ([0 if x is None else len(x) for x in t]
+                      if t is not None else [])
                 for k, (a, sn, b, tn, c) in enumerate(
                         align_lengths(sl, tl)):
                     rows.append((pid, k, a, sn, b, tn, c))

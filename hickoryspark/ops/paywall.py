@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from hickoryspark.nodes import TYPE_ELEMENT
 from hickoryspark.ops.metadata import robots_directive_tokens
-from hickoryspark.ops.soft404 import _ascii_ci
+from hickoryspark.ops.asciire import ascii_ci_phrase
 
 __all__ = ["paywall_signals", "PAYWALL_PHRASES", "PAYWALL_PHRASE_RE"]
 
@@ -42,7 +42,7 @@ PAYWALL_PHRASES = (
 
 #: generated, Java ∩ RE2 subset, no case flags
 PAYWALL_PHRASE_RE = (
-    "(" + "|".join(_ascii_ci(p) for p in PAYWALL_PHRASES) + ")")
+    "(" + "|".join(ascii_ci_phrase(p) for p in PAYWALL_PHRASES) + ")")
 
 _NAME_ROBOTS_RE = "\\A[Rr][Oo][Bb][Oo][Tt][Ss]\\z"
 

@@ -280,10 +280,13 @@ def tracker_audit(resources: DataFrame,
     grain suffix-explodes into a broadcast semi-join against the
     tiny tracker list, and the matched groups' counts sum back.
     Same cost class as host_blocklist."""
+    from hickoryspark.ops.hosts import _WS_TRIM
+
     t = (
         trackers.select(
             F.regexp_replace(
-                F.lower(F.btrim(F.col("host"))), r"\.\z", ""
+                F.lower(F.btrim(F.col("host"), F.lit(_WS_TRIM))),
+                r"\.\z", ""
             ).alias("t_host"))
         .where(F.col("t_host") != "")
         .distinct()
@@ -324,8 +327,21 @@ def duckdb_tracker_sql(resources_rel: str, tracker_hosts: list[str],
     """DuckDB mirror of :func:`tracker_audit` over a resource
     relation exposing (url, res_host); ``tracker_hosts`` is the
     literal list."""
-    t = ", ".join(
-        f"('{h.strip().lower().rstrip('.')}')" for h in tracker_hosts)
+    # entry normalization mirrors the Spark side EXACTLY (the
+    # hosts.py blocklist rule): trim the ASCII-ws class only, fold
+    # case, strip at most ONE trailing dot; '' entries drop.
+    # Entries are ASCII by contract (EasyPrivacy-style lists).
+    norm = []
+    for h in tracker_hosts:
+        e = h.strip(" \t\n\x0b\f\r").lower()
+        if e.endswith("."):
+            e = e[:-1]
+        if e:
+            norm.append(e)
+    if not norm:
+        raise ValueError("tracker_hosts must contain a non-empty "
+                         "entry (empty VALUES is invalid SQL)")
+    t = ", ".join(f"('{e}')" for e in sorted(set(norm)))
     return f"""
         WITH tk_per AS (
           SELECT url, res_host, CAST(COUNT(*) AS BIGINT) AS n

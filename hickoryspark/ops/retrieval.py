@@ -812,16 +812,16 @@ def expand_queries(docs: DataFrame, queries: DataFrame,
     fb = bm25_scores(docs, queries, top_k=fb_k).select(
         "query_id", "doc_id")
     occ = token_positions(docs, "text")
-    tf = (occ.groupBy("doc_id", "term")
-          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
-    dl = occ.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("dl"))
-    fb_tf = (tf.join(F.broadcast(fb), "doc_id")
-             .groupBy("query_id", "term")
-             .agg(F.sum("tf").cast("long").alias("sum_tf")))
-    fb_len = (dl.join(F.broadcast(fb), "doc_id")
-              .groupBy("query_id")
-              .agg(F.sum("dl").cast("long").alias("fb_len")))
+    # prune to FEEDBACK-DOC rows before any aggregation (the
+    # bm25_scores lesson: Catalyst will not push an inner join below
+    # an aggregate, so aggregating first would shuffle the entire
+    # postings relation); sum-of-per-doc-tf == row count of the
+    # joined occurrence rows, so no per-doc rollup is needed at all
+    fbocc = occ.join(F.broadcast(fb), "doc_id")
+    fb_tf = (fbocc.groupBy("query_id", "term")
+             .agg(F.count(F.lit(1)).cast("long").alias("sum_tf")))
+    fb_len = (fbocc.groupBy("query_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("fb_len")))
     qt = _query_terms(queries)
     fresh = fb_tf.join(qt, ["query_id", "term"], "left_anti")
     scored = (fresh.join(fb_len, "query_id")

@@ -30,18 +30,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hickoryspark.nodes import TYPE_ELEMENT, TYPE_TEXT
+from hickoryspark.ops.chunking import ASCII_WS_SPLIT_RE
 
 __all__ = ["seo_audit", "TITLE_BAND", "DESC_BAND"]
 
 TITLE_BAND = (10, 60)
 DESC_BAND = (50, 160)
 
-_ASCII_WS_SPLIT = "[ \\t\\n\\x0b\\f\\r]+"
-
 
 def _tokens(col):
     return F.array_distinct(
-        F.filter(F.split(F.coalesce(col, F.lit("")), _ASCII_WS_SPLIT),
+        F.filter(F.split(F.coalesce(col, F.lit("")),
+                         ASCII_WS_SPLIT_RE),
                  lambda t: t != ""))
 
 

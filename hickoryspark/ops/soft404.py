@@ -37,6 +37,10 @@ from pyspark.sql import functions as F
 
 from hickoryspark.ops.chunking import ASCII_WS_SPLIT_RE
 
+# single-sourced in ops/asciire.py (promoted there once paywall and
+# techstack needed it too); kept under the old name for importers
+from hickoryspark.ops.asciire import ascii_ci_phrase as _ascii_ci
+
 __all__ = ["soft404_signals", "duckdb_soft404_sql", "ERROR_PHRASE_RE",
            "DEFAULT_THIN_TOKENS"]
 
@@ -45,18 +49,6 @@ ERROR_PHRASES = (
     "page not found", "not be found", "404", "no longer available",
     "does not exist", "page unavailable",
 )
-
-
-def _ascii_ci(phrase: str) -> str:
-    """Per-letter [Xx] classes instead of (?i): Java's (?i) folds
-    ASCII only while RE2's applies Unicode simple folding (U+017F ſ
-    folds to 's' in RE2 alone), so an inline flag would let the two
-    engines disagree on non-ASCII subjects. Explicit classes are
-    byte-identical in both."""
-    return "".join(
-        f"[{c.upper()}{c.lower()}]" if c.isalpha() else c
-        for c in phrase
-    )
 
 
 #: generated pattern, shared verbatim with the DuckDB mirror —

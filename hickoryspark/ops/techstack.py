@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hickoryspark.nodes import TYPE_ELEMENT
+from hickoryspark.ops.asciire import ascii_ci_literal as _ci_substr_re
 
 __all__ = ["TECH_RULES", "detect_tech", "tech_from_carriers",
            "duckdb_tech_sql"]
@@ -49,20 +50,6 @@ TECH_RULES = (
     ("google-analytics", "script", "google-analytics.com"),
     ("google-analytics", "script", "googletagmanager"),
 )
-
-
-def _ci_substr_re(needle: str) -> str:
-    """ASCII-ci substring pattern in the Java ∩ RE2 subset: per-letter
-    [Xx] classes, non-alnum/-/_//. chars backslash-escaped."""
-    out = []
-    for c in needle:
-        if c.isalpha():
-            out.append(f"[{c.upper()}{c.lower()}]")
-        elif c.isdigit() or c in "-_/":
-            out.append(c)
-        else:
-            out.append("\\" + c)
-    return "".join(out)
 
 
 _GENERATOR_NAME_RE = "\\A" + _ci_substr_re("generator") + "\\z"

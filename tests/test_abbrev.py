@@ -99,3 +99,12 @@ def test_spark_path(spark):
         "doc_id long, text string")
     got = sorted(tuple(r) for r in abbrev_pairs(docs).collect())
     assert got == [(1, "HSP", "heat shock protein", 23)]
+
+
+def test_ascii_ws_pinned_not_unicode():
+    # regression (r5 review): U+00A0 is NOT a separator in the pinned
+    # ASCII dialect. SF 'a\u00a0b c' is 2 ASCII tokens (valid) but 3
+    # under Python's Unicode .split() (which would reject it) — the
+    # pair must be extracted.
+    assert pairs("aaa bbb ccc (a\u00a0b c)") == [
+        ("a\u00a0b c", "aaa bbb ccc")]

@@ -30,10 +30,10 @@ def test_deletion_sides():
     assert align_lengths([], []) == []
 
 
-def test_tie_prefers_earlier_bead():
-    # src [0] tgt [0]: 1-1 cost 0; nothing cheaper — trivially 1-1.
-    # Craft a real tie: src [1] tgt [1]: 1-1 -> 0. Use penalties:
-    # src [0,0] tgt [0,0]: 1-1,1-1 total 0 beats 2-2 (191).
+def test_cheaper_small_beads_beat_merge():
+    # src [0,0] tgt [0,0]: 1-1,1-1 total 0 strictly beats 2-2 (191)
+    # — no tie involved (see test_real_tie_largest_bead_wins for the
+    # pinned equal-cost rule).
     assert align_lengths([0, 0], [0, 0]) == [
         (0, 1, 0, 1, 0), (1, 1, 1, 1, 0)]
 
@@ -84,3 +84,23 @@ def test_spark_path(spark):
         (2, 0, 0, 1, 0, 2, 100),
         (3, 0, 0, 0, 0, 1, 261),
     ]
+
+
+def test_real_tie_largest_bead_wins():
+    # regression (r5 review): 1-1,1-1 and 2-2 both cost 191 here
+    # ((2,69) vs (72,0): 2-2 match cost 0 + 191; 1-1 pair costs
+    # |2-72|*100//75 = 93 + |69-0|*100//70 = 98 = 191). The pinned
+    # rule keeps the FIRST writer = the largest bead: one 2-2.
+    assert align_lengths([2, 69], [72, 0]) == [(0, 2, 0, 2, 191)]
+
+
+def test_null_sentence_elements(spark):
+    from hickoryspark.ops.align import align_sentence_pairs
+
+    pairs = spark.createDataFrame(
+        [(1, ["ab", None], ["xy", ""])],
+        "pair_id long, src array<string>, tgt array<string>")
+    got = sorted(tuple(r)
+                 for r in align_sentence_pairs(pairs).collect())
+    # NULL element = length-0 sentence: aligns like the empty string
+    assert got == [(1, 0, 0, 1, 0, 1, 0), (1, 1, 1, 1, 1, 1, 0)]

@@ -57,3 +57,29 @@ def test_mirror_agreement(spark):
         duckdb_tracker_sql("res", [h for h in TRACKERS if h.strip()])
     ).fetchall())
     assert _run(spark) == want
+
+
+def test_entry_normalization_mirror_exact(spark):
+    # regression (r5 review): '\r'-tailed and double-dotted entries
+    # must normalize IDENTICALLY on both sides — ws-class trim, ONE
+    # trailing dot stripped (so 'ads.ex..' keeps one dot and matches
+    # nothing; 'ads.ex\r' matches normally)
+    from hickoryspark.ops.resources import tracker_audit
+
+    rows = [("p1", "cdn.ads.ex"), ("p1", "x.tr.ex")]
+    hostile = ["ads.ex\r", "tr.ex..", "  ", "."]
+    res = spark.createDataFrame(rows, "url string, res_host string")
+    t = spark.createDataFrame([(h,) for h in hostile], "host string")
+    got = sorted(tuple(r) for r in tracker_audit(res, t).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE res2 (url VARCHAR, res_host VARCHAR)")
+    con.executemany("INSERT INTO res2 VALUES (?, ?)", rows)
+    want = sorted(tuple(r) for r in con.execute(
+        duckdb_tracker_sql("res2", hostile)).fetchall())
+    assert got == want
+    assert got == [("p1", 2, 1, 500, 1)]  # only ads.ex survives
+
+
+def test_empty_tracker_list_rejected():
+    with pytest.raises(ValueError):
+        duckdb_tracker_sql("res", ["  ", "."])
