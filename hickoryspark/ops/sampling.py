@@ -312,3 +312,79 @@ def grouped_percentile_buckets(
         cond = cond & F.col(f"_pb_l.{c}").eqNullSafe(F.col(f"_pb_r.{c}"))
     return left.join(right, cond, "left").select(
         "_pb_l.*", F.col("_pb_r.bucket"))
+
+
+def pps_systematic(
+    docs: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    key: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling (the
+    classic PPS design of Madow 1949, offset pinned to 0 so the draw
+    is deterministic and oracle-checkable): lay the corpus out on a
+    weight line in ``key`` order, walk it with a stride of
+    ``total_weight div k``, and pick every row whose weight interval
+    contains a stride multiple. A row heavier than the stride is
+    picked with MULTIPLICITY (``n_picks`` > 1) — the textbook
+    certainty-selection behavior, not an error.
+
+    Output: ``(key, wt, n_picks)`` for selected rows only
+    (``n_picks >= 1``); ``wt`` is the clamped ``greatest(weight, 1)``
+    actually used. ``sum(n_picks) == total_weight div stride``
+    exactly. All arithmetic is non-negative BIGINT (``div`` truncates
+    identically in Spark and DuckDB on non-negatives — the signed-div
+    divergence rule).
+
+    Scale shape: the exclusive prefix sum is the pack_sequences
+    two-phase program (range-partition by key, per-partition local
+    running sums, one tiny per-partition totals frame broadcast back
+    with its offsets) — a bare ``Window.orderBy(key)`` would collapse
+    the whole corpus into ONE task. The ranged frame is
+    localCheckpoint-ed before forking (range boundaries re-sample per
+    materialization — the vocab_growth lesson). The total weight and
+    stride ride a one-row aggregate off the tiny totals frame,
+    cross-joined back (broadcast).
+    """
+    wt = F.greatest(F.col(weight_col).cast("long"), F.lit(1)).alias("wt")
+    base = docs.select(F.col(key), wt)
+    n_parts = num_partitions or base.sparkSession.sparkContext.defaultParallelism
+    part = (
+        base.repartitionByRange(n_parts, F.col(key))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_loc = (
+        Window.partitionBy("_pid")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = part.withColumn(
+        "_before_loc", F.coalesce(F.sum("wt").over(w_loc), F.lit(0))
+    )
+    totals = loc.groupBy("_pid").agg(F.sum("wt").alias("_tot"))
+    w_off = (
+        Window.partitionBy()
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
+    stride = totals.agg(
+        F.expr(f"greatest(sum(_tot) div {int(k)}, 1)").cast("long")
+        .alias("_stride")
+    )
+    return (
+        loc.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(stride))
+        .withColumn("_before", F.col("_off") + F.col("_before_loc"))
+        .withColumn(
+            "n_picks",
+            F.expr("(_before + wt) div _stride - _before div _stride")
+            .cast("long"),
+        )
+        .where(F.col("n_picks") >= 1)
+        .select(key, "wt", "n_picks")
+    )

@@ -292,3 +292,52 @@ def test_grouped_buckets_match_ungrouped_on_one_group(spark):
     b = {r["doc_id"]: r["bucket"]
          for r in percentile_buckets(df, "s", 5).collect()}
     assert a == b
+
+
+def test_pps_systematic_pick_budget_and_determinism(spark, docs):
+    # sum(n_picks) == total div stride exactly; partition-invariant
+    from hickoryspark.ops.sampling import pps_systematic
+
+    out = pps_systematic(docs, 37).collect()
+    total = sum(
+        max(r["n_chars"], 1) for r in docs.select("n_chars").collect()
+    )
+    stride = max(total // 37, 1)
+    assert sum(r["n_picks"] for r in out) == total // stride
+    out2 = pps_systematic(docs.repartition(11), 37, num_partitions=3).collect()
+    assert sorted((r["doc_id"], r["n_picks"]) for r in out) == sorted(
+        (r["doc_id"], r["n_picks"]) for r in out2
+    )
+
+
+def test_pps_systematic_matches_sequential_reference(spark):
+    # independent sequential walk over a skewed weight line, incl. a
+    # giant row that must be picked with multiplicity
+    from hickoryspark.ops.sampling import pps_systematic
+
+    rows = [(i, w) for i, w in enumerate([3, 1, 500, 2, 7, 1, 90, 4, 1, 11])]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    k = 5
+    total = sum(w for _, w in rows)
+    stride = max(total // k, 1)
+    before = 0
+    expect = {}
+    for i, w in rows:
+        n = (before + w) // stride - before // stride
+        if n >= 1:
+            expect[i] = n
+        before += w
+    got = {r["doc_id"]: r["n_picks"] for r in pps_systematic(df, k).collect()}
+    assert got == expect
+    assert max(expect.values()) > 1  # the giant row is a multi-pick
+
+
+def test_pps_systematic_clamps_nonpositive_weights(spark):
+    from hickoryspark.ops.sampling import pps_systematic
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, -5), (2, 10)], "doc_id long, n_chars long"
+    )
+    out = {r["doc_id"]: r["wt"] for r in pps_systematic(df, 12).collect()}
+    # clamped weights participate as 1 (stride 1 picks everything)
+    assert out == {0: 1, 1: 1, 2: 10}
