@@ -1579,6 +1579,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "lang"
         )
 
+    def q_layout_zorder(spark, sf):
+        # z-order file clustering over events on (user_id, seconds
+        # since 2024-01-01): Morton interleave -> z-range file slices
+        # -> per-file footer min/max stats (what a scan planner prunes
+        # against). Exact BIGINT bit arithmetic; the oracle is the
+        # generated full mirror sharing the spread steps verbatim.
+        # timestampdiff over NTZ casts is tz-independent on both
+        # engines (the botdetect rule).
+        from hickoryspark.ops.layout import zorder_file_stats, zorder_layout
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            F.col("user_id").cast("long").alias("uid"),
+            F.expr(
+                "timestampdiff(SECOND, to_timestamp_ntz('2024-01-01 00:00:00'),"
+                " cast(ts as timestamp_ntz))"
+            ).cast("long").alias("secs"),
+        )
+        laid = zorder_layout(
+            ev, "uid", "secs", (0, 1535), (0, (1 << 22) - 1), 64
+        )
+        return zorder_file_stats(laid, "uid", "secs")
+
     def q_sample_pps(spark, sf):
         # systematic PPS (Madow 1949, offset 0): deterministic stride
         # walk over the n_chars weight line in doc_id order; heavy
@@ -5690,6 +5712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sample_stratified=q_sample_stratified,
         sample_temperature=q_sample_temperature,
         sample_pps=q_sample_pps,
+        layout_zorder=q_layout_zorder,
         pack_chunks=q_pack_chunks,
         link_graph=q_link_graph,
         link_anchor_subtree=q_link_anchor_subtree,
@@ -8778,6 +8801,7 @@ _LINK_CTE = DUCKDB_PAGES_CTE + """
 
 def oracle_sql() -> dict[str, str]:
     from hickoryspark.ops import dedup as _dedup
+    from hickoryspark.ops.layout import duckdb_zorder_sql
 
     c = _count_oracle
     stop_list = "['the','a','of','and','to','in','is','it']"
@@ -9218,6 +9242,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN t ON d.lang IS NOT DISTINCT FROM t.lang
             WHERE ('0x' || substr(md5('t0:' || d.doc_id), 1, 6))::BIGINT
                       % 1000 < t.thr""",
+        # z-order layout: the generated full mirror (bucketize +
+        # magic-number spread + interleave + z-range slice + stats)
+        # over the same NTZ seconds derivation
+        "layout_zorder": duckdb_zorder_sql(
+            "(SELECT CAST(user_id AS BIGINT) AS uid,"
+            " CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00',"
+            " ts) AS BIGINT) AS secs FROM events) ev",
+            "uid", "secs", (0, 1535), (0, (1 << 22) - 1), 64,
+        ),
         # systematic PPS: the single-window mirror of the two-phase
         # prefix-sum program (internal HUGEINT sums are fine — every
         # OUTPUT column is cast BIGINT per the hash-stable type rule)
