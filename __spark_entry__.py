@@ -1601,6 +1601,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return zorder_file_stats(laid, "uid", "secs")
 
+    def q_term_assoc(spark, sf):
+        # windowed co-occurrence PMI (ops/cooccur.py): unordered
+        # token pairs within +-3 offsets, Church-Hanks PMI against
+        # the unigram margins, round-6 before the (pmi, w1, w2)
+        # total-order top-k. Oracle = the generated full mirror.
+        from hickoryspark.ops.cooccur import cooccurrence_pmi
+
+        return cooccurrence_pmi(
+            load_documents(spark, sf), window=3, min_count=5, top_k=100
+        )
+
     def q_product_offers(spark, sf):
         # product/offer extraction (ops/offers.py): pages built
         # distributed from documents (doc_id % 5 — JSON-LD only /
@@ -5810,6 +5821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         layout_zorder=q_layout_zorder,
         compaction_plan=q_compaction_plan,
         product_offers=q_product_offers,
+        term_assoc=q_term_assoc,
         pack_chunks=q_pack_chunks,
         link_graph=q_link_graph,
         link_anchor_subtree=q_link_anchor_subtree,
@@ -8899,6 +8911,7 @@ _LINK_CTE = DUCKDB_PAGES_CTE + """
 def oracle_sql() -> dict[str, str]:
     from hickoryspark.ops import dedup as _dedup
     from hickoryspark.ops.compaction import duckdb_compaction_sql
+    from hickoryspark.ops.cooccur import duckdb_cooccur_sql
     from hickoryspark.ops.layout import duckdb_zorder_sql
 
     c = _count_oracle
@@ -9348,6 +9361,11 @@ def oracle_sql() -> dict[str, str]:
             " CAST(date_diff('second', TIMESTAMP '2024-01-01 00:00:00',"
             " ts) AS BIGINT) AS secs FROM events) ev",
             "uid", "secs", (0, 1535), (0, (1 << 22) - 1), 64,
+        ),
+        # windowed co-occurrence PMI: generated full mirror (same
+        # pair streams, margins, and double-op shape)
+        "term_assoc": duckdb_cooccur_sql(
+            "documents", window=3, min_count=5, top_k=100
         ),
         # product offers: closed-form field arithmetic per doc_id
         # variant (v2's meta decoy must lose to JSON-LD; v3's broken
