@@ -138,3 +138,94 @@ def publish_dates(nodes: DataFrame) -> DataFrame:
     )
     return out.select(
         "url", published.alias("published"), source.alias("date_source"))
+
+
+# ---------------------------------------------------------------------------
+# In-text temporal mentions
+
+#: \b-delimited ISO form; \b (not lookaround — RE2 has none) so a
+#: digit-run prefix/suffix disqualifies but punctuation delimits.
+MENTION_ISO_RE = r"\b(\d{4})-(\d{2})-(\d{2})\b"
+
+_MONTHS = ("January", "February", "March", "April", "May", "June",
+           "July", "August", "September", "October", "November",
+           "December")
+
+#: English long form "Month d, yyyy"
+MENTION_LONG_RE = (
+    r"\b(" + "|".join(_MONTHS) + r") (\d{1,2}), (\d{4})\b"
+)
+
+
+def _cal_valid(y: Column, m: Column, d: Column) -> Column:
+    """Full calendar validity incl. month lengths and the Gregorian
+    leap rule (y%4 == 0 and (y%100 != 0 or y%400 == 0))."""
+    leap = (y % 4 == 0) & ((y % 100 != 0) | (y % 400 == 0))
+    days = (
+        F.when(m.isin(1, 3, 5, 7, 8, 10, 12), 31)
+        .when(m.isin(4, 6, 9, 11), 30)
+        .otherwise(F.when(leap, 29).otherwise(28))
+    )
+    return (m >= 1) & (m <= 12) & (d >= 1) & (d <= days)
+
+
+def _month_num(name: Column) -> Column:
+    out = F.lit(None).cast("int")
+    for i, mn in enumerate(_MONTHS, start=1):
+        out = F.when(name == mn, i).otherwise(out)
+    return out
+
+
+def date_mentions(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text) -> (doc_id, raw, iso): every in-text date
+    mention in ISO (``2024-03-15``) or English long form
+    (``March 15, 2024``), normalized to ``yyyy-mm-dd`` and filtered
+    by FULL calendar validity (month lengths + leap years — unlike
+    the metadata-carrier path, body text is noisy enough that
+    ``2023-02-29`` and ``April 31`` appear and must drop). One output
+    row per OCCURRENCE (multiplicity preserved, document order not).
+
+    Both regexes are in the Java-regex ∩ RE2 subset (``\\b``, no
+    lookaround — the sentences-op rule), so the DuckDB mirror matches
+    byte-for-byte. Scale shape: two regexp_extract_all passes +
+    explode, all JVM-side, shuffle-free.
+    """
+    did = F.col("doc_id")
+    text = F.col(text_col)
+
+    # Column-native regexp_extract_all: an F.expr SQL literal would
+    # re-interpret the pattern's backslashes (Spark SQL C-escapes)
+    iso_raw = docs.select(
+        did,
+        F.explode(
+            F.regexp_extract_all(text, F.lit(MENTION_ISO_RE), F.lit(0))
+        ).alias("raw"),
+    )
+    y1 = F.regexp_extract("raw", MENTION_ISO_RE, 1).cast("int")
+    m1 = F.regexp_extract("raw", MENTION_ISO_RE, 2).cast("int")
+    d1 = F.regexp_extract("raw", MENTION_ISO_RE, 3).cast("int")
+    iso_rows = iso_raw.where(_cal_valid(y1, m1, d1)).select(
+        "doc_id", "raw", F.col("raw").alias("iso")
+    )
+
+    long_raw = docs.select(
+        did,
+        F.explode(
+            F.regexp_extract_all(text, F.lit(MENTION_LONG_RE), F.lit(0))
+        ).alias("raw"),
+    )
+    mon = _month_num(F.regexp_extract("raw", MENTION_LONG_RE, 1))
+    d2 = F.regexp_extract("raw", MENTION_LONG_RE, 2).cast("int")
+    y2 = F.regexp_extract("raw", MENTION_LONG_RE, 3).cast("int")
+    long_rows = long_raw.where(_cal_valid(y2, mon, d2)).select(
+        "doc_id",
+        "raw",
+        F.concat(
+            F.lpad(y2.cast("string"), 4, "0"),
+            F.lit("-"),
+            F.lpad(mon.cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad(d2.cast("string"), 2, "0"),
+        ).alias("iso"),
+    )
+    return iso_rows.unionByName(long_rows)

@@ -127,3 +127,68 @@ def test_url_date_with_query_or_fragment_terminator(spark):
     assert out["https://b.ex/2021/07/15#frag"] == ("2021-07-15", "url")
     assert out["https://b.ex/2021/07?x=1"] == ("2021-07-01", "url")
     assert out["https://b.ex/2021/07/159abc"] == ("2021-07-01", "url")
+
+
+# ---------------------------------------------------------------------------
+# In-text date mentions (ops/dates.date_mentions)
+
+
+def test_date_mentions_validity_and_normalization(spark):
+    from hickoryspark.ops.dates import date_mentions
+
+    df = spark.createDataFrame(
+        [
+            (0,
+             "met 2024-03-15 then 2023-02-29 and January 31, 1999 "
+             "also 2024-13-01 plus February 29, 2024 x2024-01-01 "
+             "end 2024-04-31 twice 2024-03-15"),
+            (1, "April 31, 2024 nothing else"),
+            (2, "no dates here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["raw"], r["iso"])
+        for r in date_mentions(df).collect()
+    )
+    assert rows == [
+        (0, "2024-03-15", "2024-03-15"),   # valid ISO, twice
+        (0, "2024-03-15", "2024-03-15"),
+        (0, "February 29, 2024", "2024-02-29"),  # leap year OK
+        (0, "January 31, 1999", "1999-01-31"),
+    ]
+    # dropped: 2023-02-29 (non-leap), 2024-13-01 (month), 2024-04-31
+    # (April has 30), x2024-01-01 (no boundary), April 31 long form
+
+
+def test_date_mentions_mirror_matches(spark):
+    import duckdb
+
+    from hickoryspark.ops.dates import (
+        MENTION_ISO_RE, MENTION_LONG_RE, date_mentions)
+
+    rows = [
+        (0, "on 2000-02-29 and 1900-02-29 or December 1, 0400 "
+            "and May 05, 2024"),
+        (1, "2024-01-01 2024-01-02"),  # adjacent matches both found
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in date_mentions(df).collect())
+    # 1900-02-29 invalid (century non-leap); 2000-02-29 valid (400)
+    assert (0, "1900-02-29", "1900-02-29") not in got
+    assert (0, "2000-02-29", "2000-02-29") in got
+    assert (1, "2024-01-01", "2024-01-01") in got
+    assert (1, "2024-01-02", "2024-01-02") in got
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    # the RE2 side sees the same matches (regex-subset contract)
+    n_iso = con.execute(
+        "SELECT SUM(len(regexp_extract_all(text, ?, 0))) FROM d",
+        [MENTION_ISO_RE],
+    ).fetchone()[0]
+    n_long = con.execute(
+        "SELECT SUM(len(regexp_extract_all(text, ?, 0))) FROM d",
+        [MENTION_LONG_RE],
+    ).fetchone()[0]
+    assert n_iso == 4 and n_long == 2  # raw matches before validity
