@@ -217,3 +217,56 @@ def duckdb_retention_sql(events_rel: str, user: str = "user_id",
                CAST((1000 * r.n_users) // s.cohort_size AS BIGINT)
                  AS retained_milli
         FROM rt_r r JOIN rt_sz s ON r.cohort_week = s.cohort_week"""
+
+
+def event_transitions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Markov transition matrix over event types: (src, dst, n_trans,
+    p_milli) for consecutive events WITHIN a session (the sessionize
+    gap rule — a transition never spans a session break, which is what
+    distinguishes this from a naive per-user lead()).
+
+    ``p_milli`` is the row-normalized transition probability in exact
+    integer permille: ``(1000 * n) div row_total`` — numerator
+    non-negative by construction (the signed-div engine rule).
+
+    Scale shape: ONE shuffle on user_id serves all three window
+    passes (lag for the gap, running-sum for the session id, lead for
+    the successor — same (ts, event_id) sort), then one
+    (src, dst) aggregation with map-side combine and a src-margin
+    equi-join (AQE broadcasts the tiny margin at runtime).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), 1
+    ).otherwise(0)
+    sess = events.withColumn(
+        "_sid",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    stepped = sess.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+        (F.lead("_sid").over(w) == F.col("_sid")).alias("_same"),
+    ).where(F.col("dst").isNotNull() & F.col("_same"))
+    counts = stepped.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    totals = counts.groupBy(F.col("src").alias("_t_src")).agg(
+        F.sum("n_trans").alias("_row_total")
+    )
+    return (
+        counts.join(
+            totals, F.col("src").eqNullSafe(F.col("_t_src"))
+        )
+        .select(
+            "src",
+            "dst",
+            F.col("n_trans").cast("long").alias("n_trans"),
+            F.expr("(1000 * n_trans) div _row_total").cast("long")
+            .alias("p_milli"),
+        )
+    )

@@ -1,0 +1,57 @@
+
+
+"""Event-stream operators (ops/events.py): transition-matrix
+semantics — session-break exclusion and exact-permille rows."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from hickoryspark.spark.session import get_spark
+
+    s = get_spark(4, app_name="hickoryspark-events-tests",
+                  shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_transitions_respect_session_breaks(spark):
+    from datetime import datetime
+
+    from hickoryspark.ops.events import event_transitions
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(mins):
+        return base.replace(hour=mins // 60, minute=mins % 60)
+
+    rows = [
+        # user 1, session A: a->b->a ; 31-min gap ; session B: b->c
+        (1, at(0), 10, "a"), (1, at(1), 11, "b"), (1, at(2), 12, "a"),
+        (1, at(33), 13, "b"), (1, at(34), 14, "c"),
+        # user 2: single event, no transitions
+        (2, at(0), 20, "a"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp_ntz, event_id long, event_type string"
+    )
+    got = {
+        (r["src"], r["dst"]): (r["n_trans"], r["p_milli"])
+        for r in event_transitions(ev).collect()
+    }
+    # a->b once of a-total 1; b->a once, b->c once (b row-total 2)
+    assert got == {
+        ("a", "b"): (1, 1000),
+        ("b", "a"): (1, 500),
+        ("b", "c"): (1, 500),
+    }
+    # the a(2min)->b(33min) cross-session step must NOT appear as a->b
+    # twice — gap 31min broke the session
