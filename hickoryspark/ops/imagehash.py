@@ -134,3 +134,89 @@ def ahash_near_pairs(
         F.col("doc_b").alias("id_b"),
         "hamming",
     )
+
+
+def dhash_bits(arr: np.ndarray, hash_size: int = 8) -> int | None:
+    """Difference hash ("dHash") of an (h, w, 3) uint8 array: block
+    means over an n x (n+1) cell grid, bit (r, c) = STRICT
+    ``cell[r, c+1] > cell[r, c]`` (the horizontal gradient), LSB-first
+    row-major — n*n bits total. None when the image is smaller than
+    the cell grid.
+
+    Gradient comparisons make dHash invariant to any GLOBAL brightness
+    offset by construction (both operands shift together), catching
+    re-encodes that move levels uniformly; it reacts to different
+    structure than aHash (which thresholds against the global mean),
+    so the two hashes are complementary dedup signals.
+    """
+    h, w = arr.shape[:2]
+    n = hash_size
+    if h < n or w < n + 1:
+        return None
+    gray = arr.astype(np.float64).mean(axis=2)
+    rb = (np.arange(n) * h) // n
+    cb = (np.arange(n + 1) * w) // (n + 1)
+    rows = np.add.reduceat(gray, rb, axis=0)
+    cells = np.add.reduceat(rows, cb, axis=1)
+    rcnt = np.diff(np.append(rb, h)).astype(np.float64)
+    ccnt = np.diff(np.append(cb, w)).astype(np.float64)
+    cells = cells / rcnt[:, None] / ccnt[None, :]
+    bits = (cells[:, 1:] > cells[:, :-1]).ravel()
+    packed = np.packbits(bits.astype(np.uint8), bitorder="little")
+    return int.from_bytes(packed.tobytes(), "little")
+
+
+def dhash_images(
+    media: DataFrame,
+    hash_size: int = 8,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """(id, dhash BIGINT) for a binary image column — the dHash twin
+    of :func:`ahash_images` (same codec, same NULL contract)."""
+    if not 1 <= hash_size <= 8:
+        raise ValueError(f"hash_size must be 1..8, got {hash_size}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            out = []
+            for payload in b[payload_col]:
+                if payload is None:
+                    out.append(None)
+                    continue
+                try:
+                    bits = dhash_bits(decode_image(payload), hash_size)
+                except ValueError:
+                    out.append(None)
+                    continue
+                out.append(None if bits is None else _to_signed64(bits))
+            yield pd.DataFrame(
+                {id_col: b[id_col], "dhash": pd.array(out, dtype="Int64")}
+            )
+
+    return media.mapInPandas(gen, f"{id_col} long, dhash long")
+
+
+def dhash_near_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 2,
+    hash_size: int = 8,
+    group_cap: int | None = DEFAULT_GROUP_CAP,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Complete (id_a, id_b, hamming) near-pair set over dHash
+    signatures — the same pigeonhole-banded joiner (and the same
+    hash_size/band-width rule) as :func:`ahash_near_pairs`."""
+    sigs = hashes.where(F.col("dhash").isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col("dhash").alias("simhash")
+    )
+    out = simhash_pairs_from_sigs(
+        sigs, hash_size * hash_size, max_hamming, group_cap
+    )
+    return out.select(
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        "hamming",
+    )

@@ -150,3 +150,52 @@ def test_near_pairs_narrow_hash_bands_scale_to_width(spark):
             if d <= 2:
                 want[(a, b)] = d
     assert got == want and len(want) >= 2
+
+
+# ---------------------------------------------------------------------------
+# dHash
+
+
+def test_dhash_bits_per_bit_reference():
+    import numpy as np
+
+    from hickoryspark.ops.imagehash import dhash_bits
+
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        arr = rng.integers(0, 256, size=(16, 18, 3), dtype=np.uint8)
+        got = dhash_bits(arr, 8)
+        gray = arr.astype(np.float64).mean(axis=2)
+        # independent per-cell means over the same integer grid
+        want = 0
+        for r in range(8):
+            r0, r1 = r * 16 // 8, (r + 1) * 16 // 8
+            means = []
+            for c in range(9):
+                c0, c1 = c * 18 // 9, (c + 1) * 18 // 9
+                means.append(gray[r0:r1, c0:c1].mean())
+            for c in range(8):
+                if means[c + 1] > means[c]:
+                    want |= 1 << (r * 8 + c)
+        assert got == want
+
+
+def test_dhash_brightness_offset_invariant():
+    import numpy as np
+
+    from hickoryspark.ops.imagehash import dhash_bits
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(40, 200, size=(16, 18, 3), dtype=np.uint8)
+    shifted = np.clip(arr.astype(np.int64) + 30, 0, 255).astype(np.uint8)
+    assert dhash_bits(arr) == dhash_bits(shifted)
+
+
+def test_dhash_too_small_is_none():
+    import numpy as np
+
+    from hickoryspark.ops.imagehash import dhash_bits
+
+    # width must cover n+1 cells: an 8x8 image cannot dHash at n=8
+    assert dhash_bits(np.zeros((8, 8, 3), dtype=np.uint8), 8) is None
+    assert dhash_bits(np.zeros((8, 9, 3), dtype=np.uint8), 8) is not None
