@@ -112,3 +112,69 @@ def duckdb_identifiers_sql(input_rel: str, text_col: str = "text",
                unnest(regexp_extract_all({text_col}, '{ISBN_RE}'))
                  AS u(x)
         )"""
+
+
+def cocitation_pairs(
+    ids: DataFrame,
+    min_count: int = 2,
+    per_doc_cap: int = 64,
+) -> DataFrame:
+    """Co-citation analysis (Small, JASIS 1973): two identifiers are
+    co-cited when one document mentions both; the pair count across
+    the corpus is the classic relatedness signal bibliometrics and
+    citation-graph builders consume.
+
+    Input is :func:`extract_identifiers` rows; only ``valid`` ids
+    participate, per-doc values are DISTINCT (a doc repeating a DOI
+    is one citation), and each doc contributes at most
+    ``per_doc_cap`` ids (first by value — the bounded-frames rule: a
+    hostile reference-list page must not fan out quadratically).
+    Pairs are unordered (``id_a < id_b``, ASCII contract).
+
+    Scale shape: the per-doc cap window partitions on doc_id (frames
+    bounded by ids-per-doc), the pair self-join is doc_id-equi with
+    the cap bounding its fan-out, and the count is one aggregation
+    with map-side combine.
+    """
+    from pyspark.sql.window import Window
+
+    di = (
+        ids.where(F.col("valid") == 1)
+        .select("doc_id", "value")
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("value")
+    capped = (
+        di.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= per_doc_cap)
+        .drop("_rk")
+    )
+    a = capped.select(F.col("doc_id"), F.col("value").alias("id_a"))
+    b = capped.select(
+        F.col("doc_id").alias("_bd"), F.col("value").alias("id_b")
+    )
+    return (
+        a.join(b, (a["doc_id"] == b["_bd"]) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= min_count)
+    )
+
+
+def duckdb_cocitation_sql(
+    ids_sql: str, min_count: int = 2, per_doc_cap: int = 64
+) -> str:
+    """Mirror composed over a duckdb_identifiers_sql body."""
+    return f"""
+        WITH ids AS ({ids_sql}),
+        di AS (SELECT DISTINCT doc_id, value FROM ids WHERE valid = 1),
+        cap AS (SELECT doc_id, value FROM (
+                  SELECT doc_id, value,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id
+                                            ORDER BY value) AS rk
+                  FROM di) WHERE rk <= {per_doc_cap})
+        SELECT a.value AS id_a, b.value AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM cap a JOIN cap b
+          ON a.doc_id = b.doc_id AND a.value < b.value
+        GROUP BY 1, 2 HAVING COUNT(*) >= {min_count}"""

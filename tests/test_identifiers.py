@@ -79,3 +79,44 @@ def test_mirror_agreement(spark):
     want = sorted(tuple(r) for r in
                   con.execute(duckdb_identifiers_sql("t")).fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# co-citation
+
+
+def test_cocitation_counts_and_rules(spark):
+    from hickoryspark.ops.identifiers import (
+        cocitation_pairs, extract_identifiers)
+
+    docs = spark.createDataFrame(
+        [
+            (0, "doi:10.1111/aa. doi:10.1111/bb. doi:10.1111/aa."),  # repeat = once
+            (1, "doi:10.1111/aa. doi:10.1111/bb."),
+            (2, "doi:10.1111/aa. doi:10.1111/cc."),
+            (3, "see ISBN 978-0-306-40615-8 and doi:10.1111/aa."),  # bad isbn
+        ],
+        "doc_id long, text string",
+    )
+    ids = extract_identifiers(docs)
+    out = {(r["id_a"], r["id_b"]): r["n_docs"]
+           for r in cocitation_pairs(ids, min_count=1).collect()}
+    assert out[("10.1111/aa", "10.1111/bb")] == 2
+    assert out[("10.1111/aa", "10.1111/cc")] == 1
+    # invalid-checksum ISBN contributes no pair with the doi
+    assert all("978" not in a and "978" not in b for a, b in out)
+    # min_count filter
+    out2 = cocitation_pairs(ids, min_count=2).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out2] == [("10.1111/aa", "10.1111/bb")]
+
+
+def test_cocitation_per_doc_cap_bounds_fanout(spark):
+    from hickoryspark.ops.identifiers import cocitation_pairs
+
+    ids = spark.createDataFrame(
+        [(0, "doi", f"10.9/x{i:03d}", 1) for i in range(10)],
+        "doc_id long, kind string, value string, valid long",
+    )
+    out = cocitation_pairs(ids, min_count=1, per_doc_cap=4).collect()
+    # only the first 4 by value pair up: C(4,2) = 6
+    assert len(out) == 6
