@@ -1601,6 +1601,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return zorder_file_stats(laid, "uid", "secs")
 
+    def q_events_anomaly(spark, sf):
+        # daily crawl-volume anomaly (ops/events.volume_anomaly):
+        # exact lower-median baseline, integer permille flags. Oracle
+        # = the full mirror (floor(epoch) day grain, list-indexed
+        # median).
+        from hickoryspark.ops.events import volume_anomaly
+
+        return volume_anomaly(
+            spark.read.parquet(f"{sf}/events.parquet")
+        )
+
     def q_citation_cocite(spark, sf):
         # co-citation analysis (ops/identifiers.cocitation_pairs,
         # Small 1973) over the REAL identifier extractor: each doc
@@ -6092,6 +6103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         entity_link=q_entity_link,
         article_stitch=q_article_stitch,
         citation_cocite=q_citation_cocite,
+        events_anomaly=q_events_anomaly,
         stylometry_profile=q_stylometry_profile,
         term_burstiness=q_term_burstiness,
         pack_chunks=q_pack_chunks,
@@ -9638,6 +9650,24 @@ def oracle_sql() -> dict[str, str]:
             " ts) AS BIGINT) AS secs FROM events) ev",
             "uid", "secs", (0, 1535), (0, (1 << 22) - 1), 64,
         ),
+        # volume anomaly: full mirror — lower median via sorted-list
+        # index over the tiny daily frame
+        "events_anomaly": """
+            WITH daily AS (
+              SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400
+                       AS day_num,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1),
+            med AS (
+              SELECT list_sort(list(n_events))[
+                       CAST((COUNT(*) + 1) // 2 AS INT)] AS m
+              FROM daily)
+            SELECT d.day_num, d.n_events,
+                   CAST((1000 * d.n_events) // med.m AS BIGINT)
+                     AS p_milli,
+                   (1000 * d.n_events) // med.m >= 1500
+                     OR (1000 * d.n_events) // med.m <= 500 AS anomaly
+            FROM daily d, med""",
         # co-citation: extractor mirror + identical pair SQL
         "citation_cocite": duckdb_cocitation_sql(
             duckdb_identifiers_sql(

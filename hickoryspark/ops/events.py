@@ -270,3 +270,53 @@ def event_transitions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             .alias("p_milli"),
         )
     )
+
+
+def volume_anomaly(
+    events: DataFrame,
+    spike_milli: int = 1500,
+    dip_milli: int = 500,
+) -> DataFrame:
+    """Daily-volume anomaly readout — the ops-monitoring primitive a
+    crawl scheduler watches (a stalled fetcher dips, a crawler trap
+    or bot storm spikes): ``(day_num, n_events, p_milli, anomaly)``
+    per UTC day.
+
+    Pinned exact semantics: ``day_num = floor(epoch_seconds / 86400)``
+    (NTZ wall-clock, tz-independent on both engines); the baseline is
+    the LOWER MEDIAN of the daily counts — the (n+1) div 2-th
+    smallest, a pinned deterministic pick (mean would let one spike
+    poison the baseline); ``p_milli = (1000 * n) div median``;
+    ``anomaly`` iff p_milli >= spike or <= dip.
+
+    Scale shape: one day-grain aggregation (map-side combined); the
+    daily frame is tiny (one row per day), so the median rides a
+    collect_list over it and broadcasts back via a one-row
+    cross join — the EVENT table is touched exactly once.
+    """
+    day = F.expr(
+        "cast(cast(ts as timestamp) as long) div 86400"
+    ).cast("long")
+    daily = events.groupBy(day.alias("day_num")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    med = daily.agg(
+        F.element_at(
+            F.array_sort(F.collect_list("n_events")),
+            F.expr("cast((count(*) + 1) div 2 as int)"),
+        ).alias("_median")
+    )
+    return (
+        daily.crossJoin(F.broadcast(med))
+        .select(
+            "day_num",
+            "n_events",
+            F.expr("(1000 * n_events) div _median").cast("long")
+            .alias("p_milli"),
+        )
+        .withColumn(
+            "anomaly",
+            (F.col("p_milli") >= spike_milli)
+            | (F.col("p_milli") <= dip_milli),
+        )
+    )

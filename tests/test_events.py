@@ -55,3 +55,29 @@ def test_transitions_respect_session_breaks(spark):
     }
     # the a(2min)->b(33min) cross-session step must NOT appear as a->b
     # twice — gap 31min broke the session
+
+
+def test_volume_anomaly_median_and_flags(spark):
+    from datetime import datetime, timedelta
+
+    from hickoryspark.ops.events import volume_anomaly
+
+    rows = []
+    eid = 0
+    base = datetime(2024, 1, 1)
+    # days 0..4 with counts 10, 10, 40, 10, 4 -> sorted 4,10,10,10,40
+    # lower median (n=5 -> 3rd) = 10
+    for day, n in enumerate([10, 10, 40, 10, 4]):
+        for i in range(n):
+            rows.append((eid, base + timedelta(days=day, minutes=i), 1, "e"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+    )
+    out = {r["day_num"] - 19723: (r["n_events"], r["p_milli"], r["anomaly"])
+           for r in volume_anomaly(ev).collect()}
+    assert out[0] == (10, 1000, False)
+    assert out[2] == (40, 4000, True)   # spike
+    assert out[4] == (4, 400, True)     # dip
+    assert len(out) == 5
