@@ -1601,6 +1601,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return zorder_file_stats(laid, "uid", "secs")
 
+    def q_feature_hash(spark, sf):
+        # hashing-trick featurizer (ops/featurehash.py, Weinberger
+        # 2009): 48-bit md5 buckets + sign bit, signed tf sums.
+        # Oracle = the generated full mirror (same salt/slices).
+        from hickoryspark.ops.featurehash import feature_hash
+
+        return feature_hash(load_documents(spark, sf), k=256)
+
     def q_events_anomaly(spark, sf):
         # daily crawl-volume anomaly (ops/events.volume_anomaly):
         # exact lower-median baseline, integer permille flags. Oracle
@@ -6104,6 +6112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         article_stitch=q_article_stitch,
         citation_cocite=q_citation_cocite,
         events_anomaly=q_events_anomaly,
+        feature_hash=q_feature_hash,
         stylometry_profile=q_stylometry_profile,
         term_burstiness=q_term_burstiness,
         pack_chunks=q_pack_chunks,
@@ -9197,6 +9206,7 @@ def oracle_sql() -> dict[str, str]:
     from hickoryspark.ops import dedup as _dedup
     from hickoryspark.ops.compaction import duckdb_compaction_sql
     from hickoryspark.ops.cooccur import duckdb_cooccur_sql
+    from hickoryspark.ops.featurehash import duckdb_feature_hash_sql
     from hickoryspark.ops.identifiers import (
         duckdb_cocitation_sql, duckdb_identifiers_sql)
     from hickoryspark.ops.layout import duckdb_zorder_sql
@@ -9650,6 +9660,8 @@ def oracle_sql() -> dict[str, str]:
             " ts) AS BIGINT) AS secs FROM events) ev",
             "uid", "secs", (0, 1535), (0, (1 << 22) - 1), 64,
         ),
+        # feature hashing: generated full mirror
+        "feature_hash": duckdb_feature_hash_sql("documents", k=256),
         # volume anomaly: full mirror — lower median via sorted-list
         # index over the tiny daily frame
         "events_anomaly": """
