@@ -1601,6 +1601,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return zorder_file_stats(laid, "uid", "secs")
 
+    def q_skipgram_pairs(spark, sf):
+        # word2vec skip-gram pair stream (ops/skipgram.py): Mikolov
+        # frequency subsampling (correctly-rounded sqrt thresholds,
+        # per-occurrence md5 draws) + directed window-2 pairs over
+        # the compacted stream. Oracle = the generated full mirror.
+        from hickoryspark.ops.skipgram import skipgram_pairs
+
+        return skipgram_pairs(load_documents(spark, sf), window=2)
+
     def q_feature_hash(spark, sf):
         # hashing-trick featurizer (ops/featurehash.py, Weinberger
         # 2009): 48-bit md5 buckets + sign bit, signed tf sums.
@@ -6113,6 +6122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         citation_cocite=q_citation_cocite,
         events_anomaly=q_events_anomaly,
         feature_hash=q_feature_hash,
+        skipgram_pairs=q_skipgram_pairs,
         stylometry_profile=q_stylometry_profile,
         term_burstiness=q_term_burstiness,
         pack_chunks=q_pack_chunks,
@@ -9210,6 +9220,7 @@ def oracle_sql() -> dict[str, str]:
     from hickoryspark.ops.identifiers import (
         duckdb_cocitation_sql, duckdb_identifiers_sql)
     from hickoryspark.ops.layout import duckdb_zorder_sql
+    from hickoryspark.ops.skipgram import duckdb_skipgram_sql
     from hickoryspark.ops.stylometry import FUNCTION_WORDS
 
     c = _count_oracle
@@ -9662,6 +9673,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         # feature hashing: generated full mirror
         "feature_hash": duckdb_feature_hash_sql("documents", k=256),
+        # skip-gram pairs: generated full mirror
+        "skipgram_pairs": duckdb_skipgram_sql("documents", window=2),
         # volume anomaly: full mirror — lower median via sorted-list
         # index over the tiny daily frame
         "events_anomaly": """
