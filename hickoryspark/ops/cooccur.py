@@ -77,9 +77,17 @@ def cooccurrence_pmi(
     totals = tok_counts.agg(
         F.sum("c_tok").cast("double").alias("_n_toks")
     )
-    pair_total = (
-        docs.select(F.explode(pair_arrays).alias("pair"))
-        .agg(F.count(F.lit(1)).cast("double").alias("_t_pairs"))
+    # total pair count ARITHMETICALLY from doc lengths — a doc of n
+    # tokens contributes max(n - o, 0) pairs per offset, so a second
+    # end-to-end pair-generation pass just to count rows (which would
+    # double the op's dominant stage at scale) is unnecessary
+    per_doc = sum(
+        (F.greatest(F.size(toks) - o, F.lit(0)) for o in
+         range(1, window + 1)),
+        F.lit(0),
+    )
+    pair_total = docs.agg(
+        F.sum(per_doc).cast("double").alias("_t_pairs")
     )
     t1 = tok_counts.select(F.col("tok").alias("w1"),
                            F.col("c_tok").alias("_c1"))
@@ -122,6 +130,9 @@ def duckdb_cooccur_sql(
 ) -> str:
     """Full mirror: per-offset list_zip pair streams UNIONed, then
     the identical margin joins and the identical pmi expression."""
+    ptot_terms = " + ".join(
+        f"GREATEST(len(toks) - {o}, 0)" for o in range(1, window + 1)
+    )
     offs = "\n            UNION ALL\n".join(
         f"""            SELECT doc_id,
                    LEAST(z[1], z[2]) || ' ' || GREATEST(z[1], z[2]) AS pair
@@ -142,7 +153,8 @@ def duckdb_cooccur_sql(
         tokc AS (SELECT tok, COUNT(*) AS c_tok
                  FROM tk, unnest(toks) AS u(tok) GROUP BY tok),
         tot AS (SELECT CAST(SUM(c_tok) AS DOUBLE) AS n_toks FROM tokc),
-        ptot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t_pairs FROM allp)
+        ptot AS (SELECT CAST(SUM({ptot_terms}) AS DOUBLE) AS t_pairs
+                 FROM tk)
         SELECT string_split(p.pair, ' ')[1] AS w1,
                string_split(p.pair, ' ')[2] AS w2,
                CAST(p.n_pairs AS BIGINT) AS n_pairs,

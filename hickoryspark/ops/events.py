@@ -219,6 +219,18 @@ def duckdb_retention_sql(events_rel: str, user: str = "user_id",
         FROM rt_r r JOIN rt_sz s ON r.cohort_week = s.cohort_week"""
 
 
+def _ntz_epoch_seconds(ts_col: str) -> "F.Column":
+    """Whole seconds since epoch of the NTZ wall-clock — truncated
+    PER TIMESTAMP (floor(epoch(ts)), matching the DuckDB mirrors) and
+    session-timezone-INDEPENDENT: the LTZ route
+    (``cast(ts as timestamp).cast('long')``) re-buckets under a
+    non-UTC driver timezone (the r4 events_windowed lesson)."""
+    return F.expr(
+        f"timestampdiff(SECOND, timestamp_ntz'1970-01-01 00:00:00', "
+        f"date_trunc('SECOND', cast({ts_col} as timestamp_ntz)))"
+    ).cast("long")
+
+
 def event_transitions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Markov transition matrix over event types: (src, dst, n_trans,
     p_milli) for consecutive events WITHIN a session (the sessionize
@@ -236,7 +248,7 @@ def event_transitions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     equi-join (AQE broadcasts the tiny margin at runtime).
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    secs = F.col("ts").cast("timestamp").cast("long")
+    secs = _ntz_epoch_seconds("ts")
     gap = secs - F.lag(secs).over(w)
     new_session = F.when(
         gap.isNull() | (gap > gap_minutes * 60), 1
@@ -294,16 +306,22 @@ def volume_anomaly(
     collect_list over it and broadcasts back via a one-row
     cross join — the EVENT table is touched exactly once.
     """
-    day = F.expr(
-        "cast(cast(ts as timestamp) as long) div 86400"
-    ).cast("long")
-    daily = events.groupBy(day.alias("day_num")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_events")
+    daily = (
+        events.select(_ntz_epoch_seconds("ts").alias("_secs"))
+        .selectExpr("_secs div 86400 AS day_num")
+        .groupBy(F.col("day_num").cast("long").alias("day_num"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
+    # the empty feed must not evaluate element_at at index 0 (Spark
+    # throws there); CASE WHEN evaluates its branch lazily, and the
+    # NULL median never matters — daily has no rows to cross-join
     med = daily.agg(
-        F.element_at(
-            F.array_sort(F.collect_list("n_events")),
-            F.expr("cast((count(*) + 1) div 2 as int)"),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            F.element_at(
+                F.array_sort(F.collect_list("n_events")),
+                F.expr("cast((count(*) + 1) div 2 as int)"),
+            ),
         ).alias("_median")
     )
     return (

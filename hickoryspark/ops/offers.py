@@ -39,7 +39,10 @@ from hickoryspark.nodes import TYPE_ELEMENT
 
 __all__ = ["product_offers", "PRICE_RE"]
 
-PRICE_RE = r"^([0-9]{1,13})(\.([0-9]{1,2}))?$"
+#: \A..\z, never ^..$ — Java's $ matches before a trailing newline
+#: (the cross-dialect anchoring rule), and a strict money validator
+#: must reject '12.34\n'
+PRICE_RE = r"\A([0-9]{1,13})(\.([0-9]{1,2}))?\z"
 
 
 def price_cents(col: Column) -> Column:

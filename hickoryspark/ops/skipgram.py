@@ -21,9 +21,11 @@ Pinned semantics (oracle-reproducible):
 
 Scale shape: one explode + one token-frequency aggregation joined
 back (never a per-token window); per-doc re-ranking is a doc-grain
-window (frames bounded by document length); pair formation is a
-(doc, rank)-equi self-join fanned window-fold wide, then one
-aggregation with map-side combine.
+window (frames bounded by document length); pair formation is one
+TRUE equi-join on (doc_id, rank + delta) per forward offset (a
+doc-only join with a residual gap filter would materialize the full
+per-doc cross product — the join_ngrams O(tokens^2) ban), mirrored
+pairs by column swap, then one aggregation with map-side combine.
 """
 
 from __future__ import annotations
@@ -60,22 +62,18 @@ def skipgram_pairs(
             ).cast("long").alias("_thr"),
         )
     )
-    h = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit(_SALT),
-                    F.col("doc_id").cast("string"),
-                    F.lit(":"),
-                    F.col("pos").cast("string"),
-                    F.lit(":"),
-                    F.col("tok"),
-                )
-            ),
-            1, 6,
+    # shared 24-bit md5 permille draw (sampling._hash_permille):
+    # salt 'sg' + key 'doc:pos:tok' composes to the pinned
+    # 'sg:doc:pos:tok' md5 input
+    from hickoryspark.ops.sampling import _hash_permille
+
+    h = _hash_permille(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(":"),
+            F.col("pos").cast("string"), F.lit(":"), F.col("tok"),
         ),
-        16, 10,
-    ).cast("long") % 1000
+        "sg",
+    )
     kept = (
         t.join(thr, t["tok"] == thr["_f_tok"])
         .where(h < F.col("_thr"))
@@ -83,23 +81,29 @@ def skipgram_pairs(
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     ranked = kept.withColumn("rank", F.row_number().over(w))
+    # pair formation as TRUE equi-joins on (doc_id, rank + delta) —
+    # a doc_id-only join with a residual gap filter materializes the
+    # full per-doc cross product (the join_ngrams O(tokens^2) ban);
+    # one equi-join per forward offset, mirrored pairs by swapping
     a = ranked.select(
         "doc_id", F.col("rank").alias("_ra"), F.col("tok").alias("center")
     )
-    b = ranked.select(
-        F.col("doc_id").alias("_bd"),
-        F.col("rank").alias("_rb"),
-        F.col("tok").alias("context"),
-    )
-    gap = F.col("_rb") - F.col("_ra")
-    pairs = a.join(
-        b,
-        (a["doc_id"] == b["_bd"])
-        & (gap != 0)
-        & (F.abs(gap) <= window),
+    fwd = None
+    for delta in range(1, window + 1):
+        b = ranked.select(
+            "doc_id",
+            (F.col("rank") - delta).alias("_ra"),
+            F.col("tok").alias("context"),
+        )
+        j = a.join(b, ["doc_id", "_ra"]).select("center", "context")
+        fwd = j if fwd is None else fwd.unionByName(j)
+    both = fwd.unionByName(
+        fwd.select(
+            F.col("context").alias("center"), F.col("center").alias("context")
+        )
     )
     return (
-        pairs.groupBy("center", "context")
+        both.groupBy("center", "context")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
 

@@ -81,3 +81,34 @@ def test_volume_anomaly_median_and_flags(spark):
     assert out[2] == (40, 4000, True)   # spike
     assert out[4] == (4, 400, True)     # dip
     assert len(out) == 5
+
+
+def test_volume_anomaly_empty_feed_yields_no_rows(spark):
+    from pyspark.sql import functions as F
+
+    from hickoryspark.ops.events import volume_anomaly
+
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+    assert volume_anomaly(ev).count() == 0
+
+
+def test_event_day_and_gap_are_timezone_independent(spark):
+    # the r4 lesson: NTZ wall-clock arithmetic must not re-bucket
+    # under a non-UTC driver session timezone
+    from datetime import datetime
+
+    from hickoryspark.ops.events import volume_anomaly
+
+    ev = spark.createDataFrame(
+        [(0, datetime(2024, 1, 2, 3, 0, 1), 1, "e")],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+    )
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        kolkata = volume_anomaly(ev).collect()[0]["day_num"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    utc = volume_anomaly(ev).collect()[0]["day_num"]
+    assert kolkata == utc == 19724  # 2024-01-02 as NTZ-UTC wall clock

@@ -100,3 +100,17 @@ def test_price_cents_exactness(spark):
     r = df.collect()[0]
     assert [r[f"c{i}"] for i in range(9)] == [
         1000, 1050, 1055, 7, None, None, None, None, None]
+
+
+def test_price_rejects_trailing_newline(spark):
+    # \z anchoring: Java $ would accept '12.34\n' (review finding)
+    from pyspark.sql import functions as F
+
+    from hickoryspark.ops.offers import price_cents
+
+    r = spark.range(1).select(
+        price_cents(F.lit("12.34\n")).alias("a"),
+        price_cents(F.lit("\n12.34")).alias("b"),
+        price_cents(F.lit("12.34")).alias("c"),
+    ).collect()[0]
+    assert r["a"] is None and r["b"] is None and r["c"] == 1234
