@@ -358,3 +358,39 @@ def duckdb_related_sql(links_rel: str, src: str = "url",
         FROM rh_shared s
         JOIN rh_sizes x ON x.src_host = s.host_a
         JOIN rh_sizes y ON y.src_host = s.host_b"""
+
+
+def degree_histogram(
+    edges: DataFrame,
+    src_col: str = "src_host",
+    dst_col: str = "dst_host",
+) -> DataFrame:
+    """Log2-bucketed degree distribution of a directed edge list —
+    the power-law readout every web-graph paper leads with (Broder et
+    al. WWW 2000): ``(direction, bucket, n_nodes)`` where direction
+    is ``'out'``/``'in'``, and bucket is the degree's BIT LENGTH
+    (degree 1 -> 1, 2-3 -> 2, 4-7 -> 3, ...) — an exact integer
+    binning both engines compute as ``length(bin(degree))`` (the hll
+    bin()-length rank precedent), no floats, no log().
+
+    Distinct neighbors per node (a weighted multi-edge list counts
+    once — degree is connectivity, not traffic). Scale shape: two
+    distinct-pair aggregations (map-side combined) + two tiny
+    histogram rollups, unioned.
+    """
+    def one_side(node_col: str, other_col: str, tag: str) -> DataFrame:
+        deg = (
+            edges.select(F.col(node_col).alias("node"),
+                         F.col(other_col).alias("nbr"))
+            .distinct()
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+        )
+        return deg.groupBy(
+            F.lit(tag).alias("direction"),
+            F.length(F.expr("bin(_deg)")).cast("long").alias("bucket"),
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+    return one_side(src_col, dst_col, "out").unionByName(
+        one_side(dst_col, src_col, "in")
+    )

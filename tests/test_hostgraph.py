@@ -131,3 +131,27 @@ def test_category_mix_keeps_null_key_bucket(spark):
     assert out[(None, "en")] == (2, 666)
     assert out[(None, "de")] == (1, 333)
     assert out[("a.ex", "en")] == (1, 1000)
+
+
+# ---------------------------------------------------------------------------
+# degree_histogram
+
+
+def test_degree_histogram_buckets_and_distinct_rule(spark):
+    from hickoryspark.ops.hostgraph import degree_histogram
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("a", "b"),          # duplicate counts once
+            ("a", "c"), ("a", "d"),          # a: out-degree 3 -> bucket 2
+            ("e", "a"),                      # e: out 1 -> bucket 1
+        ],
+        "src_host string, dst_host string",
+    )
+    out = {(r["direction"], r["bucket"]): r["n_nodes"]
+           for r in degree_histogram(edges).collect()}
+    # out: a=3 (bucket 2), e=1 (bucket 1)
+    assert out[("out", 2)] == 1 and out[("out", 1)] == 1
+    # in: b=1, c=1, d=1, a=1 -> four nodes in bucket 1
+    assert out[("in", 1)] == 4
+    assert sum(n for (d, _), n in out.items() if d == "in") == 4
