@@ -1601,6 +1601,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return zorder_file_stats(laid, "uid", "secs")
 
+    def q_query_params(spark, sf):
+        # query-param profiling (ops/urls.query_param_stats): messy
+        # urls built from documents (repeat keys, flags, empty
+        # values, fragments, first-'='-splits). Oracle = the full
+        # mirror over the same url derivation.
+        from hickoryspark.ops.urls import query_param_stats
+
+        d = F.col("doc_id")
+        url = F.concat(
+            F.lit("https://s.ex/p/"), d.cast("string"),
+            F.when(d % 4 == 0,
+                   F.concat(F.lit("?utm_source=tw&id="),
+                            (d % 50).cast("string")))
+            .when(d % 4 == 1,
+                  F.concat(F.lit("?id="), (d % 50).cast("string"),
+                           F.lit("&id="), (d % 7).cast("string"),
+                           F.lit("&flag")))
+            .when(d % 4 == 2, F.lit("?a=&b=1#c=9"))
+            .otherwise(F.lit("")),
+        )
+        return query_param_stats(
+            load_documents(spark, sf).select(url.alias("url"))
+        )
+
     def q_degree_histogram(spark, sf):
         # log2-bucketed degree distribution (ops/hostgraph.
         # degree_histogram) over a modular multigraph derived from
@@ -6151,6 +6175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         feature_hash=q_feature_hash,
         skipgram_pairs=q_skipgram_pairs,
         degree_histogram=q_degree_histogram,
+        query_params=q_query_params,
         stylometry_profile=q_stylometry_profile,
         term_burstiness=q_term_burstiness,
         pack_chunks=q_pack_chunks,
@@ -9703,6 +9728,36 @@ def oracle_sql() -> dict[str, str]:
         "feature_hash": duckdb_feature_hash_sql("documents", k=256),
         # skip-gram pairs: generated full mirror
         "skipgram_pairs": duckdb_skipgram_sql("documents", window=2),
+        # query-param stats: full mirror over the same url derivation
+        "query_params": """
+            WITH u AS (
+              SELECT 'https://s.ex/p/' || doc_id ||
+                CASE CAST(doc_id % 4 AS INT)
+                  WHEN 0 THEN '?utm_source=tw&id=' || (doc_id % 50)
+                  WHEN 1 THEN '?id=' || (doc_id % 50) || '&id='
+                              || (doc_id % 7) || '&flag'
+                  WHEN 2 THEN '?a=&b=1#c=9'
+                  ELSE '' END AS url
+              FROM documents),
+            p AS (
+              SELECT pr AS pair FROM u,
+                unnest(string_split(regexp_extract(url, '\\?([^#]*)', 1),
+                                    '&')) AS t(pr)
+              WHERE pr <> ''),
+            kv AS (
+              SELECT CASE WHEN position('=' IN pair) > 0
+                          THEN substr(pair, 1, position('=' IN pair) - 1)
+                          ELSE pair END AS param,
+                     CASE WHEN position('=' IN pair) > 0
+                          THEN substr(pair, position('=' IN pair) + 1)
+                     END AS v
+              FROM p)
+            SELECT param, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   CAST(COUNT(DISTINCT v) AS BIGINT)
+                     AS n_distinct_values,
+                   CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_flags
+            FROM kv GROUP BY param""",
         # degree histogram: full mirror over the same modular edges
         "degree_histogram": """
             WITH e AS (

@@ -429,3 +429,44 @@ def duckdb_strip_session_sql(u: str) -> str:
         rep_sql = rep.replace("$1", "\\1")
         u = f"regexp_replace({u}, '{pat}', '{rep_sql}', 'g')"
     return u
+
+
+def query_param_stats(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Corpus-wide query-parameter statistics — the profiling step
+    that FEEDS session-id strip lists and crawler-trap rules (you
+    find 'jsessionid' by seeing a key with one value per URL):
+    ``(param, n_occurrences, n_distinct_values, n_flags)``.
+
+    Pinned parse (raw, no percent-decoding — decoding belongs to the
+    normalizer): the query is everything between the first ``?`` and
+    the fragment; pairs split on ``&``, empty pairs drop; the key is
+    the text before the first ``=``; a pair WITHOUT ``=`` is a flag
+    (NULL value — counted in ``n_flags``, excluded from the distinct
+    values); repeated keys count once per occurrence.
+
+    Scale shape: one regexp + split + explode (shuffle-free), then a
+    single groupBy(param) carrying both counts (count_distinct is
+    the only expansion; map-side partial aggregation applies).
+    """
+    q = F.regexp_extract(F.col(url_col), r"\?([^#]*)", 1)
+    pair = F.explode(
+        F.filter(F.split(q, "&"), lambda p: p != "")
+    ).alias("pair")
+    rows = urls.select(F.col(url_col).alias("_u"), pair)
+    eq = F.locate("=", F.col("pair"))
+    key = F.when(eq > 0, F.substring(F.col("pair"), 1, eq - 1)).otherwise(
+        F.col("pair")
+    )
+    val = F.when(
+        eq > 0, F.expr("substring(pair, locate('=', pair) + 1)")
+    )
+    return (
+        rows.select(key.alias("param"), val.alias("_v"))
+        .groupBy("param")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.count_distinct("_v").cast("long").alias("n_distinct_values"),
+            F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_flags"),
+        )
+    )

@@ -265,3 +265,31 @@ def test_url_features_overwrites_existing_columns(spark):
     row = out.select("host", "path_depth").collect()[0]
     assert row["host"] == "ex.test"
     assert row["path_depth"] == 2
+
+
+# ---------------------------------------------------------------------------
+# query_param_stats
+
+
+def test_query_param_stats_parse_rules(spark):
+    from hickoryspark.ops.urls import query_param_stats
+
+    urls = spark.createDataFrame(
+        [
+            ("https://s.ex/a?id=1&id=2&flag",),
+            ("https://s.ex/b?id=1&a=&x=1#id=9",),   # fragment excluded
+            ("https://s.ex/c",),                     # no query
+            ("https://s.ex/d?&&id=1",),              # empty pairs drop
+            ("https://s.ex/e?k=v=w",),               # first '=' splits
+        ],
+        "url string",
+    )
+    out = {r["param"]: (r["n_occurrences"], r["n_distinct_values"],
+                        r["n_flags"])
+           for r in query_param_stats(urls).collect()}
+    assert out["id"] == (4, 2, 0)     # values 1,2,1,1
+    assert out["flag"] == (1, 0, 1)   # flag: no value
+    assert out["a"] == (1, 1, 0)      # empty string IS a value
+    assert out["x"] == (1, 1, 0)
+    assert out["k"] == (1, 1, 0)      # value 'v=w'
+    assert set(out) == {"id", "flag", "a", "x", "k"}
