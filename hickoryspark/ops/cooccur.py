@@ -69,10 +69,14 @@ def cooccurrence_pmi(
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .where(F.col("n_pairs") >= min_count)
     )
+    # three consumers (corpus total, w1 margin, w2 margin) would each
+    # recompute the token explode+aggregation — localCheckpoint
+    # (eager) runs it ONCE; the frame is vocab-sized
     tok_counts = (
         docs.select(F.explode(toks).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c_tok"))
+        .localCheckpoint(eager=True)
     )
     totals = tok_counts.agg(
         F.sum("c_tok").cast("double").alias("_n_toks")

@@ -80,7 +80,13 @@ def skipgram_pairs(
         .select("doc_id", "pos", "tok")
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
-    ranked = kept.withColumn("rank", F.row_number().over(w))
+    # 2*window join legs consume this frame with DIFFERENT join keys
+    # (rank vs rank-delta), so their exchanges cannot be reused and
+    # each leg would re-run the explode + frequency join + window —
+    # localCheckpoint (eager) pins one materialization
+    ranked = kept.withColumn(
+        "rank", F.row_number().over(w)
+    ).localCheckpoint(eager=True)
     # pair formation as TRUE equi-joins on (doc_id, rank + delta) —
     # a doc_id-only join with a residual gap filter materializes the
     # full per-doc cross product (the join_ngrams O(tokens^2) ban);

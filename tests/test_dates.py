@@ -192,3 +192,31 @@ def test_date_mentions_mirror_matches(spark):
         [MENTION_LONG_RE],
     ).fetchone()[0]
     assert n_iso == 4 and n_long == 2  # raw matches before validity
+
+
+def test_cal_valid_fuzz_vs_python_datetime(spark):
+    # INDEPENDENT oracle: Python's datetime constructor is the
+    # calendar authority; _cal_valid must agree on every (y, m, d)
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    from hickoryspark.ops.dates import _cal_valid
+
+    import random
+
+    rng = random.Random(42)
+    cases = [(rng.randint(1583, 2400), rng.randint(0, 13),
+              rng.randint(0, 32)) for _ in range(300)]
+    cases += [(2000, 2, 29), (1900, 2, 29), (2400, 2, 29), (2023, 2, 29),
+              (2024, 4, 31), (2024, 12, 31), (2024, 1, 0), (2024, 13, 1)]
+    df = spark.createDataFrame(cases, "y int, m int, d int").withColumn(
+        "ok", _cal_valid(F.col("y"), F.col("m"), F.col("d"))
+    )
+    for r in df.collect():
+        try:
+            date(r["y"], r["m"], r["d"])
+            want = True
+        except ValueError:
+            want = False
+        assert r["ok"] == want, (r["y"], r["m"], r["d"])

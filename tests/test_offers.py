@@ -114,3 +114,36 @@ def test_price_rejects_trailing_newline(spark):
         price_cents(F.lit("12.34")).alias("c"),
     ).collect()[0]
     assert r["a"] is None and r["b"] is None and r["c"] == 1234
+
+
+def test_price_cents_fuzz_vs_decimal():
+    # INDEPENDENT oracle: Decimal string parsing scaled to cents
+    import random
+    from decimal import Decimal, InvalidOperation
+
+    import sys as _sys
+
+    _sys.path.insert(0, ".")
+    from hickoryspark.spark.session import get_spark
+
+    from pyspark.sql import functions as F
+
+    from hickoryspark.ops.offers import price_cents
+
+    rng = random.Random(7)
+    pool = "0123456789.x -\n"
+    cases = ["".join(rng.choice(pool) for _ in range(rng.randint(1, 10)))
+             for _ in range(200)] + ["7", "7.1", "7.12", "7.123", ""]
+    spark = get_spark(4, app_name="offers-fuzz", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.createDataFrame([(c,) for c in cases], "s string").withColumn(
+        "c", price_cents(F.col("s")))
+    for r in df.collect():
+        s = r["s"]
+        want = None
+        # the pinned contract: plain decimal, <=13 integer digits,
+        # <=2 fraction digits, no sign, no exponent, nothing else
+        import re
+        if re.fullmatch(r"[0-9]{1,13}(\.[0-9]{1,2})?", s):
+            want = int((Decimal(s) * 100).to_integral_value())
+        assert r["c"] == want, repr(s)

@@ -1227,3 +1227,51 @@ def test_retention_no_windows_no_python(spark):
     plan = _plan(retention_cohorts(ev))
     assert "Window" not in plan, plan
     assert "Python" not in plan
+
+
+def test_skipgram_pairs_no_nested_loop_join(spark):
+    """The pair stage must be TRUE equi-joins on (doc_id, rank+delta):
+    a doc-only join with a residual |gap| filter compiles to a join
+    whose extra condition fans the per-doc cross product (the
+    join_ngrams O(tokens^2) ban). No BroadcastNestedLoopJoin /
+    CartesianProduct anywhere; every Python crossing is absent (pure
+    JVM)."""
+    from hickoryspark.ops.skipgram import skipgram_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text")
+    plan = _plan(skipgram_pairs(docs, window=2))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan and "mapInPandas" not in plan.lower()
+
+
+def test_layout_zorder_stats_single_aggregation_exchange(spark):
+    """zvalue/file_id are shuffle-free column expressions; the stats
+    frame costs exactly ONE hash exchange (the groupBy(file_id)) over
+    the scan."""
+    from pyspark.sql import functions as F
+
+    from hickoryspark.ops.layout import zorder_file_stats, zorder_layout
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.col("user_id").cast("long").alias("uid"),
+        F.col("event_id").cast("long").alias("secs"),
+    )
+    laid = zorder_layout(ev, "uid", "secs", (0, 1023), (0, 1023), 16)
+    plan = _plan(zorder_file_stats(laid, "uid", "secs"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "PythonUDF" not in plan
+
+
+def test_cooccur_single_pair_generation_pass(spark):
+    """The pair total comes from doc lengths and the token margins
+    from ONE checkpointed aggregation: the executed plan carries
+    exactly one Generate (the pair explode) — a second end-to-end
+    pair generation or per-margin token explode would show up here."""
+    from hickoryspark.ops.cooccur import cooccurrence_pmi
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text")
+    plan = _plan(cooccurrence_pmi(docs, window=3, min_count=2))
+    assert plan.count("Generate explode") == 1, plan.count("Generate explode")
