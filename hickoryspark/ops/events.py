@@ -338,3 +338,80 @@ def volume_anomaly(
             | (F.col("p_milli") <= dip_milli),
         )
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """First-/last-touch conversion attribution — the marketing-
+    analytics rollup (which touch gets credit for a purchase):
+    ``(touch_type, n_first, n_last)`` counting conversions whose
+    session's earliest / latest preceding touch was that type;
+    touchless conversions credit ``(direct)``.
+
+    Pinned semantics: touches and conversions order by (ts,
+    event_id); a conversion sees only touches STRICTLY before it in
+    the SAME gap-session (the sessionize rule — credit never crosses
+    a 30-min inactivity break). First/last picks ride fixed-width
+    ``%010d:%010d:`` (secs, event_id) string keys — zero-padded so
+    lexicographic min/max IS the numeric order on both engines (the
+    struct-window forms are not portable to every oracle dialect).
+
+    Scale shape: ONE user_id shuffle serves the session window and
+    both min/max touch windows (same sort); then a tiny per-type
+    rollup from the conversions frame, full-outer-joined null-safely.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = _ntz_epoch_seconds("ts")
+    gap = secs - F.lag(secs).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), 1
+    ).otherwise(0)
+    sess = events.withColumn("_secs", secs).withColumn(
+        "_sid",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    touch_key = F.when(
+        F.col("event_type").isin(*touch_types),
+        F.concat(
+            F.format_string("%010d:%010d:", F.col("_secs"),
+                            F.col("event_id")),
+            F.col("event_type"),
+        ),
+    )
+    ws = Window.partitionBy("user_id", "_sid").orderBy(
+        "ts", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    conv = (
+        sess.withColumn("_first_key", F.min(touch_key).over(ws))
+        .withColumn("_last_key", F.max(touch_key).over(ws))
+        .where(F.col("event_type") == conversion_type)
+        .select(
+            F.coalesce(F.substring("_first_key", 23, 64),
+                       F.lit("(direct)")).alias("first_type"),
+            F.coalesce(F.substring("_last_key", 23, 64),
+                       F.lit("(direct)")).alias("last_type"),
+        )
+    )
+    n_first = conv.groupBy(F.col("first_type").alias("touch_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_first")
+    )
+    n_last = conv.groupBy(
+        F.col("last_type").alias("_lt")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_last"))
+    return (
+        n_first.join(
+            n_last, F.col("touch_type").eqNullSafe(F.col("_lt")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("touch_type", "_lt").alias("touch_type"),
+            F.coalesce("n_first", F.lit(0)).cast("long").alias("n_first"),
+            F.coalesce("n_last", F.lit(0)).cast("long").alias("n_last"),
+        )
+    )

@@ -112,3 +112,37 @@ def test_event_day_and_gap_are_timezone_independent(spark):
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     utc = volume_anomaly(ev).collect()[0]["day_num"]
     assert kolkata == utc == 19724  # 2024-01-02 as NTZ-UTC wall clock
+
+
+def test_touch_attribution_first_last_and_direct(spark):
+    from datetime import datetime, timedelta
+
+    from hickoryspark.ops.events import touch_attribution
+
+    base = datetime(2024, 1, 1)
+
+    def at(m):
+        return base + timedelta(minutes=m)
+
+    rows = [
+        # user 1 session: view, click, purchase -> first=view, last=click
+        (1, at(0), 10, "view"), (1, at(1), 11, "click"),
+        (1, at(2), 12, "purchase"),
+        # 40-min gap: new session with purchase but no touch -> direct
+        (1, at(45), 13, "purchase"),
+        # user 2: click then purchase -> first=last=click; later view
+        # AFTER the purchase must not count
+        (2, at(0), 20, "click"), (2, at(1), 21, "purchase"),
+        (2, at(2), 22, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp_ntz, event_id long, event_type string",
+    )
+    out = {r["touch_type"]: (r["n_first"], r["n_last"])
+           for r in touch_attribution(ev).collect()}
+    assert out == {
+        "view": (1, 0),
+        "click": (1, 2),
+        "(direct)": (1, 1),
+    }
