@@ -1,0 +1,92 @@
+"""Audio feature extraction — the loudness/activity signals an audio
+dataset curator filters on (silence detection, clipping audits,
+speech-vs-tone heuristics) over the repo's real PCM WAV codec:
+
+- ``energy_sq``: sum of squares over ALL raw channel samples (exact
+  BIGINT — 16-bit squares cannot overflow it at any real length);
+- ``zero_crossings``: sign changes of the MONO stream (channel sum in
+  int64; >= 0 counts as non-negative) — the classic ZCR numerator;
+- ``clip_milli``: permille of raw samples at full scale (-32768 or
+  32767) — the clipping audit;
+- ``rms_milli``: ``isqrt(1e6 * mono_energy_sq div n)`` — RMS of the
+  mono stream in exact milli units (``math.isqrt``, never float
+  sqrt, so the value is deterministic at any magnitude);
+- undecodable payloads keep their row with NULL features (the
+  multimodal skip-bad-media contract).
+
+An out-of-phase stereo pair has ``energy_sq`` > 0 but mono RMS 0 —
+raw energy and mono loudness are deliberately distinct signals (the
+audiofp magnitude-sum mono rule is about fingerprints; loudness
+cancellation is real and reported as heard).
+
+Scale shape: one shuffle-free mapInPandas pass, NumPy-vectorized per
+payload, Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from hickoryspark.ops.multimodal import decode_audio
+
+__all__ = ["audio_feature_row", "audio_features"]
+
+
+def audio_feature_row(payload: Optional[bytes]):
+    """(rate, n_samples, n_channels, energy_sq, zero_crossings,
+    clip_milli, rms_milli) or all-None when undecodable."""
+    none = (None,) * 7
+    if payload is None:
+        return none
+    try:
+        rate, samples = decode_audio(payload)
+    except ValueError:
+        return none
+    n, ch = samples.shape
+    if n == 0:
+        return none
+    s64 = samples.astype(np.int64)
+    energy_sq = int((s64 * s64).sum())
+    mono = s64.sum(axis=1)
+    nonneg = mono >= 0
+    zc = int(np.count_nonzero(nonneg[1:] != nonneg[:-1]))
+    n_clip = int(np.count_nonzero(
+        (samples == 32767) | (samples == -32768)))
+    clip_milli = (1000 * n_clip) // (n * ch)
+    mono_energy = int((mono * mono).sum())
+    rms_milli = math.isqrt((1_000_000 * mono_energy) // n)
+    return (int(rate), n, ch, energy_sq, zc, clip_milli, rms_milli)
+
+
+def audio_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Binary WAV column -> one feature row per payload."""
+    schema = (
+        f"{id_col} long, sample_rate long, n_samples long, "
+        "n_channels long, energy_sq long, zero_crossings long, "
+        "clip_milli long, rms_milli long"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            rows = [audio_feature_row(p) for p in b[payload_col]]
+            out = pd.DataFrame(
+                rows,
+                columns=["sample_rate", "n_samples", "n_channels",
+                         "energy_sq", "zero_crossings", "clip_milli",
+                         "rms_milli"],
+            ).astype("Int64")
+            out.insert(0, id_col, b[id_col].values)
+            yield out
+
+    return media.mapInPandas(gen, schema)

@@ -1,0 +1,71 @@
+"""Audio features: exact arithmetic vs hand computation on known
+waveforms, stereo cancellation, clipping, and the NULL contract."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _square(n, p, a):
+    return np.where((np.arange(n) // p) % 2 == 0, a, -a).astype(np.int16)
+
+
+def test_square_wave_hand_computed():
+    from hickoryspark.ops.audiofeat import audio_feature_row
+    from hickoryspark.ops.multimodal import encode_wav
+
+    n, p, a = 200, 5, 1200
+    row = audio_feature_row(encode_wav(_square(n, p, a), 8000))
+    rate, ns, ch, e, zc, clip, rms = row
+    assert (rate, ns, ch) == (8000, n, 1)
+    assert e == n * a * a
+    assert zc == (n - 1) // p
+    assert clip == 0
+    assert rms == 1000 * a
+
+
+def test_stereo_cancellation_and_clipping():
+    from hickoryspark.ops.audiofeat import audio_feature_row
+    from hickoryspark.ops.multimodal import encode_wav
+
+    n, a = 64, 2000
+    left = _square(n, 4, a)
+    stereo = np.stack([left, (-left).astype(np.int16)], axis=1)
+    rate, ns, ch, e, zc, clip, rms = audio_feature_row(
+        encode_wav(stereo, 16000))
+    assert ch == 2 and e == 2 * n * a * a
+    assert rms == 0 and zc == 0  # out-of-phase cancels the mono stream
+
+    clipped = np.full(50, 32767, dtype=np.int16)
+    row = audio_feature_row(encode_wav(clipped, 8000))
+    assert row[5] == 1000 and row[6] == 32767000
+
+
+def test_undecodable_yields_nulls():
+    from hickoryspark.ops.audiofeat import audio_feature_row
+
+    assert audio_feature_row(b"JUNKJUNKJUNK") == (None,) * 7
+    assert audio_feature_row(None) == (None,) * 7
+
+
+def test_spark_path_nulls_and_values():
+    from hickoryspark.spark.session import get_spark
+    from hickoryspark.ops.audiofeat import audio_features
+    from hickoryspark.ops.multimodal import encode_wav
+
+    spark = get_spark(4, app_name="audiofeat-tests", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = [
+        (0, bytearray(encode_wav(_square(100, 2, 500), 8000))),
+        (1, bytearray(b"nope")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in audio_features(df).collect()}
+    assert out[0]["rms_milli"] == 500000 and out[0]["zero_crossings"] == 49
+    assert out[1]["rms_milli"] is None and out[1]["n_samples"] is None
