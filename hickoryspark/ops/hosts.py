@@ -276,3 +276,58 @@ def duckdb_coverage_sql(listed_rel: str, crawled_rel: str,
                CAST(SUM(l * (1 - c)) AS BIGINT) AS n_missing,
                CAST(SUM(c * (1 - l)) AS BIGINT) AS n_stray
         FROM j GROUP BY host"""
+
+
+def subdomain_stats(
+    urls: DataFrame,
+    url_col: str = "url",
+    min_hosts: int = 10,
+    explosion_milli: int = 900,
+    psl_rules=None,
+) -> DataFrame:
+    """Subdomain-explosion audit per registered domain — the
+    crawler-trap signal wildcard-DNS spam farms trip (every URL on a
+    fresh ``<random>.example.com`` host): ``(registered_domain,
+    n_hosts, n_urls, max_labels, host_ratio_milli, explosion)``.
+
+    Pinned semantics: hosts via the WHATWG fold (:func:`url_host`),
+    registered domains via the plan-time PSL chain
+    (ops/psl.registered_domain_col — hosts that ARE a public suffix
+    or unparseable fold out as NULL and are dropped);
+    ``host_ratio_milli = (1000 * n_hosts) div n_urls`` (non-negative
+    exact); ``explosion`` iff ``n_hosts >= min_hosts`` and the ratio
+    >= ``explosion_milli`` — near-one ratio means almost every URL
+    invents a new host.
+
+    Scale shape: host + registered-domain are shuffle-free column
+    expressions; ONE groupBy(registered_domain) carries all four
+    aggregates (count_distinct is the only expansion).
+    """
+    from hickoryspark.ops.psl import registered_domain_col
+
+    host = url_host(F.col(url_col))
+    rd = registered_domain_col(host, psl_rules)
+    labels = F.size(F.split(host, r"\.")).cast("long")
+    base = urls.select(
+        rd.alias("registered_domain"),
+        host.alias("_h"),
+        labels.alias("_labels"),
+    ).where(F.col("registered_domain").isNotNull())
+    return (
+        base.groupBy("registered_domain")
+        .agg(
+            F.count_distinct("_h").cast("long").alias("n_hosts"),
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.max("_labels").alias("max_labels"),
+        )
+        .select(
+            "registered_domain", "n_hosts", "n_urls", "max_labels",
+            F.expr("(1000 * n_hosts) div n_urls").cast("long")
+            .alias("host_ratio_milli"),
+        )
+        .withColumn(
+            "explosion",
+            (F.col("n_hosts") >= min_hosts)
+            & (F.col("host_ratio_milli") >= explosion_milli),
+        )
+    )

@@ -234,3 +234,31 @@ def test_url_host_matches_urlsplit_property(spark):
         if expect == "":
             expect = None
         assert r["h"] == expect, (r["url"], r["h"], expect)
+
+
+# ---------------------------------------------------------------------------
+# subdomain_stats
+
+
+def test_subdomain_explosion_flags(spark):
+    from hickoryspark.ops.hosts import subdomain_stats
+
+    rows = (
+        # trap farm: every url a fresh host under trap.com
+        [(f"https://r{i}.trap.com/p",) for i in range(12)]
+        # healthy site: many urls, two hosts
+        + [(f"https://www.ok.com/p{i}",) for i in range(10)]
+        + [("https://ok.com/root",)]
+        # public-suffix-only host folds out
+        + [("https://com/x",)]
+    )
+    df = spark.createDataFrame(rows, "url string")
+    out = {r["registered_domain"]: r for r in
+           subdomain_stats(df, min_hosts=10).collect()}
+    t = out["trap.com"]
+    assert (t["n_hosts"], t["n_urls"], t["host_ratio_milli"],
+            t["explosion"]) == (12, 12, 1000, True)
+    ok = out["ok.com"]
+    assert ok["n_hosts"] == 2 and ok["explosion"] is False
+    assert ok["max_labels"] == 3  # www.ok.com
+    assert set(out) == {"trap.com", "ok.com"}
