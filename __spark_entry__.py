@@ -1669,6 +1669,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return feature_hash(load_documents(spark, sf), k=256)
 
+    def q_lm_interp(spark, sf):
+        # Jelinek-Mercer interpolated bigram scoring (ops/lm.
+        # jm_bigram_scores): model on the even half, every doc
+        # scored; odd docs exercise unseen bigrams/histories, short
+        # docs the NULL row. Oracle = the generated full mirror.
+        from hickoryspark.ops.lm import jm_bigram_scores
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+            "doc_id", "text")
+        train = docs.where(F.col("doc_id") % 2 == 0)
+        return jm_bigram_scores(train, docs)
+
     def q_subdomain_stats(spark, sf):
         # subdomain-explosion audit (ops/hosts.subdomain_stats):
         # urls derived per doc — a wildcard trap farm (fresh host per
@@ -6263,6 +6275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         events_attribution=q_events_attribution,
         audio_features=q_audio_features,
         subdomain_stats=q_subdomain_stats,
+        lm_interp=q_lm_interp,
         feature_hash=q_feature_hash,
         skipgram_pairs=q_skipgram_pairs,
         degree_histogram=q_degree_histogram,
@@ -9366,6 +9379,7 @@ def oracle_sql() -> dict[str, str]:
     from hickoryspark.ops.identifiers import (
         duckdb_cocitation_sql, duckdb_identifiers_sql)
     from hickoryspark.ops.layout import duckdb_zorder_sql
+    from hickoryspark.ops.lm import duckdb_jm_bigram_sql
     from hickoryspark.ops.skipgram import duckdb_skipgram_sql
     from hickoryspark.ops.stylometry import FUNCTION_WORDS
 
@@ -9875,6 +9889,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'in', CAST(length(bin(deg)) AS BIGINT),
                    CAST(COUNT(*) AS BIGINT)
             FROM ind GROUP BY 2""",
+        # JM bigram interpolation: generated full mirror
+        "lm_interp": duckdb_jm_bigram_sql(
+            "(SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0)",
+            "(SELECT doc_id, text FROM documents)",
+        ),
         # subdomain stats: composed full mirror (host fold + PSL
         # chain generated from the same rules + identical rollup)
         "subdomain_stats": """

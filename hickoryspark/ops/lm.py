@@ -197,3 +197,165 @@ def duckdb_unigram_logprob_sql(train_rel: str, score_rel: str) -> str:
                     THEN CAST(sc.total // sc.n_tokens AS BIGINT)
                END AS micronats_per_token
         FROM {score_rel} d LEFT JOIN scored sc USING (doc_id)"""
+
+
+def jm_bigram_scores(
+    train: DataFrame,
+    score: DataFrame,
+    lam_milli: int = 700,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram LM scoring (Jelinek &
+    Mercer 1980; the fixed-weight member of the smoothing family
+    next to Stupid Backoff and KN continuation in this module):
+    per-document mean cost under
+
+        p(w|h) = lam * c(h,w)/c(h) + (1 - lam) * (c(w)+1)/(N+V+1)
+
+    with ``lam = lam_milli/1000``, the unigram leg add-one-smoothed
+    (so p > 0 always — the interpolation never needs its own OOV
+    case). Output ``(doc_id, n_bigrams, micronats_per_bigram)``;
+    docs with < 2 tokens keep their row with NULL score.
+
+    Cross-engine exactness: the per-BIGRAM cost is quantized first —
+    ``ROUND(-1e6 * ln(term1 + term2))`` where each term is the
+    literal fraction above composed of correctly-rounded IEEE
+    div/mul/add in the SAME written order as the mirror; the doc fold
+    is then BIGINT sum + one integer division (order-independent).
+    An unseen history contributes term1 = 0 (CASE-guarded — never a
+    0/0), matching pure unigram fallback.
+
+    Scale shape: bigram/history/unigram counts are three token-grain
+    aggregations off the train half (vocabulary-sized — joined, not
+    broadcast); scoring is a (doc, gram) tf rollup + three equi-joins
+    + one BIGINT per-doc fold. Corpus scalars cross in broadcast.
+    """
+    from hickoryspark.ops.dedup import join_ngrams
+
+    toks = _toks(text_col)
+    t_uni = train.select(F.explode(toks).alias("w"))
+    uni = t_uni.groupBy("w").agg(F.count("*").cast("long").alias("c_w"))
+    scalars = uni.agg(F.sum("c_w").cast("long").alias("n_train"),
+                      F.count("*").cast("long").alias("v_train"))
+    t_bi = train.select(
+        F.explode(join_ngrams(toks, 2)).alias("gram"))
+    bi = t_bi.groupBy("gram").agg(
+        F.count("*").cast("long").alias("c_hw"))
+    hist = t_uni.groupBy(F.col("w").alias("h")).agg(
+        F.count("*").cast("long").alias("c_h"))
+    # NOTE: c(h) counts every occurrence of h, including a final
+    # token that starts no bigram — the standard ML denominator
+    # approximation; pinned (the mirror uses the same).
+
+    sb = score.select(
+        "doc_id", F.explode_outer(join_ngrams(toks, 2)).alias("gram"))
+    tf = sb.groupBy("doc_id", "gram").agg(
+        F.count(F.when(F.col("gram").isNotNull(), 1))
+        .cast("long").alias("tf"))
+    split = F.split(F.col("gram"), " ")
+    joined = (
+        tf.withColumn("_h", split[0])
+        .withColumn("_w", split[1])
+        .join(bi, "gram", "left")
+        .join(hist, F.col("_h") == F.col("h"), "left")
+        .join(uni.withColumnRenamed("w", "_uw"),
+              F.col("_w") == F.col("_uw"), "left")
+        .crossJoin(F.broadcast(scalars))
+    )
+    lam = float(lam_milli)
+    term1 = F.when(
+        F.coalesce(F.col("c_h"), F.lit(0)) > 0,
+        (F.lit(lam) * F.coalesce(F.col("c_hw"), F.lit(0))
+         .cast("double"))
+        / (F.lit(1000.0) * F.col("c_h").cast("double")),
+    ).otherwise(F.lit(0.0))
+    term2 = (
+        F.lit(1000.0 - lam)
+        * (F.coalesce(F.col("c_w"), F.lit(0)) + 1).cast("double")
+    ) / (
+        F.lit(1000.0)
+        * (F.col("n_train") + F.col("v_train") + 1).cast("double")
+    )
+    cost = F.round(F.lit(-1000000.0) * F.log(term1 + term2)).cast("long")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * cost).cast("long").alias("_total"),
+        F.sum("tf").cast("long").alias("n_bigrams"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.when(F.col("n_bigrams") > 0, F.expr("_total div n_bigrams"))
+        .cast("long").alias("micronats_per_bigram"),
+    )
+
+
+def duckdb_jm_bigram_sql(
+    train_rel: str, score_rel: str, lam_milli: int = 700
+) -> str:
+    """Full mirror of :func:`jm_bigram_scores` — same tokenization,
+    bigram build, cost expression shape, and integer fold."""
+    ws = f"'{ASCII_WS_SPLIT_RE}'"
+    toks = (f"list_filter(regexp_split_to_array(text, {ws}), "
+            "x -> x <> '')")
+    grams = (
+        f"list_transform(range(1, greatest(len({toks}) - 1, 0) + 1), "
+        f"i -> {toks}[i] || ' ' || {toks}[i + 1])"
+    )
+    lam = float(lam_milli)
+    return f"""
+        WITH t_uni AS (
+          SELECT u.w FROM {train_rel},
+               unnest({toks}) AS u(w)
+        ), uni AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w
+          FROM t_uni GROUP BY w
+        ), scalars AS (
+          SELECT CAST(SUM(c_w) AS BIGINT) AS n_train,
+                 CAST(COUNT(*) AS BIGINT) AS v_train FROM uni
+        ), bi AS (
+          SELECT g.gram, CAST(COUNT(*) AS BIGINT) AS c_hw
+          FROM {train_rel}, unnest({grams}) AS g(gram)
+          GROUP BY g.gram
+        ), hist AS (
+          SELECT w AS h, c_w AS c_h FROM uni
+        ), sb AS (
+          SELECT doc_id, g.gram
+          FROM {score_rel}, unnest({grams}) AS g(gram)
+        ), tf AS (
+          SELECT doc_id, gram,
+                 CAST(COUNT(*) AS BIGINT) AS tf
+          FROM sb GROUP BY doc_id, gram
+        ), j AS (
+          SELECT tf.doc_id, tf.gram, tf.tf,
+                 string_split(tf.gram, ' ')[1] AS _h,
+                 string_split(tf.gram, ' ')[2] AS _w,
+                 bi.c_hw, hist.c_h, uni.c_w,
+                 scalars.n_train, scalars.v_train
+          FROM tf
+          LEFT JOIN bi ON tf.gram = bi.gram
+          LEFT JOIN hist ON string_split(tf.gram, ' ')[1] = hist.h
+          LEFT JOIN uni ON string_split(tf.gram, ' ')[2] = uni.w
+          CROSS JOIN scalars
+        ), costed AS (
+          SELECT doc_id, tf,
+                 CAST(ROUND(-1000000.0 * LN(
+                   CASE WHEN COALESCE(c_h, 0) > 0
+                        THEN ({lam} * CAST(COALESCE(c_hw, 0) AS DOUBLE))
+                             / (1000.0 * CAST(c_h AS DOUBLE))
+                        ELSE 0.0 END
+                   + ({1000.0 - lam}
+                      * CAST(COALESCE(c_w, 0) + 1 AS DOUBLE))
+                     / (1000.0 * CAST(n_train + v_train + 1 AS DOUBLE))
+                 )) AS BIGINT) AS cost
+          FROM j
+        ), scored AS (
+          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                 CAST(SUM(tf * cost) AS BIGINT) AS total
+          FROM costed GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CASE WHEN sc.n_bigrams > 0
+                    THEN CAST(sc.total // sc.n_bigrams AS BIGINT)
+               END AS micronats_per_bigram
+        FROM {score_rel} d LEFT JOIN scored sc USING (doc_id)"""

@@ -85,3 +85,60 @@ class TestUnigramLogprob:
         want = sorted(tuple(r) for r in con.execute(
             duckdb_unigram_logprob_sql("tr", "sc")).fetchall())
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Jelinek-Mercer interpolated bigram scoring
+
+
+def test_jm_bigram_hand_computed(spark):
+    import math
+
+    from hickoryspark.ops.lm import jm_bigram_scores
+
+    train = spark.createDataFrame(
+        [(100, "a b a b c")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(0, "a b x"), (1, "solo"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_bigrams"], r["micronats_per_bigram"])
+           for r in jm_bigram_scores(train, score, lam_milli=700).collect()}
+    # train: uni a:2 b:2 c:1 (N=5, V=3); bigrams 'a b':2 'b a':1 'b c':1
+    nv1 = 5 + 3 + 1
+
+    def cost(c_hw, c_h, c_w):
+        t1 = (700.0 * c_hw) / (1000.0 * c_h) if c_h else 0.0
+        t2 = (300.0 * (c_w + 1)) / (1000.0 * nv1)
+        # Python round is banker's; the engines round half-up — use
+        # floor(x + 0.5) which matches for positive costs
+        return math.floor(-1e6 * math.log(t1 + t2) + 0.5)
+
+    want0 = (cost(2, 2, 2) + cost(0, 2, 0)) // 2  # 'a b' + 'b x'
+    assert out[0] == (2, want0)
+    assert out[1] == (0, None)
+    assert out[2] == (0, None)
+
+
+def test_jm_bigram_mirror_matches(spark):
+    import duckdb
+
+    from hickoryspark.ops.lm import duckdb_jm_bigram_sql, jm_bigram_scores
+
+    rows = [(i, " ".join(
+        f"w{(i * j) % 11}" for j in range(1, 8))) for i in range(40)]
+    rows.append((99, ""))
+    train = [(i, t) for i, t in rows if i % 2 == 0]
+    df_t = spark.createDataFrame(train, "doc_id long, text string")
+    df_s = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in
+                 jm_bigram_scores(df_t, df_s).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tr(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO tr VALUES (?, ?)", train)
+    con.execute("CREATE TABLE sc(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO sc VALUES (?, ?)", rows)
+    want = sorted(tuple(r) for r in con.execute(
+        duckdb_jm_bigram_sql("tr", "sc")).fetchall())
+    assert got == want
