@@ -9848,8 +9848,10 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             p AS (
               SELECT pr AS pair FROM u,
-                unnest(string_split(regexp_extract(url, '\\?([^#]*)', 1),
-                                    '&')) AS t(pr)
+                unnest(string_split(
+                  regexp_extract(regexp_extract(url, '^[^#]*', 0),
+                                 '\\?([\\s\\S]*)', 1),
+                  '&')) AS t(pr)
               WHERE pr <> ''),
             kv AS (
               SELECT CASE WHEN position('=' IN pair) > 0
@@ -9966,6 +9968,8 @@ def oracle_sql() -> dict[str, str]:
                        - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT)
                        AS gap
               FROM events
+              WHERE CAST(FLOOR(epoch(ts)) AS BIGINT) >= 0
+                AND event_id >= 0
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
               SELECT *, SUM(CASE WHEN gap IS NULL OR gap > 1800
@@ -9976,13 +9980,13 @@ def oracle_sql() -> dict[str, str]:
               FROM g
             ), k AS (
               SELECT *, CASE WHEN event_type IN ('view', 'click')
-                             THEN printf('%010d:%010d:', secs, event_id)
+                             THEN printf('%019d:%019d:', secs, event_id)
                                   || event_type END AS tk
               FROM s
             ), c AS (
-              SELECT COALESCE(substr(MIN(tk) OVER wp, 23), '(direct)')
+              SELECT COALESCE(substr(MIN(tk) OVER wp, 41), '(direct)')
                        AS first_type,
-                     COALESCE(substr(MAX(tk) OVER wp, 23), '(direct)')
+                     COALESCE(substr(MAX(tk) OVER wp, 41), '(direct)')
                        AS last_type,
                      event_type
               FROM k

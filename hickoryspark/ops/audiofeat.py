@@ -6,8 +6,11 @@ speech-vs-tone heuristics) over the repo's real PCM WAV codec:
   BIGINT — 16-bit squares cannot overflow it at any real length);
 - ``zero_crossings``: sign changes of the MONO stream (channel sum in
   int64; >= 0 counts as non-negative) — the classic ZCR numerator;
-- ``clip_milli``: permille of raw samples at full scale (-32768 or
-  32767) — the clipping audit;
+- ``clip_milli``: permille of raw samples at the source format's
+  full-scale rails — for 16-bit PCM that is -32768 / 32767; for
+  8-bit PCM the codec widens (raw - 128) << 8, so the rails are
+  -32768 (raw 0x00) and 32512 (raw 0xFF): testing only 32767 would
+  make the audit blind to positively-clipped 8-bit audio;
 - ``rms_milli``: ``isqrt(1e6 * mono_energy_sq div n)`` — RMS of the
   mono stream in exact milli units (``math.isqrt``, never float
   sqrt, so the value is deterministic at any magnitude);
@@ -37,6 +40,23 @@ from hickoryspark.ops.multimodal import decode_audio
 __all__ = ["audio_feature_row", "audio_features"]
 
 
+def _wav_bits(payload: bytes) -> int:
+    """Bit depth from the fmt chunk (the decoded array no longer
+    carries it, and the clip rails differ per depth). Assumes the
+    payload already passed decode_audio (same RIFF walk)."""
+    import struct
+
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        if cid == b"fmt ":
+            return struct.unpack_from(
+                "<H", payload[pos + 8:pos + 8 + size], 14)[0]
+        pos += 8 + size + (size & 1)
+    raise ValueError("WAV missing fmt chunk")
+
+
 def audio_feature_row(payload: Optional[bytes]):
     """(rate, n_samples, n_channels, energy_sq, zero_crossings,
     clip_milli, rms_milli) or all-None when undecodable."""
@@ -55,8 +75,9 @@ def audio_feature_row(payload: Optional[bytes]):
     mono = s64.sum(axis=1)
     nonneg = mono >= 0
     zc = int(np.count_nonzero(nonneg[1:] != nonneg[:-1]))
+    pos_rail = 32512 if _wav_bits(bytes(payload)) == 8 else 32767
     n_clip = int(np.count_nonzero(
-        (samples == 32767) | (samples == -32768)))
+        (samples == pos_rail) | (samples == -32768)))
     clip_milli = (1000 * n_clip) // (n * ch)
     mono_energy = int((mono * mono).sum())
     rms_milli = math.isqrt((1_000_000 * mono_energy) // n)

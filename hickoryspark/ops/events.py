@@ -356,9 +356,12 @@ def touch_attribution(
     event_id); a conversion sees only touches STRICTLY before it in
     the SAME gap-session (the sessionize rule — credit never crosses
     a 30-min inactivity break). First/last picks ride fixed-width
-    ``%010d:%010d:`` (secs, event_id) string keys — zero-padded so
-    lexicographic min/max IS the numeric order on both engines (the
-    struct-window forms are not portable to every oracle dialect).
+    ``%019d:%019d:`` (secs, event_id) string keys — 19 digits covers
+    every non-negative BIGINT, so lexicographic min/max IS the
+    numeric order on both engines (the struct-window forms are not
+    portable to every oracle dialect). Rows with pre-epoch
+    timestamps or negative event ids are DROPPED (zero-padding
+    cannot order signed values — the retention pre-epoch rule).
 
     Scale shape: ONE user_id shuffle serves the session window and
     both min/max touch windows (same sort); then a tiny per-type
@@ -366,6 +369,9 @@ def touch_attribution(
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     secs = _ntz_epoch_seconds("ts")
+    events = events.where(
+        (secs >= 0) & (F.col("event_id") >= 0)
+    )
     gap = secs - F.lag(secs).over(w)
     new_session = F.when(
         gap.isNull() | (gap > gap_minutes * 60), 1
@@ -379,7 +385,7 @@ def touch_attribution(
     touch_key = F.when(
         F.col("event_type").isin(*touch_types),
         F.concat(
-            F.format_string("%010d:%010d:", F.col("_secs"),
+            F.format_string("%019d:%019d:", F.col("_secs"),
                             F.col("event_id")),
             F.col("event_type"),
         ),
@@ -392,9 +398,11 @@ def touch_attribution(
         .withColumn("_last_key", F.max(touch_key).over(ws))
         .where(F.col("event_type") == conversion_type)
         .select(
-            F.coalesce(F.substring("_first_key", 23, 64),
+            # 2-arg substring: unbounded tail (a length cap would
+            # truncate long event types and desync the mirror)
+            F.coalesce(F.expr("substring(_first_key, 41)"),
                        F.lit("(direct)")).alias("first_type"),
-            F.coalesce(F.substring("_last_key", 23, 64),
+            F.coalesce(F.expr("substring(_last_key, 41)"),
                        F.lit("(direct)")).alias("last_type"),
         )
     )

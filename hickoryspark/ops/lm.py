@@ -233,19 +233,27 @@ def jm_bigram_scores(
     from hickoryspark.ops.dedup import join_ngrams
 
     toks = _toks(text_col)
-    t_uni = train.select(F.explode(toks).alias("w"))
-    uni = t_uni.groupBy("w").agg(F.count("*").cast("long").alias("c_w"))
+    # three consumers (scalars, the unigram join, the history counts)
+    # would each re-run the token explode+aggregation — checkpoint
+    # once (the cooccurrence_pmi rule); hist IS uni renamed, exactly
+    # as the mirror writes it
+    uni = (
+        train.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c_w"))
+        .localCheckpoint(eager=True)
+    )
     scalars = uni.agg(F.sum("c_w").cast("long").alias("n_train"),
                       F.count("*").cast("long").alias("v_train"))
     t_bi = train.select(
         F.explode(join_ngrams(toks, 2)).alias("gram"))
     bi = t_bi.groupBy("gram").agg(
         F.count("*").cast("long").alias("c_hw"))
-    hist = t_uni.groupBy(F.col("w").alias("h")).agg(
-        F.count("*").cast("long").alias("c_h"))
     # NOTE: c(h) counts every occurrence of h, including a final
     # token that starts no bigram — the standard ML denominator
     # approximation; pinned (the mirror uses the same).
+    hist = uni.select(F.col("w").alias("h"),
+                      F.col("c_w").alias("c_h"))
 
     sb = score.select(
         "doc_id", F.explode_outer(join_ngrams(toks, 2)).alias("gram"))

@@ -448,11 +448,15 @@ def query_param_stats(urls: DataFrame, url_col: str = "url") -> DataFrame:
     single groupBy(param) carrying both counts (count_distinct is
     the only expansion; map-side partial aggregation applies).
     """
-    q = F.regexp_extract(F.col(url_col), r"\?([^#]*)", 1)
+    # the query lives in the PRE-fragment prefix: a '?' inside the
+    # fragment ('#/route?tab=1' SPA urls) is fragment content, not a
+    # query (RFC 3986) — extract the prefix first so it cannot match
+    prefrag = F.regexp_extract(F.col(url_col), r"^[^#]*", 0)
+    q = F.regexp_extract(prefrag, r"\?([\s\S]*)", 1)
     pair = F.explode(
         F.filter(F.split(q, "&"), lambda p: p != "")
     ).alias("pair")
-    rows = urls.select(F.col(url_col).alias("_u"), pair)
+    rows = urls.select(pair)
     eq = F.locate("=", F.col("pair"))
     key = F.when(eq > 0, F.substring(F.col("pair"), 1, eq - 1)).otherwise(
         F.col("pair")

@@ -69,3 +69,24 @@ def test_spark_path_nulls_and_values():
     out = {r["media_id"]: r for r in audio_features(df).collect()}
     assert out[0]["rms_milli"] == 500000 and out[0]["zero_crossings"] == 49
     assert out[1]["rms_milli"] is None and out[1]["n_samples"] is None
+
+
+def test_8bit_positive_rail_clipping_detected():
+    # review finding: 8-bit widening maps 0xFF to 32512, not 32767 —
+    # the clip audit must use the source format's rails
+    import struct
+
+    from hickoryspark.ops.audiofeat import audio_feature_row
+
+    def wav8(raw: bytes) -> bytes:
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        chunks = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", len(raw)) + raw)
+        return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+    row_pos = audio_feature_row(wav8(b"\xff" * 40))
+    assert row_pos[5] == 1000  # clip_milli: positive rail counted
+    row_neg = audio_feature_row(wav8(b"\x00" * 40))
+    assert row_neg[5] == 1000
+    row_mid = audio_feature_row(wav8(b"\x80" * 40))
+    assert row_mid[5] == 0

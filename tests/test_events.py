@@ -146,3 +146,25 @@ def test_touch_attribution_first_last_and_direct(spark):
         "click": (1, 2),
         "(direct)": (1, 1),
     }
+
+
+def test_attribution_drops_pre_epoch_and_keeps_long_types(spark):
+    # review finding: signed secs break zero-padded key ordering —
+    # pre-epoch rows drop; >40-char event types survive un-truncated
+    from datetime import datetime
+
+    from hickoryspark.ops.events import touch_attribution
+
+    long_type = "view_" + "x" * 70
+    rows = [
+        (1, datetime(1969, 12, 31, 23, 0), 1, long_type),  # pre-epoch
+        (1, datetime(2024, 1, 1, 0, 0), 2, long_type),
+        (1, datetime(2024, 1, 1, 0, 1), 3, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp_ntz, event_id long, event_type string",
+    )
+    out = {r["touch_type"]: (r["n_first"], r["n_last"]) for r in
+           touch_attribution(ev, touch_types=(long_type,)).collect()}
+    assert out == {long_type: (1, 1)}

@@ -293,3 +293,17 @@ def test_query_param_stats_parse_rules(spark):
     assert out["x"] == (1, 1, 0)
     assert out["k"] == (1, 1, 0)      # value 'v=w'
     assert set(out) == {"id", "flag", "a", "x", "k"}
+
+
+def test_query_param_stats_fragment_question_mark(spark):
+    # RFC 3986: a '?' inside the fragment is fragment content, not a
+    # query (review finding) — SPA route urls must yield no params
+    from hickoryspark.ops.urls import query_param_stats
+
+    urls = spark.createDataFrame(
+        [("https://s.ex/app#/route?tab=1",),
+         ("https://s.ex/a?x=1#/r?y=2",)],
+        "url string",
+    )
+    out = {r["param"] for r in query_param_stats(urls).collect()}
+    assert out == {"x"}
