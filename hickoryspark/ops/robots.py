@@ -328,3 +328,128 @@ def host_crawl_delays(robots: DataFrame, agent: str = "*",
 
     return robots.select("host", "content").mapInPandas(
         gen, "host string, delay_ms long")
+
+
+def robots_rules_df(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    content_col: str = "content",
+) -> DataFrame:
+    """(host, content) -> DISTINCT effective rule rows
+    ``(host, is_allow, value)`` for ``agent`` — the same
+    parse_robots/rules_for_agent pair the evaluator uses, exposed
+    relationally so rule SETS can be joined/diffed."""
+    import pandas as pd
+
+    def gen(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            hosts, allows, values = [], [], []
+            for host, content in zip(b[host_col], b[content_col]):
+                if content is None:
+                    continue
+                for is_allow, value in rules_for_agent(
+                    parse_robots(str(content)), agent
+                ):
+                    hosts.append(host)
+                    allows.append(bool(is_allow))
+                    values.append(value)
+            yield pd.DataFrame(
+                {"host": hosts, "is_allow": allows, "value": values}
+            )
+
+    return robots.mapInPandas(
+        gen, "host string, is_allow boolean, value string"
+    ).distinct()
+
+
+def robots_drift(
+    old: DataFrame,
+    new: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    content_col: str = "content",
+) -> DataFrame:
+    """Rule-level robots.txt drift between two snapshots — the
+    monitoring signal a recrawl scheduler watches (a host that
+    TIGHTENS its policy invalidates cached admission verdicts):
+    ``(host, n_added, n_removed, n_unchanged, tightened, status)``.
+
+    Pinned semantics: the diff is over the DISTINCT effective rule
+    set for ``agent`` (presence, not multiplicity); ``tightened`` iff
+    any DISALLOW rule was added or any ALLOW rule removed; ``status``
+    is ``added_host`` / ``removed_host`` (host present in one
+    snapshot only — tracked via presence columns off the INPUT host
+    sets, the crawl_delta lesson: a host whose robots parses to zero
+    rules is still present) / ``changed`` / ``unchanged``.
+
+    Scale shape: two shuffle-free parse passes, one (host, is_allow,
+    value) full-outer equi-join + one host-grain rollup, one host
+    presence full-outer join.
+    """
+    o = robots_rules_df(old, agent, host_col, content_col).select(
+        "host", "is_allow", "value", F.lit(1).alias("_in_old")
+    )
+    n = robots_rules_df(new, agent, host_col, content_col).select(
+        F.col("host").alias("_nh"),
+        F.col("is_allow").alias("_na"),
+        F.col("value").alias("_nv"),
+        F.lit(1).alias("_in_new"),
+    )
+    joined = o.join(
+        n,
+        (F.col("host") == F.col("_nh"))
+        & (F.col("is_allow") == F.col("_na"))
+        & (F.col("value") == F.col("_nv")),
+        "full_outer",
+    ).select(
+        F.coalesce("host", "_nh").alias("host"),
+        F.coalesce("is_allow", "_na").alias("is_allow"),
+        F.col("_in_old"),
+        F.col("_in_new"),
+    )
+    per_host = joined.groupBy("host").agg(
+        F.sum(F.when(F.col("_in_old").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_added"),
+        F.sum(F.when(F.col("_in_new").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_removed"),
+        F.sum(F.when(F.col("_in_old").isNotNull()
+                     & F.col("_in_new").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_unchanged"),
+        F.max(
+            F.when(
+                (F.col("_in_old").isNull() & ~F.col("is_allow"))
+                | (F.col("_in_new").isNull() & F.col("is_allow")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("_tight"),
+    )
+    oh = old.select(F.col(host_col).alias("host")).distinct().withColumn(
+        "_h_old", F.lit(1))
+    nh = new.select(F.col(host_col).alias("_nhh")).distinct().withColumn(
+        "_h_new", F.lit(1))
+    hosts = oh.join(
+        nh, F.col("host") == F.col("_nhh"), "full_outer"
+    ).select(
+        F.coalesce("host", "_nhh").alias("host"), "_h_old", "_h_new"
+    )
+    out = hosts.join(per_host, "host", "left")
+    n_added = F.coalesce("n_added", F.lit(0))
+    n_removed = F.coalesce("n_removed", F.lit(0))
+    status = (
+        F.when(F.col("_h_old").isNull(), "added_host")
+        .when(F.col("_h_new").isNull(), "removed_host")
+        .when((n_added + n_removed) > 0, "changed")
+        .otherwise("unchanged")
+    )
+    return out.select(
+        "host",
+        n_added.cast("long").alias("n_added"),
+        n_removed.cast("long").alias("n_removed"),
+        F.coalesce("n_unchanged", F.lit(0)).cast("long")
+        .alias("n_unchanged"),
+        (F.coalesce("_tight", F.lit(0)) == 1).alias("tightened"),
+        status.alias("status"),
+    )

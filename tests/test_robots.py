@@ -213,3 +213,46 @@ def test_robots_sitemaps_extraction(spark):
         ("h.test", 1, "https://h.test/s1.xml"),
         ("h.test", 2, "https://h.test/s2.xml"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# robots_drift
+
+
+def test_robots_drift_statuses_and_tightening(spark):
+    from hickoryspark.ops.robots import robots_drift
+
+    old = spark.createDataFrame(
+        [
+            ("same.ex", "User-agent: *\nDisallow: /x\n"),
+            ("tight.ex", "User-agent: *\nDisallow: /a\n"),
+            ("loose.ex", "User-agent: *\nDisallow: /a\nDisallow: /b\n"),
+            ("gone.ex", "User-agent: *\nDisallow: /\n"),
+            ("empty.ex", "# no rules at all\n"),
+        ],
+        "host string, content string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("same.ex", "User-agent: *\nDisallow: /x\n"),
+            ("tight.ex", "User-agent: *\nDisallow: /a\nDisallow: /b\n"),
+            ("loose.ex", "User-agent: *\nDisallow: /a\nAllow: /b\n"),
+            ("fresh.ex", "User-agent: *\nDisallow: /q\n"),
+            ("empty.ex", "# still no rules\n"),
+        ],
+        "host string, content string",
+    )
+    out = {r["host"]: r for r in robots_drift(old, new).collect()}
+    assert out["same.ex"]["status"] == "unchanged"
+    assert out["same.ex"]["tightened"] is False
+    t = out["tight.ex"]
+    assert (t["n_added"], t["n_removed"], t["status"], t["tightened"]) == (
+        1, 0, "changed", True)
+    lo = out["loose.ex"]
+    # removed Disallow /b, added Allow /b: loosening, not tightening
+    assert (lo["n_added"], lo["n_removed"], lo["tightened"]) == (1, 1, False)
+    assert out["gone.ex"]["status"] == "removed_host"
+    assert out["fresh.ex"]["status"] == "added_host"
+    # a rule-free host is still PRESENT in both snapshots
+    assert out["empty.ex"]["status"] == "unchanged"
+    assert len(out) == 6
