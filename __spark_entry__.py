@@ -1669,6 +1669,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return feature_hash(load_documents(spark, sf), k=256)
 
+    def q_dedup_sentences(spark, sf):
+        # C4-style corpus-frequency sentence removal (ops/sentences.
+        # remove_frequent_sentences): the planted promo sentence
+        # recurs corpus-wide and must drop; per-doc tails survive;
+        # base-text duplicate groups drop organically (the mirror
+        # replicates them, never guesses). Oracle = the composed
+        # full mirror over the same suffixed input.
+        from hickoryspark.ops.sentences import remove_frequent_sentences
+
+        docs = load_documents(spark, sf)
+        text = F.concat(
+            F.col("text"),
+            F.lit(". Shared promo sentence! Tail "),
+            F.col("doc_id").cast("string"),
+            F.lit("."),
+        )
+        return remove_frequent_sentences(
+            docs.select("doc_id", text.alias("text")), min_count=3
+        )
+
     def q_robots_drift(spark, sf):
         # robots.txt drift between snapshots (ops/robots.robots_drift
         # over the REAL parser): per doc variant — unchanged /
@@ -6309,6 +6329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         subdomain_stats=q_subdomain_stats,
         lm_interp=q_lm_interp,
         robots_drift=q_robots_drift,
+        dedup_sentences=q_dedup_sentences,
         feature_hash=q_feature_hash,
         skipgram_pairs=q_skipgram_pairs,
         degree_histogram=q_degree_histogram,
@@ -9409,6 +9430,7 @@ def oracle_sql() -> dict[str, str]:
     from hickoryspark.ops.featurehash import duckdb_feature_hash_sql
     from hickoryspark.ops.hosts import duckdb_url_host_sql
     from hickoryspark.ops.psl import duckdb_registered_sql
+    from hickoryspark.ops.sentences import duckdb_remove_frequent_sql
     from hickoryspark.ops.identifiers import (
         duckdb_cocitation_sql, duckdb_identifiers_sql)
     from hickoryspark.ops.layout import duckdb_zorder_sql
@@ -9924,6 +9946,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'in', CAST(length(bin(deg)) AS BIGINT),
                    CAST(COUNT(*) AS BIGINT)
             FROM ind GROUP BY 2""",
+        # sentence-frequency dedup: composed full mirror over the
+        # same suffixed input
+        "dedup_sentences": duckdb_remove_frequent_sql(
+            "(SELECT doc_id, text || '. Shared promo sentence! Tail '"
+            " || doc_id || '.' AS text FROM documents)",
+            3,
+        ),
         # robots drift: closed-form rows per variant (the added host
         # carries a new Disallow, so it is tightened=true by the rule)
         "robots_drift": """

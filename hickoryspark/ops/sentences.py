@@ -98,3 +98,99 @@ SELECT doc_id,
             '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tokens
 FROM _sx WHERE sentence <> ''
 """
+
+
+def remove_frequent_sentences(
+    docs: DataFrame, min_count: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """C4-style corpus-frequency sentence removal (Raffel et al.
+    2020 dropped any three-sentence span occurring 3+ times; the
+    sentence-grain variant here is the Dolma/ParaCrawl boilerplate
+    rule): drop every sentence whose EXACT trimmed form occurs
+    ``min_count``+ times across the corpus (occurrences, not
+    documents — a doc repeating its own slogan counts each time),
+    then reassemble each doc from its surviving sentences in document
+    order (single-space join).
+
+    Output ``(doc_id, n_kept, n_dropped, text)`` — every input doc
+    keeps its row (a fully-boilerplate doc shows n_kept 0 and empty
+    text; the filter downstream must SEE it).
+
+    Scale shape: the sentence relation is the shuffle-free
+    split_sentences explode; frequency is ONE groupBy(sentence)
+    aggregation (map-side combined — never a per-sentence window);
+    survivors come from a left_anti equi-join against the frequent
+    set; reassembly is a doc-bounded sorted collect joined back LEFT
+    onto the input so empty docs survive.
+    """
+    sents = split_sentences(docs, text_col)
+    frequent = (
+        sents.groupBy("sentence")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_count)
+        .select("sentence")
+    )
+    kept = sents.join(frequent, "sentence", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("sent_pos", "sentence"))
+                ),
+                lambda s: s["sentence"],
+            ),
+            " ",
+        ).alias("_text"),
+    )
+    totals = sents.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_total")
+    )
+    return (
+        docs.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.coalesce("_n_total", F.lit(0))
+             - F.coalesce("n_kept", F.lit(0))).cast("long")
+            .alias("n_dropped"),
+            F.coalesce("_text", F.lit("")).alias("text"),
+        )
+    )
+
+
+#: mirror: compose with DUCKDB_SENTENCES_SQL's CTE list over ``{src}``
+def duckdb_remove_frequent_sql(src: str, min_count: int = 3) -> str:
+    return (
+        "WITH " + DUCKDB_SENTENCES_SQL.replace("{src}", src)
+        .replace(
+            "SELECT doc_id,\n       CAST(ROW_NUMBER()",
+            ", _sents AS (\nSELECT doc_id,\n       CAST(ROW_NUMBER()",
+        )
+        + f"""
+        ), freq AS (
+          SELECT sentence FROM _sents GROUP BY sentence
+          HAVING COUNT(*) >= {min_count}
+        ), kept AS (
+          SELECT s.* FROM _sents s
+          WHERE NOT EXISTS (SELECT 1 FROM freq f
+                            WHERE f.sentence = s.sentence)
+        ), rebuilt AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                 string_agg(sentence, ' ' ORDER BY sent_pos) AS t
+          FROM kept GROUP BY doc_id
+        ), totals AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_total
+          FROM _sents GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(COALESCE(t.n_total, 0) - COALESCE(r.n_kept, 0)
+                    AS BIGINT) AS n_dropped,
+               COALESCE(r.t, '') AS text
+        FROM {src} d
+        LEFT JOIN totals t USING (doc_id)
+        LEFT JOIN rebuilt r USING (doc_id)"""
+    )

@@ -93,3 +93,55 @@ def test_shuffle_free_plan(spark):
         .toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# remove_frequent_sentences
+
+
+def test_remove_frequent_sentences_rule(spark):
+    from hickoryspark.ops.sentences import remove_frequent_sentences
+
+    promo = "Buy our product now!"
+    docs = spark.createDataFrame(
+        [
+            (0, f"Unique zero. {promo} Tail zero."),
+            (1, f"Unique one. {promo} Tail one."),
+            (2, f"{promo} Unique two."),
+            (3, promo),          # fully boilerplate -> empty survivor
+            (4, ""),             # empty doc keeps its row
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           remove_frequent_sentences(docs, min_count=3).collect()}
+    assert out[0]["text"] == "Unique zero. Tail zero."
+    assert (out[0]["n_kept"], out[0]["n_dropped"]) == (2, 1)
+    assert out[2]["text"] == "Unique two."
+    assert (out[3]["n_kept"], out[3]["n_dropped"], out[3]["text"]) == (
+        0, 1, "")
+    assert (out[4]["n_kept"], out[4]["n_dropped"], out[4]["text"]) == (
+        0, 0, "")
+    assert len(out) == 5
+
+
+def test_remove_frequent_mirror_matches(spark):
+    import duckdb
+
+    from hickoryspark.ops.sentences import (
+        duckdb_remove_frequent_sql, remove_frequent_sentences)
+
+    rows = [(i, f"Alpha {i % 2}. Shared line here! End {i}.")
+            for i in range(12)] + [(99, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(tuple(r) for r in
+                 remove_frequent_sentences(df, min_count=3).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    want = sorted(tuple(r) for r in con.execute(
+        duckdb_remove_frequent_sql("d", 3)).fetchall())
+    assert got == want
+    # 'Alpha 0.'/'Alpha 1.' occur 6x each and 'Shared line here!' 12x
+    # -> all dropped; only the unique tails survive
+    assert all(t[3].startswith("End") or t[3] == "" for t in got)
