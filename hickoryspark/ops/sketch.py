@@ -383,3 +383,43 @@ def duckdb_kmv_estimate_sql(rel: str, key: str = "key",
                     ELSE {big!r} / CAST(MAX(h) AS DOUBLE)
                END AS est_distinct
         FROM kmv_s GROUP BY grp"""
+
+
+def hll_registers_grouped(
+    keys: DataFrame,
+    group_col: str,
+    key_col: str = "key",
+    p: int = 6,
+) -> DataFrame:
+    """Per-group HLL state ``(group, bucket, register)`` — the
+    mergeable distinct-count rollup that replaces
+    ``count_distinct(url) GROUP BY host`` at scale: each group's
+    state is at most ``2**p`` rows regardless of cardinality, states
+    union with max-per-(group, bucket), and the estimator
+    (:func:`hll_estimate`) reads any group's slice driver-side.
+    Identical register arithmetic to :func:`hll_registers`
+    (bin()-length rank, float-free); NULL keys AND NULL groups drop
+    (no identity to count / no group to credit).
+    """
+    if not 1 <= p <= 16:
+        raise ValueError(f"p must be 1..16, got {p}")
+    key = F.col(key_col).cast("string")
+    h32 = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    rem_bits = 32 - p
+    base = keys.where(
+        key.isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("grp"), h32.alias("h32"))
+    w = F.col("h32") % (2**rem_bits)
+    rho = F.when(w == 0, rem_bits + 1).otherwise(
+        rem_bits - F.length(F.bin(w)) + 1
+    )
+    return (
+        base.select(
+            "grp",
+            F.expr(f"h32 div {2 ** rem_bits}").alias("bucket"),
+            rho.cast("long").alias("register"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("register").cast("long").alias("register"))
+        .withColumnRenamed("grp", group_col)
+    )

@@ -219,3 +219,36 @@ def test_cms_null_and_weighted(spark):
            for r in cms_query(probes, cms, w=64, d=4).collect()}
     assert got["x"] >= 5
     assert got[None] == 0          # NULL probe survives, counts 0
+
+
+def test_hll_grouped_matches_global_per_slice_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from hickoryspark.ops.sketch import (
+        hll_estimate, hll_registers, hll_registers_grouped)
+
+    df = spark.createDataFrame(
+        [(f"h{i % 3}", f"k{i}") for i in range(300)]
+        + [(None, "kx"), ("h0", None)],
+        "host string, key string",
+    )
+    grouped = hll_registers_grouped(df, "host", "key").collect()
+    # each group's slice equals the global state over that slice
+    for g in ("h0", "h1", "h2"):
+        want = sorted(
+            (r["bucket"], r["register"])
+            for r in hll_registers(
+                df.where(F.col("host") == g).select("key")).collect()
+        )
+        got = sorted((r["bucket"], r["register"])
+                     for r in grouped if r["host"] == g)
+        assert got == want, g
+    # NULL group/key rows contributed nothing
+    assert {r["host"] for r in grouped} == {"h0", "h1", "h2"}
+    # the estimator lands in the p=6 error band (~13% std error on
+    # n=100; the EXACT state equality above is the real contract)
+    for g in ("h0", "h1", "h2"):
+        est = hll_estimate(
+            [(r["bucket"], r["register"]) for r in grouped
+             if r["host"] == g])
+        assert 55 <= est <= 160
