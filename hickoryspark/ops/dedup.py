@@ -177,6 +177,17 @@ def lsh_candidate_pairs(
         import numpy as np
         import pandas as pd
 
+        # accumulate pairs across groups and flush in ~1M-row frames:
+        # one tiny Arrow batch PER GROUP (thousands of 1-50-row
+        # batches on ordinary corpora) spends more time in IPC framing
+        # than in pair generation (guide §4.2: keep batches large
+        # enough for vectorization to pay off). Peak buffer is one
+        # flush chunk plus one group's triangle — bounded by group_cap
+        # when capped, and no worse than the per-group frames before.
+        chunk = 1 << 20
+        buf_a: list = []
+        buf_b: list = []
+        pending = 0
         for b in batches:
             for members in b["members"]:
                 m = len(members)  # bounded by group_cap when capped
@@ -184,7 +195,21 @@ def lsh_candidate_pairs(
                     continue
                 ids = np.asarray(members, dtype=np.int64)  # pre-sorted
                 ai, bi = np.triu_indices(m, k=1)
-                yield pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi]})
+                buf_a.append(ids[ai])
+                buf_b.append(ids[bi])
+                pending += ai.size
+                if pending >= chunk:
+                    yield pd.DataFrame(
+                        {
+                            "doc_a": np.concatenate(buf_a),
+                            "doc_b": np.concatenate(buf_b),
+                        }
+                    )
+                    buf_a, buf_b, pending = [], [], 0
+        if pending:
+            yield pd.DataFrame(
+                {"doc_a": np.concatenate(buf_a), "doc_b": np.concatenate(buf_b)}
+            )
 
     intra = groups.select("members").mapInPandas(
         emit_intra, "doc_a long, doc_b long"

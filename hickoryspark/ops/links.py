@@ -79,7 +79,28 @@ def resolve_href(url, href):
         no_query.rlike(_HAS_PATH_RE),
         F.regexp_replace(no_query, r"/[^/]*\z", "/"),
     ).otherwise(F.concat(no_query, F.lit("/")))  # origin-only page url
-    return (
+    # The dot-segment fold applies to exactly two branches (host- and
+    # path-relative — the ones urljoin folds). Emitting the fold's
+    # 51-step regexp program INSIDE each branch duplicated it and blew
+    # the 64 KB whole-stage-codegen method budget, silently dropping
+    # every composing stage (extract_links, crawl_frontier,
+    # canonical_clusters) to interpreted execution (r5 verdict). Fix
+    # (r6): the when-chain first SELECTS the unfolded resolution; a
+    # twin boolean chain (same conditions, same order — identical
+    # branch decision under three-valued logic) marks the two fold
+    # branches; and the fold program runs ONCE, EAGERLY, at the top
+    # level of the expression — folding the selected value is
+    # pointwise equal to selecting the folded value. Top-level matters
+    # as much as once: code generated inside a CaseWhen branch cannot
+    # be split into submethods (local-variable scoping), so even a
+    # single conditional fold overflows one method; as an eager
+    # ``array(unfolded, folded)[idx]`` the program sits in splittable
+    # top-level code and the whole stage compiles
+    # (tests/test_links.py pins compilation with
+    # spark.sql.codegen.fallback=false). Runtime cost of eagerness is
+    # just the path split on non-fold rows — the 51-step program
+    # itself stays behind remove_dot_segments' contains('/.') gate.
+    unfolded = (
         # a truly empty href is CPython urljoin's `if not url: return
         # base` early-exit — base VERBATIM (before any stripping); an
         # href that strips to empty ('\n') parses as an empty relative
@@ -88,13 +109,24 @@ def resolve_href(url, href):
         .when(href == "", no_frag)
         .when(href.startswith("//"), F.concat(scheme, href))
         .when(href.rlike(_ABS_RE), href)
-        .when(
-            href.startswith("/"),
-            remove_dot_segments(F.concat(origin, href)),
-        )
+        .when(href.startswith("/"), F.concat(origin, href))
         .when(href.startswith("#"), F.concat(no_frag, href))
         .when(href.startswith("?"), F.concat(no_query, href))
-        .otherwise(remove_dot_segments(F.concat(base, href)))
+        .otherwise(F.concat(base, href))
+    )
+    folds = (
+        F.when(raw_href == "", F.lit(False))
+        .when(href == "", F.lit(False))
+        .when(href.startswith("//"), F.lit(False))
+        .when(href.rlike(_ABS_RE), F.lit(False))
+        .when(href.startswith("/"), F.lit(True))
+        .when(href.startswith("#"), F.lit(False))
+        .when(href.startswith("?"), F.lit(False))
+        .otherwise(F.lit(True))
+    )
+    return F.element_at(
+        F.array(unfolded, remove_dot_segments(unfolded)),
+        F.when(folds, F.lit(2)).otherwise(F.lit(1)),
     )
 
 

@@ -211,15 +211,14 @@ def canonical_clusters(meta: DataFrame, url_col: str = "url",
 
     Scale shape: one map-side project then ONE groupBy with map-side
     partial aggregation — no join, no window; a mega-cluster key is
-    just one cheap count group. Codegen note: any stage containing
-    resolve_href's regex program exceeds the 64 KB whole-stage-codegen
-    limit and runs interpreted (true of resolve_href ALONE — verified
-    with probes — so extract_links / crawl_frontier share the class;
-    splitting projects or inserting exchanges cannot fix it because
-    subexpression elimination hoists one giant unsplittable method).
-    The compiled java.util.regex Patterns dominate the cost either
-    way; normalize_url alone DOES fit codegen, which is why
-    canonical_targets applies it once over the branch result."""
+    just one cheap count group. Codegen note (r6): resolve_href's
+    dot-segment fold now runs once, eagerly, at the top level of its
+    expression (ops/links.py), so stages composing it — including the
+    normalize∘resolve column here — fit the 64 KB whole-stage-codegen
+    budget and compile (guarded by tests/test_links.py with
+    codegen.fallback=false); canonical_targets still applies
+    normalize_url once over the branch result rather than per
+    branch."""
     from hickoryspark.ops.urls import normalize_url
 
     with_t = canonical_targets(meta, url_col, canonical_col)

@@ -106,10 +106,21 @@ def brute_topk(
                 {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
             )
 
-    partial = emb.select("vec_id", "embedding", "label").mapInPandas(
+    partial = _spread(emb.select("vec_id", "embedding", "label")).mapInPandas(
         gen, "query_id long, neighbor_id long, sim double"
     )
     return _merge_topk(partial, k)
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Parallelize the candidate scan when the source is a single
+    unsplittable file (guide §2.5): the per-task partial top-k / cell
+    scoring below is embarrassingly parallel, and the exact merge
+    makes the partial decomposition value-neutral at ANY partition
+    count. No-op on an already-parallel scan (the 100 TB case)."""
+    from hickoryspark.spark.pages import spread_scan
+
+    return spread_scan(df)
 
 
 def _hyperplane_matrix(planes: int, dim: int):
@@ -243,7 +254,7 @@ def lsh_bucket_topk(
                 {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
             )
 
-    partial = emb.select("vec_id", "embedding").mapInPandas(
+    partial = _spread(emb.select("vec_id", "embedding")).mapInPandas(
         gen, "query_id long, neighbor_id long, sim double"
     )
     return _merge_topk(partial, k)
@@ -355,7 +366,7 @@ def ivf_topk(
                 {"query_id": out_q, "neighbor_id": out_n, "sim": out_s}
             )
 
-    partial = emb.select("vec_id", "embedding").mapInPandas(
+    partial = _spread(emb.select("vec_id", "embedding")).mapInPandas(
         gen, "query_id long, neighbor_id long, sim double"
     )
     return _merge_topk(partial, k)

@@ -227,8 +227,26 @@ WITH gen AS (
 """
 
 
+def spread_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a scan whose source has fewer splits
+    than the session's parallelism (guide §2.5 "input skew": the sf
+    parquet inputs are ONE file = one partition, so every narrow
+    pipeline over them — page synthesis, tokenize+minhash, mapInPandas
+    scoring — otherwise runs single-core). Scale-adaptive: a properly
+    split table (>= parallelism splits, the 100 TB case) passes
+    through untouched, so this never *adds* a shuffle at design scale.
+    Round-robin is deterministic under retry (sortBeforeRepartition is
+    on by default) and value-neutral: no operator downstream of a
+    documents/pages scan depends on partition placement or intra-
+    partition order (verified by the full oracle parity sweep)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_documents(spark, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def load_pages(spark, sf_dir: str, with_params: bool = False) -> DataFrame:

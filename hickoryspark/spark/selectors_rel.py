@@ -56,13 +56,19 @@ _KEY = ["url", "node_id"]
 
 def p_node_type(t: str) -> Column:
     """select.cljc:173-185 — :type equality, case-insensitive name."""
-    return F.col("type") == F.lit(_TYPE_CODES[t.lower()])
+    code = _TYPE_CODES[t.lower()]
+    return _with_parent_form(
+        F.col("type") == F.lit(code), F.col("parent_type") == F.lit(code)
+    )
 
 
 def p_tag(t: str) -> Column:
     """select.cljc:187-199 — tag equality, case-insensitive; leading
     ':' stripped exactly like the interpreter's keyword-style args."""
-    return F.col("tag") == F.lit(str(t).lstrip(":").lower())
+    tv = str(t).lstrip(":").lower()
+    return _with_parent_form(
+        F.col("tag") == F.lit(tv), F.col("parent_tag") == F.lit(tv)
+    )
 
 
 def p_attr(name: str, value_pred: Column | None = None) -> Column:
@@ -93,7 +99,10 @@ def p_class(c: str) -> Column:
 
 def p_element() -> Column:
     """`any`/`element` — CSS * (select.cljc:253-263)."""
-    return F.col("type") == F.lit(TYPE_ELEMENT)
+    return _with_parent_form(
+        F.col("type") == F.lit(TYPE_ELEMENT),
+        F.col("parent_type") == F.lit(TYPE_ELEMENT),
+    )
 
 
 def p_element_child() -> Column:
@@ -201,10 +210,48 @@ def p_nth_last_of_type(n: int, c: int, tag: str) -> Column:
 
 
 # -- selector = N -> DataFrame ----------------------------------------------
+#
+# Pure-predicate fusion (r6 optimization, guide §2.4 "remove shuffles
+# outright"): a selector lifted from a plain Column predicate is
+# row-local, so combinators can apply it as a Filter on their
+# accumulated output instead of materializing it separately and
+# re-intersecting with a join. ``where`` returns a ``_PureSel`` that
+# still behaves as the plain ``nodes -> DataFrame`` closure, but
+# carries (a) the predicate for AND-fusion and (b), when the predicate
+# was built by p_tag/p_node_type/p_element (columns the node table
+# also materializes for the PARENT row), its parent-transposed form —
+# which lets a two-level ``child_rel`` collapse to a single Filter.
+# Row sets are provably identical: a left-semi join of N against
+# {rows of N | pred IS TRUE} keeps exactly the rows where pred IS
+# TRUE, which is what Filter keeps (NULL predicate rows drop on both
+# paths); anti-join fusion negates with coalesce(pred, false) so NULL
+# keeps the row, matching the join's key-absence semantics.
+
+
+class _PureSel:
+    """Selector lifted from a row-local Column predicate."""
+
+    __slots__ = ("pred", "parent_form")
+
+    def __init__(self, pred: Column):
+        self.pred = pred
+        # NB: Column.__getattr__ fabricates a field-extraction column
+        # for ANY unknown attribute, so a plain getattr default never
+        # fires — read the instance dict directly.
+        self.parent_form = pred.__dict__.get("_hickory_parent_form")
+
+    def __call__(self, nodes: DataFrame) -> DataFrame:
+        return nodes.where(self.pred)
+
+
+def _with_parent_form(pred: Column, parent_form: Column) -> Column:
+    pred._hickory_parent_form = parent_form
+    return pred
+
 
 def where(pred: Column):
     """Lift a Column predicate to a relational selector."""
-    return lambda nodes: nodes.where(pred)
+    return _PureSel(pred)
 
 
 def sel_find_in_text(pattern: str):
@@ -230,12 +277,27 @@ def sel_find_in_text(pattern: str):
 
 
 def and_rel(*sels):
-    """select.cljc:434-440 — intersection via left-semi joins on the
-    node key."""
+    """select.cljc:434-440 — intersection on the node key. Pure
+    predicate operands fuse into Filters (identical row set: semi-join
+    against {pred IS TRUE} == Filter(pred)); composite operands keep
+    the left-semi join. All operands filter the SAME node table, so
+    evaluating the composite ones first never changes the output rows
+    or columns — it only decides which plan subtree provides them.
+    Fully-pure conjunctions compose to one _PureSel so enclosing
+    combinators (child_rel) can fuse further."""
+    if all(isinstance(s, _PureSel) for s in sels):
+        pred = sels[0].pred
+        for s in sels[1:]:
+            pred = pred & s.pred
+        return _PureSel(pred)
 
     def run(nodes: DataFrame) -> DataFrame:
-        out = sels[0](nodes)
-        for s in sels[1:]:
+        pures = [s for s in sels if isinstance(s, _PureSel)]
+        comps = [s for s in sels if not isinstance(s, _PureSel)]
+        out = comps[0](nodes)
+        for s in pures:
+            out = out.where(s.pred)
+        for s in comps[1:]:
             out = out.join(s(nodes).select(*_KEY), _KEY, "left_semi")
         return out
 
@@ -243,7 +305,16 @@ def and_rel(*sels):
 
 
 def or_rel(*sels):
-    """select.cljc:442-448 — union-distinct on the node key."""
+    """select.cljc:442-448 — union-distinct on the node key. All-pure
+    operands fuse to one OR Filter: a row is in the union iff some
+    branch predicate IS TRUE, which is exactly when the OR is TRUE
+    (TRUE|NULL = TRUE, NULL|FALSE = NULL → dropped on both paths),
+    and the node table is unique-keyed so no distinct is needed."""
+    if all(isinstance(s, _PureSel) for s in sels):
+        pred = sels[0].pred
+        for s in sels[1:]:
+            pred = pred | s.pred
+        return _PureSel(pred)
 
     def run(nodes: DataFrame) -> DataFrame:
         out = sels[0](nodes)
@@ -255,12 +326,19 @@ def or_rel(*sels):
 
 
 def not_rel(sel):
-    """select.cljc:450-456 — complement over *all* node types."""
+    """select.cljc:450-456 — complement over *all* node types. A pure
+    operand fuses to Filter(NOT coalesce(pred, false)): the anti-join
+    keeps rows absent from {pred IS TRUE}, i.e. pred FALSE *or* NULL —
+    coalesce makes the negation keep NULL rows too."""
+    if isinstance(sel, _PureSel):
+        return _PureSel(~F.coalesce(sel.pred, F.lit(False)))
     return lambda nodes: nodes.join(sel(nodes).select(*_KEY), _KEY, "left_anti")
 
 
 def el_not_rel(sel):
     """select.cljc:458-466 — element AND not(sel)."""
+    if isinstance(sel, _PureSel):
+        return _PureSel(p_element() & ~F.coalesce(sel.pred, F.lit(False)))
     return lambda nodes: nodes.where(p_element()).join(
         sel(nodes).select(*_KEY), _KEY, "left_anti"
     )
@@ -268,7 +346,26 @@ def el_not_rel(sel):
 
 def child_rel(*sels):
     """CSS `A > B > C` (select.cljc:517-529): anchored at the *last*
-    selector; chained url-local equi-joins on parent_id."""
+    selector; chained url-local equi-joins on parent_id.
+
+    Two-level fusion: when the parent selector is a pure predicate
+    over columns the node table ALSO materializes for the parent row
+    (tag / type → parent_tag / parent_type), the whole chain is one
+    Filter on the anchor — `div > p` becomes
+    ``tag = 'p' AND parent_tag = 'div'`` with zero joins. Identical
+    rows: the walk join matched anchors whose unique parent row
+    satisfied the parent predicate; parent_tag/parent_type ARE that
+    parent row's tag/type (NULL for the root, which the equi-join
+    likewise never matched). Longer chains would need grandparent
+    columns and keep the join walk."""
+    if len(sels) == 2 and (
+        isinstance(sels[0], _PureSel) and sels[0].parent_form is not None
+    ):
+        parent_form = sels[0].parent_form
+        anchor = sels[1]
+        if isinstance(anchor, _PureSel):
+            return _PureSel(anchor.pred & parent_form)
+        return lambda nodes: anchor(nodes).where(parent_form)
 
     def run_chain(nodes: DataFrame) -> DataFrame:
         # walk from the anchor upward, keeping (url, anchor_id, cur_parent)

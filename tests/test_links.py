@@ -406,3 +406,48 @@ def test_base_first_wins_and_default_off(spark):
 
 def test_base_absent_falls_back_to_page_url(spark):
     assert _blinks(spark, '<a href="f">t</a>') == ["https://ex.test/a/f"]
+
+
+def test_resolve_href_stage_compiles_whole_stage_codegen(spark):
+    """r6 optimization guard (r5 verdict #2): the resolve_href regex
+    program must fit the 64 KB whole-stage-codegen method budget so
+    link/crawl stages compile instead of silently running interpreted.
+    codegen.fallback=false turns a janino overflow into a hard error.
+
+    The guarded shape: the dot-segment fold runs ONCE, eagerly, at the
+    top level of the expression (element_at over array) — code inside
+    a CaseWhen branch cannot be split into submethods, so even a
+    single conditional fold overflows."""
+    from pyspark.sql import functions as F
+
+    from hickoryspark.ops.links import resolve_href
+    from hickoryspark.ops.urls import normalize_url
+
+    df = spark.createDataFrame(
+        [
+            ("https://ex.test/a/b/page?q=1#f", "../x/../y"),
+            ("https://ex.test", "/p/../q"),
+            ("https://ex.test/a/", "//cdn/z"),
+            ("https://ex.test/a/", ""),
+        ],
+        "url string, href string",
+    )
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        # resolve alone AND the canonical_targets-style composition
+        # normalize∘resolve — both must compile
+        out = df.select(
+            resolve_href(F.col("url"), F.col("href")).alias("r"),
+            normalize_url(
+                resolve_href(F.col("url"), F.col("href"))
+            ).alias("n"),
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+    assert [r["r"] for r in out] == [
+        "https://ex.test/a/y",
+        "https://ex.test/q",
+        "https://cdn/z",
+        "https://ex.test/a/",
+    ]
