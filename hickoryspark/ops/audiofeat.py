@@ -42,19 +42,25 @@ __all__ = ["audio_feature_row", "audio_features"]
 
 def _wav_bits(payload: bytes) -> int:
     """Bit depth from the fmt chunk (the decoded array no longer
-    carries it, and the clip rails differ per depth). Assumes the
-    payload already passed decode_audio (same RIFF walk)."""
+    carries it, and the clip rails differ per depth). Mirrors
+    decode_audio's RIFF walk EXACTLY — keeps the LAST fmt chunk and
+    applies the same len>=16 check — so a crafted dual-fmt or
+    short-first-fmt payload can neither desync the clip rail from the
+    decoded samples nor raise struct.error past the caller's
+    ValueError contract."""
     import struct
 
+    fmt = None
     pos = 12
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         size = int.from_bytes(payload[pos + 4:pos + 8], "little")
         if cid == b"fmt ":
-            return struct.unpack_from(
-                "<H", payload[pos + 8:pos + 8 + size], 14)[0]
+            fmt = payload[pos + 8:pos + 8 + size]
         pos += 8 + size + (size & 1)
-    raise ValueError("WAV missing fmt chunk")
+    if fmt is None or len(fmt) < 16:
+        raise ValueError("WAV missing/short fmt chunk")
+    return struct.unpack_from("<H", fmt, 14)[0]
 
 
 def audio_feature_row(payload: Optional[bytes]):
@@ -65,6 +71,10 @@ def audio_feature_row(payload: Optional[bytes]):
         return none
     try:
         rate, samples = decode_audio(payload)
+        # inside the try: a payload that decodes but carries a hostile
+        # fmt-chunk layout must keep its row with NULL features, not
+        # kill the task (r5 advice)
+        bits = _wav_bits(bytes(payload))
     except ValueError:
         return none
     n, ch = samples.shape
@@ -75,7 +85,7 @@ def audio_feature_row(payload: Optional[bytes]):
     mono = s64.sum(axis=1)
     nonneg = mono >= 0
     zc = int(np.count_nonzero(nonneg[1:] != nonneg[:-1]))
-    pos_rail = 32512 if _wav_bits(bytes(payload)) == 8 else 32767
+    pos_rail = 32512 if bits == 8 else 32767
     n_clip = int(np.count_nonzero(
         (samples == pos_rail) | (samples == -32768)))
     clip_milli = (1000 * n_clip) // (n * ch)

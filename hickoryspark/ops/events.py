@@ -308,7 +308,13 @@ def volume_anomaly(
     """
     daily = (
         events.select(_ntz_epoch_seconds("ts").alias("_secs"))
-        .selectExpr("_secs div 86400 AS day_num")
+        # FLOOR division, exactly as documented and as the DuckDB
+        # mirror's `//` computes: `div` truncates toward zero, so a
+        # pre-epoch event (negative _secs) landed in a different day
+        # bucket per engine (r5 advice). (a - pmod(a, b)) is the
+        # largest multiple of b <= a in exact integer arithmetic, so
+        # the subsequent truncating div IS floor div for any input.
+        .selectExpr("(_secs - pmod(_secs, 86400)) div 86400 AS day_num")
         .groupBy(F.col("day_num").cast("long").alias("day_num"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )

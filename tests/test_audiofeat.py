@@ -90,3 +90,38 @@ def test_8bit_positive_rail_clipping_detected():
     assert row_neg[5] == 1000
     row_mid = audio_feature_row(wav8(b"\x80" * 40))
     assert row_mid[5] == 0
+
+
+def test_dual_fmt_and_short_fmt_keep_row_null_or_consistent():
+    # r5 advice: _wav_bits must mirror decode_audio's walk (LAST fmt,
+    # len>=16 check) and run inside the try — a crafted WAV with a
+    # short or conflicting first fmt chunk must not kill the task or
+    # use the wrong clip rail
+    import struct
+
+    from hickoryspark.ops.audiofeat import audio_feature_row
+
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    raw = b"\xff" * 40
+    # short first fmt (4 bytes) + valid 8-bit fmt later: decode_audio
+    # uses the LAST fmt and decodes fine; _wav_bits must follow suit
+    short_first = (
+        b"RIFF" + b"\x00\x00\x00\x00" + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+        + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    row = audio_feature_row(short_first)
+    assert row[0] == 8000 and row[5] == 1000  # 8-bit rail applied
+
+    # dual fmt with DIFFERING depths: last one (8-bit) must drive both
+    # the decode and the clip rail — no silent 16-bit rail
+    fmt16 = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    dual = (
+        b"RIFF" + b"\x00\x00\x00\x00" + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt16)) + fmt16
+        + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    row = audio_feature_row(dual)
+    assert row[5] == 1000

@@ -168,3 +168,23 @@ def test_attribution_drops_pre_epoch_and_keeps_long_types(spark):
     out = {r["touch_type"]: (r["n_first"], r["n_last"]) for r in
            touch_attribution(ev, touch_types=(long_type,)).collect()}
     assert out == {long_type: (1, 1)}
+
+
+def test_volume_anomaly_pre_epoch_day_floors(spark):
+    # r5 advice: pre-epoch events must land in FLOOR day buckets
+    # (matching the DuckDB mirror's `//`), not truncate-toward-zero —
+    # an event at 1969-12-31T12:00:00 belongs to day -1, not day 0
+    from datetime import datetime
+
+    from hickoryspark.ops.events import volume_anomaly
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(1969, 12, 31, 12, 0, 0)),
+            (2, datetime(1970, 1, 1, 12, 0, 0)),
+        ],
+        "uid long, ts timestamp_ntz",
+    )
+    days = {r["day_num"]: r["n_events"]
+            for r in volume_anomaly(ev).collect()}
+    assert days == {-1: 1, 0: 1}
