@@ -118,6 +118,56 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 8) -> DataFrame:
     return toks.groupBy("doc_id").agg(*aggs)
 
 
+def _emit_triu_pairs(batches, with_hamming: bool = False):
+    """mapInPandas generator: expand each signature group's ``members``
+    array into its doc-id pair triangle (NumPy triu — never a
+    self-join task funnel), accumulating pairs across groups and
+    flushing ~1M-row frames. One tiny Arrow batch PER GROUP (thousands
+    of 1-50-row batches on ordinary corpora) spends more time in IPC
+    framing than in pair generation (guide §4.2: keep batches large
+    enough for vectorization to pay off). Peak buffer is one flush
+    chunk plus one group's triangle — bounded by group_cap when
+    capped, and no worse than the per-group frames before.
+    ``with_hamming`` adds the constant hamming=0 column the simhash
+    family emits for intra-group pairs."""
+    import numpy as np
+    import pandas as pd
+
+    chunk = 1 << 20
+
+    def flush(buf_a, buf_b):
+        out = {
+            "doc_a": np.concatenate(buf_a),
+            "doc_b": np.concatenate(buf_b),
+        }
+        if with_hamming:
+            out["hamming"] = np.zeros(len(out["doc_a"]), dtype=np.int64)
+        return pd.DataFrame(out)
+
+    buf_a: list = []
+    buf_b: list = []
+    pending = 0
+    for b in batches:
+        for members in b["members"]:
+            m = len(members)  # bounded by group_cap when capped
+            if m < 2:
+                continue
+            ids = np.asarray(members, dtype=np.int64)  # pre-sorted
+            ai, bi = np.triu_indices(m, k=1)
+            buf_a.append(ids[ai])
+            buf_b.append(ids[bi])
+            pending += ai.size
+            if pending >= chunk:
+                yield flush(buf_a, buf_b)
+                buf_a, buf_b, pending = [], [], 0
+    if pending:
+        yield flush(buf_a, buf_b)
+
+
+def _emit_triu_pairs_hamming(batches):
+    yield from _emit_triu_pairs(batches, with_hamming=True)
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     num_hashes: int = 8,
@@ -173,46 +223,8 @@ def lsh_candidate_pairs(
     groups, star = _signature_groups(sig, mh, group_cap)
     groups = groups.persist()
 
-    def emit_intra(batches):
-        import numpy as np
-        import pandas as pd
-
-        # accumulate pairs across groups and flush in ~1M-row frames:
-        # one tiny Arrow batch PER GROUP (thousands of 1-50-row
-        # batches on ordinary corpora) spends more time in IPC framing
-        # than in pair generation (guide §4.2: keep batches large
-        # enough for vectorization to pay off). Peak buffer is one
-        # flush chunk plus one group's triangle — bounded by group_cap
-        # when capped, and no worse than the per-group frames before.
-        chunk = 1 << 20
-        buf_a: list = []
-        buf_b: list = []
-        pending = 0
-        for b in batches:
-            for members in b["members"]:
-                m = len(members)  # bounded by group_cap when capped
-                if m < 2:
-                    continue
-                ids = np.asarray(members, dtype=np.int64)  # pre-sorted
-                ai, bi = np.triu_indices(m, k=1)
-                buf_a.append(ids[ai])
-                buf_b.append(ids[bi])
-                pending += ai.size
-                if pending >= chunk:
-                    yield pd.DataFrame(
-                        {
-                            "doc_a": np.concatenate(buf_a),
-                            "doc_b": np.concatenate(buf_b),
-                        }
-                    )
-                    buf_a, buf_b, pending = [], [], 0
-        if pending:
-            yield pd.DataFrame(
-                {"doc_a": np.concatenate(buf_a), "doc_b": np.concatenate(buf_b)}
-            )
-
     intra = groups.select("members").mapInPandas(
-        emit_intra, "doc_a long, doc_b long"
+        _emit_triu_pairs, "doc_a long, doc_b long"
     )
     if star is not None:
         intra = intra.unionByName(star)
@@ -463,24 +475,8 @@ def simhash_pairs_from_sigs(
     groups, star = _signature_groups(sigs, ["simhash"], group_cap)
     groups = groups.persist()
 
-    def emit_intra(batches):
-        import numpy as np
-        import pandas as pd
-
-        for b in batches:
-            for members in b["members"]:
-                m = len(members)  # bounded by group_cap when capped
-                if m < 2:
-                    continue
-                ids = np.asarray(members, dtype=np.int64)  # pre-sorted
-                ai, bi = np.triu_indices(m, k=1)
-                yield pd.DataFrame(
-                    {"doc_a": ids[ai], "doc_b": ids[bi],
-                     "hamming": np.zeros(len(ai), dtype=np.int64)}
-                )
-
     intra = groups.select("members").mapInPandas(
-        emit_intra, "doc_a long, doc_b long, hamming long"
+        _emit_triu_pairs_hamming, "doc_a long, doc_b long, hamming long"
     )
     if star is not None:
         intra = intra.unionByName(star.withColumn("hamming", F.lit(0).cast("long")))
