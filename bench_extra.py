@@ -82,6 +82,35 @@ def main() -> None:
             noop(_pages())
         dump_plan("pages_salted", _pages(), suffix)
 
+    if "render" in which or "extract" in which:
+        import pandas as pd
+
+        def rgen(batches):
+            import hashlib
+
+            from hickoryspark import parse, as_hickory, hickory_to_html
+
+            for b in batches:
+                if not len(b):
+                    continue
+                md5s = [
+                    hashlib.md5(
+                        hickory_to_html(
+                            as_hickory(parse(bytes(h).decode("utf-8")))
+                        ).encode()
+                    ).hexdigest()
+                    for h in b["html"]
+                ]
+                yield pd.DataFrame({"url": b["url"], "html_md5": md5s})
+
+        rdf = _pages().mapInPandas(rgen, "url string, html_md5 string").agg(
+            F.count("*"), F.min("html_md5")
+        )
+        sc.setJobDescription("render_roundtrip")
+        with timed("render_roundtrip full"):
+            rdf.collect()
+        dump_plan("render_roundtrip", rdf, suffix)
+
     if "extract" in which:
         sc.setJobDescription("extract_main")
         with timed("extract_main full"):
@@ -165,6 +194,11 @@ def main() -> None:
             lsh_bucket_topk(emb, 50, 10).agg(F.count("*"), F.sum("sim")).collect()
         dump_plan(
             "ann_topk", brute_topk(emb, 50, 10).agg(F.count("*"), F.sum("sim")), suffix
+        )
+        dump_plan(
+            "ann_lsh",
+            lsh_bucket_topk(emb, 50, 10).agg(F.count("*"), F.sum("sim")),
+            suffix,
         )
 
     spark.stop()

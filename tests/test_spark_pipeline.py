@@ -52,9 +52,27 @@ def test_pages_schema(pages):
 
 
 def test_pages_generation_is_shuffle_and_udf_free(pages):
+    """The page SYNTHESIS stays a pure Catalyst projection (no UDF, no
+    shuffle of its own). The single allowed Exchange is the r6
+    input-spread: a ROUND-ROBIN repartition of the raw documents scan
+    BELOW the projection (spread_scan — the sf parquet is one file =
+    one partition, guide §2.5 input skew), so the synthesis runs on
+    every core. No hash/range exchange may appear, and the projection
+    must sit above the exchange (synthesized html is never shuffled)."""
     plan = pages._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
     assert "Python" not in plan  # no UDF: pure Catalyst projection
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange" in ln
+    ]
+    assert len(exchanges) <= 1, plan
+    for ln in exchanges:
+        assert "RoundRobinPartitioning" in ln, plan
+    # the html-synthesis projection is above (before, in toString
+    # order) the input-spread exchange: the shuffle carries raw
+    # document columns, not synthesized page payloads
+    if exchanges:
+        proj_pos = plan.index("Project")
+        assert proj_pos < plan.index("Exchange"), plan
 
 
 def test_pages_render_roundtrip_byte_identical(pages):
