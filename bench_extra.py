@@ -7,7 +7,7 @@ frozen driver protocol; numbers from here are cited in
 OPTIMIZATION_r06.md only.
 
 Usage:  python bench_extra.py [phase ...]
-Phases: plans sel dedup pages extract text ann
+Phases: sel dedup pages render extract text ann   (default: all)
 """
 
 from __future__ import annotations
@@ -33,7 +33,9 @@ def noop(df):
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    which = set(sys.argv[1:]) or {"sel", "dedup", "pages", "extract", "text", "ann"}
+    which = set(sys.argv[1:]) or {
+        "sel", "dedup", "pages", "render", "extract", "text", "ann"
+    }
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 

@@ -100,30 +100,30 @@ def resolve_href(url, href):
     # spark.sql.codegen.fallback=false). Runtime cost of eagerness is
     # just the path split on non-fold rows — the 51-step program
     # itself stays behind remove_dot_segments' contains('/.') gate.
-    unfolded = (
-        # a truly empty href is CPython urljoin's `if not url: return
-        # base` early-exit — base VERBATIM (before any stripping); an
-        # href that strips to empty ('\n') parses as an empty relative
-        # ref instead: base sans fragment (RFC 3986 §4.4)
-        F.when(raw_href == "", raw_url)
-        .when(href == "", no_frag)
-        .when(href.startswith("//"), F.concat(scheme, href))
-        .when(href.rlike(_ABS_RE), href)
-        .when(href.startswith("/"), F.concat(origin, href))
-        .when(href.startswith("#"), F.concat(no_frag, href))
-        .when(href.startswith("?"), F.concat(no_query, href))
-        .otherwise(F.concat(base, href))
-    )
-    folds = (
-        F.when(raw_href == "", F.lit(False))
-        .when(href == "", F.lit(False))
-        .when(href.startswith("//"), F.lit(False))
-        .when(href.rlike(_ABS_RE), F.lit(False))
-        .when(href.startswith("/"), F.lit(True))
-        .when(href.startswith("#"), F.lit(False))
-        .when(href.startswith("?"), F.lit(False))
-        .otherwise(F.lit(True))
-    )
+    # ONE branch spec drives BOTH chains (value chain + fold-flag
+    # chain), so the branch decision cannot desync: a future branch
+    # edit changes condition, value, and fold flag together. Branch
+    # notes: a truly empty href is CPython urljoin's `if not url:
+    # return base` early-exit — base VERBATIM (before any stripping);
+    # an href that strips to empty ('\n') parses as an empty relative
+    # ref instead: base sans fragment (RFC 3986 §4.4).
+    branches = [
+        (raw_href == "", raw_url, False),
+        (href == "", no_frag, False),
+        (href.startswith("//"), F.concat(scheme, href), False),
+        (href.rlike(_ABS_RE), href, False),
+        (href.startswith("/"), F.concat(origin, href), True),
+        (href.startswith("#"), F.concat(no_frag, href), False),
+        (href.startswith("?"), F.concat(no_query, href), False),
+    ]
+    other_val, other_fold = F.concat(base, href), True
+    unfolded = F.when(branches[0][0], branches[0][1])
+    folds = F.when(branches[0][0], F.lit(branches[0][2]))
+    for cond, val, fold in branches[1:]:
+        unfolded = unfolded.when(cond, val)
+        folds = folds.when(cond, F.lit(fold))
+    unfolded = unfolded.otherwise(other_val)
+    folds = folds.otherwise(F.lit(other_fold))
     return F.element_at(
         F.array(unfolded, remove_dot_segments(unfolded)),
         F.when(folds, F.lit(2)).otherwise(F.lit(1)),

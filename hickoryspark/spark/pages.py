@@ -238,7 +238,15 @@ def spread_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     Round-robin is deterministic under retry (sortBeforeRepartition is
     on by default) and value-neutral: no operator downstream of a
     documents/pages scan depends on partition placement or intra-
-    partition order (verified by the full oracle parity sweep)."""
+    partition order (verified by the full oracle parity sweep).
+
+    Caveat (known, accepted): the probe reads the PRE-AQE partition
+    count, so a COMPUTED frame ending in a shuffle reports the static
+    shuffle-partition count and no-ops here even though AQE may
+    coalesce that exchange at runtime — i.e. this helper reliably
+    fixes under-parallel *file scans* (its purpose); computed inputs
+    keep their r5 behavior. The .rdd probe costs one plan conversion
+    per call (no job)."""
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
