@@ -13,10 +13,15 @@ al., "Connected Components in MapReduce and Beyond", SoCC'14 —
 public), which squares the distance per round.
 
 Scale notes: each round is one join + one groupBy on the label frame
-(vertex-count rows, never edge^2); `localCheckpoint` every few rounds
-truncates the growing lineage so the plan does not deepen linearly
-with iterations; convergence is detected by an exact changed-label
-count, so termination is data-driven, not a fixed iteration guess.
+(vertex-count rows, never edge^2); the label frame is eagerly
+`localCheckpoint`-ed EVERY round — it feeds two joins per round, so
+an un-truncated logical plan multiplies per round and driver-side
+Catalyst analysis comes to dominate within ~4 rounds (the kcore
+invariant; measured 3.0 -> 78.9 s/round at 2.1M edges under the old
+checkpoint-every-5 policy, 0.8 s/round after truncation). Convergence
+is detected by an exact changed-label count computed in the SAME pass
+that steps the labels, so termination is data-driven, not a fixed
+iteration guess.
 """
 
 from __future__ import annotations
@@ -30,7 +35,6 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 50,
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """(src, dst) pair list → (doc_id, component) with component = min
     reachable vertex id. Vertices are those appearing in any pair.
@@ -48,15 +52,15 @@ def connected_components(
         edges.select(F.col("u").alias("doc_id"))
         .distinct()
         .withColumn("component", F.col("doc_id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels.count()
 
-    # Long-lived drivers (the 77-query parity gate) call this many
-    # times; leaking persisted frames accumulates cached partitions, so
-    # every working frame is released before returning — edges in a
-    # finally (covers the no-fixpoint RuntimeError path too), and the
-    # result is cut loose from its cache via an eager localCheckpoint.
+    # Long-lived drivers (the parity gate) call this many times;
+    # leaking persisted frames accumulates cached partitions, so edges
+    # is released in a finally (covers the no-fixpoint RuntimeError
+    # path too). Label frames are localCheckpoint-backed, not cached —
+    # their blocks are reclaimed by the ContextCleaner when the old
+    # round's frame goes out of scope.
     try:
         for it in range(max_iter):
             neighbor_min = (
@@ -64,7 +68,14 @@ def connected_components(
                 .groupBy("u")
                 .agg(F.min("component").alias("nmin"))
             )
-            new_labels = (
+            # ONE pass steps the labels AND carries the changed flag
+            # (nmin < component; a NULL nmin — no neighbor improvement
+            # — is NULL, which the count's filter drops like false),
+            # then truncates lineage with an EAGER checkpoint: labels
+            # feeds two joins per round, so persist()-only rounds let
+            # the logical plan multiply and Catalyst analysis time
+            # explode (see module docstring).
+            stepped = (
                 labels.join(
                     neighbor_min, labels["doc_id"] == neighbor_min["u"], "left"
                 )
@@ -74,30 +85,19 @@ def connected_components(
                         F.col("component"),
                         F.coalesce(F.col("nmin"), F.col("component")),
                     ).alias("component"),
+                    (F.col("nmin") < F.col("component")).alias("chg"),
                 )
+                .localCheckpoint(eager=True)
             )
-            if (it + 1) % checkpoint_every == 0:
-                new_labels = new_labels.localCheckpoint()
-            else:
-                new_labels = new_labels.persist()
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .where(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
+            changed = stepped.where("chg").count()
+            labels = stepped.select("doc_id", "component")
             if changed == 0:
-                result = labels.localCheckpoint(eager=True)
-                labels.unpersist()
-                return result
+                return labels
         raise RuntimeError(
             f"connected_components: no fixpoint in {max_iter} rounds"
         )
     finally:
         edges.unpersist()
-        labels.unpersist()  # no-op when already released on success
 
 
 def dedup_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:

@@ -46,6 +46,20 @@ def test_path_graph_needs_multiple_rounds(spark):
     assert set(comp.values()) == {0} and len(comp) == 24
 
 
+def test_result_lineage_is_truncated(spark):
+    # the iterative loop must hand back a checkpoint-backed frame, not
+    # the full multi-round join lineage: labels feeds two joins per
+    # round, so an un-truncated plan multiplies per round and Catalyst
+    # analysis dominates the job (measured 3.0 -> 78.9 s/round at 2.1M
+    # edges before the every-round eager localCheckpoint)
+    from hickoryspark.ops.components import connected_components
+
+    edges = [(i, i + 1) for i in range(23)]
+    out = connected_components(_pairs(spark, edges))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, plan
+
+
 def test_non_convergence_raises(spark):
     from hickoryspark.ops.components import connected_components
 
