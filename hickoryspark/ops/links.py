@@ -58,6 +58,19 @@ _HAS_PATH_RE = r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]+/"
 def resolve_href(url, href):
     """Absolute target URL for ``href`` found on page ``url``
     (column expressions)."""
+    from hickoryspark.ops.urls import let_
+
+    # let-bound at every composition point (see ops/urls.let_): the
+    # raw inputs — often heavy expressions themselves — embed ONCE,
+    # and the whole body is evaluated by the lazy interpreted
+    # evaluator, so per-branch work (incl. the dot-segment fold) runs
+    # only for the rows that take the branch.
+    return let_(
+        url, lambda ru: let_(href, lambda rh: _resolve_body(ru, rh))
+    )
+
+
+def _resolve_body(raw_url, raw_href):
     from hickoryspark.ops.urls import _UNSAFE_RE, remove_dot_segments
 
     # WHATWG/CPython URL preprocessing: ASCII tab/newlines are removed
@@ -66,9 +79,8 @@ def resolve_href(url, href):
     # protocol-relative, so the strip precedes the when-chain). The
     # RAW inputs are kept for CPython's empty-href early-exit, which
     # runs BEFORE its strip and returns the base verbatim.
-    raw_url, raw_href = url, href
-    url = F.regexp_replace(url, _UNSAFE_RE, "")
-    href = F.regexp_replace(href, _UNSAFE_RE, "")
+    url = F.regexp_replace(raw_url, _UNSAFE_RE, "")
+    href = F.regexp_replace(raw_href, _UNSAFE_RE, "")
     scheme = F.regexp_extract(url, r"(?i)^([a-z][a-z0-9+.-]*:)", 1)
     origin = F.regexp_extract(url, _ORIGIN_RE, 1)
     no_frag = F.regexp_replace(url, r"#[\s\S]*", "")
@@ -80,33 +92,31 @@ def resolve_href(url, href):
         F.regexp_replace(no_query, r"/[^/]*\z", "/"),
     ).otherwise(F.concat(no_query, F.lit("/")))  # origin-only page url
     # The dot-segment fold applies to exactly two branches (host- and
-    # path-relative — the ones urljoin folds). Emitting the fold's
-    # 51-step regexp program INSIDE each branch duplicated it and blew
-    # the 64 KB whole-stage-codegen method budget, silently dropping
-    # every composing stage (extract_links, crawl_frontier,
-    # canonical_clusters) to interpreted execution (r5 verdict). Fix
-    # (r6): the when-chain first SELECTS the unfolded resolution; a
-    # twin boolean chain (same conditions, same order — identical
-    # branch decision under three-valued logic) marks the two fold
-    # branches; and the fold program runs ONCE, EAGERLY, at the top
-    # level of the expression — folding the selected value is
-    # pointwise equal to selecting the folded value. Top-level matters
-    # as much as once: code generated inside a CaseWhen branch cannot
-    # be split into submethods (local-variable scoping), so even a
-    # single conditional fold overflows one method; as an eager
-    # ``array(unfolded, folded)[idx]`` the program sits in splittable
-    # top-level code and the whole stage compiles
-    # (tests/test_links.py pins compilation with
-    # spark.sql.codegen.fallback=false). Runtime cost of eagerness is
-    # just the path split on non-fold rows — the 51-step program
-    # itself stays behind remove_dot_segments' contains('/.') gate.
-    # ONE branch spec drives BOTH chains (value chain + fold-flag
-    # chain), so the branch decision cannot desync: a future branch
-    # edit changes condition, value, and fold flag together. Branch
-    # notes: a truly empty href is CPython urljoin's `if not url:
-    # return base` early-exit — base VERBATIM (before any stripping);
-    # an href that strips to empty ('\n') parses as an empty relative
-    # ref instead: base sans fragment (RFC 3986 §4.4).
+    # path-relative — the ones urljoin folds). History: emitting the
+    # fold's 51-step regexp program INSIDE each branch duplicated it
+    # and blew the 64 KB whole-stage-codegen method budget (r5
+    # verdict); the first r6 fix ran it ONCE and EAGERLY at expression
+    # top level (``array(unfolded, folded)[idx]``) so the stage
+    # compiled — at the cost of executing the fold's path split for
+    # every row and of a ~33 KB expression tree that multiplied
+    # catastrophically when callers composed further expressions over
+    # the result (normalize∘resolve reached 2.58 MB / 49,895 regexp
+    # nodes). Current shape: the whole body is let-bound (see
+    # ops/urls.let_ — higher-order functions are CodegenFallback, so
+    # the body runs in the LAZY interpreted evaluator with no 64 KB
+    # cliff), which lets the fold sit back inside a plain when():
+    # selected per row, executed only for the two fold branches, and
+    # remove_dot_segments' contains('/.') gate still skips the
+    # program on clean paths. ONE branch spec drives BOTH chains
+    # (value chain + fold-flag chain), so the branch decision cannot
+    # desync: a future branch edit changes condition, value, and fold
+    # flag together. Branch notes: a truly empty href is CPython
+    # urljoin's `if not url: return base` early-exit — base VERBATIM
+    # (before any stripping); an href that strips to empty ('\n')
+    # parses as an empty relative ref instead: base sans fragment
+    # (RFC 3986 §4.4).
+    from hickoryspark.ops.urls import let_
+
     branches = [
         (raw_href == "", raw_url, False),
         (href == "", no_frag, False),
@@ -124,9 +134,9 @@ def resolve_href(url, href):
         folds = folds.when(cond, F.lit(fold))
     unfolded = unfolded.otherwise(other_val)
     folds = folds.otherwise(F.lit(other_fold))
-    return F.element_at(
-        F.array(unfolded, remove_dot_segments(unfolded)),
-        F.when(folds, F.lit(2)).otherwise(F.lit(1)),
+    return let_(
+        unfolded,
+        lambda x: F.when(folds, remove_dot_segments(x)).otherwise(x),
     )
 
 

@@ -409,15 +409,16 @@ def test_base_absent_falls_back_to_page_url(spark):
 
 
 def test_resolve_href_stage_compiles_whole_stage_codegen(spark):
-    """r6 optimization guard (r5 verdict #2): the resolve_href regex
-    program must fit the 64 KB whole-stage-codegen method budget so
-    link/crawl stages compile instead of silently running interpreted.
-    codegen.fallback=false turns a janino overflow into a hard error.
-
-    The guarded shape: the dot-segment fold runs ONCE, eagerly, at the
-    top level of the expression (element_at over array) — code inside
-    a CaseWhen branch cannot be split into submethods, so even a
-    single conditional fold overflows."""
+    """r6 optimization guard (r5 verdict #2): stages composing
+    resolve_href must never die or silently degrade under
+    codegen.fallback=false (which turns a janino method-size overflow
+    into a hard error). The guarded shape evolved within r6: first the
+    dot-segment fold ran once/eagerly at expression top level so the
+    generated method fit the 64 KB budget; now the whole body is
+    LET-BOUND (ops/urls.let_ — higher-order functions are
+    CodegenFallback, so the regex program is evaluated by the lazy
+    interpreter and never emitted into a janino method at all). Either
+    way this test must pass: no codegen error, reference values."""
     from pyspark.sql import functions as F
 
     from hickoryspark.ops.links import resolve_href
@@ -451,3 +452,28 @@ def test_resolve_href_stage_compiles_whole_stage_codegen(spark):
         "https://cdn/z",
         "https://ex.test/a/",
     ]
+
+
+def test_normalize_resolve_composition_plan_stays_bounded(spark):
+    """let-binding regression guard (r6): composing
+    normalize_url(resolve_href(...)) INLINE once spliced the ~33 KB
+    resolve tree into every argument reference of normalize — a
+    2.58 MB optimized plan carrying 49,895 regexp_replace nodes,
+    evaluated per row (hreflang_symmetry ran 36-44s over 5000 docs).
+    With both builders let-bound the plan must stay small; this pins
+    the property so a future refactor that drops a let_ fails here
+    instead of in a 10x gate slowdown."""
+    from pyspark.sql import functions as F
+
+    from hickoryspark.ops.links import resolve_href
+    from hickoryspark.ops.urls import normalize_url
+
+    df = spark.createDataFrame(
+        [("https://ex.test/a/b/", "../x")], "url string, href string"
+    )
+    comp = df.select(
+        normalize_url(resolve_href(F.col("url"), F.col("href"))).alias("n")
+    )
+    plan = comp._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 200_000, f"plan blew up to {len(plan)} chars"
+    assert plan.count("regexp_replace") < 2000, plan.count("regexp_replace")
