@@ -48,8 +48,17 @@ def _weights_df(spark: SparkSession, weights: dict[str, int]) -> DataFrame:
     if sum(weights.values()) != 1000:
         raise ValueError(
             f"weights must sum to 1000, got {sum(weights.values())}")
+    # ONE partition, explicitly: createDataFrame over local rows
+    # otherwise parallelizes them across defaultParallelism (32)
+    # PYTHON-evaluated partitions, and every downstream execution
+    # pays a Python-worker round trip per partition — serialized
+    # under the cartesian below (measured ~7s for a 4-row table;
+    # 0.4s with a single slice).
     return spark.createDataFrame(
-        [(k, int(w)) for k, w in weights.items()], "stratum string, w long"
+        spark.sparkContext.parallelize(
+            [(k, int(w)) for k, w in weights.items()], 1
+        ),
+        "stratum string, w long",
     )
 
 
@@ -61,7 +70,15 @@ def mixture_rates(
     wdf = _weights_df(docs.sparkSession, weights)
     counts = docs.groupBy(F.col(stratum).alias("stratum")).agg(
         F.count(F.lit(1)).alias("n_rows"))
-    joined = counts.join(wdf, "stratum")  # inner: unweighted strata drop
+    # coalesce(1) BOTH cartesian inputs: the stratum table is K rows
+    # (K = #weighted strata, a plan-time constant), but a
+    # CartesianProduct's partition count is left×right — two unforced
+    # 32-partition sides made 1,024 near-empty tasks, ~13s of pure
+    # task scheduling for a 3x3 product (and AQE does not coalesce
+    # through CartesianProduct). 1×1 partitions = 1 task; values are
+    # partitioning-independent.
+    joined = counts.join(wdf, "stratum").coalesce(1)
+    # inner join: unweighted strata drop
     other = joined.select(
         F.col("n_rows").alias("_tn"), F.col("w").alias("_tw"))
     return (
