@@ -58,9 +58,13 @@ def connected_components(
     # Long-lived drivers (the parity gate) call this many times;
     # leaking persisted frames accumulates cached partitions, so edges
     # is released in a finally (covers the no-fixpoint RuntimeError
-    # path too). Label frames are localCheckpoint-backed, not cached —
-    # their blocks are reclaimed by the ContextCleaner when the old
-    # round's frame goes out of scope.
+    # path too). Label frames are localCheckpoint-backed, not
+    # CacheManager-cached: superseded rounds' blocks are reclaimed by
+    # JVM GC + ContextCleaner (periodic, NOT immediate — and
+    # clearCache() does not touch them), so at most O(rounds) copies
+    # of the vertex-sized label frame are transiently resident. That
+    # bound is the same one the repo's other iterative ops (kcore,
+    # pagerank, bpe) already accept for per-round checkpoints.
     try:
         for it in range(max_iter):
             neighbor_min = (

@@ -71,7 +71,8 @@ def resolve_href(url, href):
 
 
 def _resolve_body(raw_url, raw_href):
-    from hickoryspark.ops.urls import _UNSAFE_RE, remove_dot_segments
+    from hickoryspark.ops.urls import (
+        _UNSAFE_RE, let_, remove_dot_segments)
 
     # WHATWG/CPython URL preprocessing: ASCII tab/newlines are removed
     # from BOTH sides before classification (urljoin, the fuzz oracle,
@@ -115,8 +116,6 @@ def _resolve_body(raw_url, raw_href):
     # (before any stripping); an href that strips to empty ('\n')
     # parses as an empty relative ref instead: base sans fragment
     # (RFC 3986 §4.4).
-    from hickoryspark.ops.urls import let_
-
     branches = [
         (raw_href == "", raw_url, False),
         (href == "", no_frag, False),

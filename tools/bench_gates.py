@@ -69,12 +69,16 @@ def main() -> int:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
         except Exception as e:  # keep sweeping; report at the end
+            # an errored gate is NOT a measurement: keep it out of
+            # timings/total so the ranking and the JSON only carry
+            # real readings
             errors[name] = f"{type(e).__name__}: {e}"
-            continue
-        finally:
+            print(f"   ERROR   {name}: {errors[name]}", flush=True)
+        else:
             dt = time.perf_counter() - t0
             timings[name] = round(dt, 3)
             print(f"{dt:8.3f}s  {name}", flush=True)
+        finally:
             # several ops persist internal frames (LSH groups, graph
             # iteration state); don't let storage pressure accumulate
             # across 300+ queries
@@ -87,13 +91,19 @@ def main() -> int:
     print(f"\ntotal {total}s over {len(timings)} gates, {len(errors)} errors")
     for name, err in errors.items():
         print(f"ERROR {name}: {err}")
-    out = {"sf_dir": sf_dir, "cpus": cpus, "total_sec": total,
-           "gates": timings, "errors": errors}
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "..", "BENCH", f"gates_{os.path.basename(sf_dir.rstrip('/'))}.json")
-    with open(os.path.abspath(path), "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
-    print(f"wrote {os.path.abspath(path)}")
+    if only:
+        # a subset re-measurement must never clobber the committed
+        # full-sweep artifact (the file OPTIMIZATION_r06.md cites)
+        print("(subset run — artifact not written)")
+    else:
+        out = {"sf_dir": sf_dir, "cpus": cpus, "total_sec": total,
+               "gates": timings, "errors": errors}
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "BENCH",
+            f"gates_{os.path.basename(sf_dir.rstrip('/'))}.json")
+        with open(os.path.abspath(path), "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        print(f"wrote {os.path.abspath(path)}")
     spark.stop()
     return 1 if errors else 0
 
