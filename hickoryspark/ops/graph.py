@@ -191,15 +191,21 @@ def hits(
             edges.join(hub, edges["src"] == hub["id"])
             .groupBy("dst").agg(F.sum("hub").alias("_s"))
         )
-        auth = _linf_norm(nodes, raw_auth, "dst", "auth", scale)
+        # eager localCheckpoint EVERY half-step (the kcore invariant):
+        # _linf_norm references its `raw` subtree TWICE (join side +
+        # the max-scalar side), so an un-truncated plan DOUBLES per
+        # half-step — measured ~6x wall per iteration (4.2/5.0/21.4/
+        # 133s for n_iter=1..4 at 10k edges) and a driver GC-thrash
+        # crash at n_iter=5 under the old checkpoint-every-5 policy,
+        # which never got the chance to fire.
+        auth = _linf_norm(nodes, raw_auth, "dst", "auth", scale) \
+            .localCheckpoint(eager=True)
         raw_hub = (
             edges.join(auth, edges["dst"] == auth["id"])
             .groupBy("src").agg(F.sum("auth").alias("_s"))
         )
-        hub = _linf_norm(nodes, raw_hub, "src", "hub", scale)
-        if (i + 1) % 5 == 0 and i + 1 < n_iter:
-            hub = hub.localCheckpoint()
-            auth = auth.localCheckpoint()
+        hub = _linf_norm(nodes, raw_hub, "src", "hub", scale) \
+            .localCheckpoint(eager=True)
     return (
         nodes.join(hub.withColumnRenamed("hub", "hub_e6"), "id", "left")
         .join(auth.withColumnRenamed("auth", "auth_e6"), "id", "left")
