@@ -175,6 +175,11 @@ def hits(
     degree headroom by LOWERING scale. Each half-step is one
     key-shuffle groupBy + a scalar max aggregate; nodes with no
     in/out edges hold score 0 after the first step (standard).
+
+    EAGER by contract (like kcore): every half-step localCheckpoints
+    eagerly, so calling this function runs the 2*n_iter iteration
+    jobs immediately and the returned frame is a cheap plan over the
+    final checkpointed scores.
     """
     if nodes is None:
         nodes = (
@@ -186,7 +191,7 @@ def hits(
     edges = edges.persist()
     hub = nodes.select("id", F.lit(scale).cast("long").alias("hub"))
     auth = nodes.select("id", F.lit(scale).cast("long").alias("auth"))
-    for i in range(n_iter):
+    for _ in range(n_iter):
         raw_auth = (
             edges.join(hub, edges["src"] == hub["id"])
             .groupBy("dst").agg(F.sum("hub").alias("_s"))
